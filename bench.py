@@ -1,0 +1,141 @@
+"""Benchmark: fused WB + NDVI + stats + colormap throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "MPix/s/chip", "vs_baseline": N}
+
+- Device path: rgnir_tpu fused pass (histogram -> exact percentiles ->
+  rescale -> index -> stats -> LUT render) on a batch of 1024^2 RGNir
+  frames, jit-compiled, steady-state timed.
+- Baseline: the reference's NumPy path on this host's CPU — per-channel
+  percentile stretch (process-images.py:424-447), NDVI (449-490), stats
+  (492-513), and ScalarMappable.to_rgba byte render (the data-plane core
+  of create_index_visualization, 669-716) at the same resolution.
+
+vs_baseline = device MPix/s / NumPy MPix/s (BASELINE.md target: >=50x).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def numpy_reference_mpix_s(img: np.ndarray, repeats: int = 3) -> float:
+    """Reference-semantics NumPy pipeline, timed. (Reimplementation of
+    the cited reference math, not a copy — see tests/golden.py.)"""
+    import matplotlib
+    import matplotlib.cm as cm
+    from matplotlib import colors
+
+    sm = cm.ScalarMappable(
+        norm=colors.Normalize(-1, 1), cmap=matplotlib.colormaps["RdYlGn"]
+    )
+
+    def run(arr: np.ndarray):
+        f = arr.astype(np.float32)
+        corrected = np.zeros_like(f)
+        for c in range(3):
+            ch = f[:, :, c]
+            p2, p98 = np.percentile(ch, (2, 98))
+            corrected[:, :, c] = np.clip((ch - p2) / (p98 - p2) * 255, 0, 255)
+        wb = corrected.astype(np.uint8).astype(np.float32)
+        nir, red = wb[:, :, 2], wb[:, :, 0]
+        ndvi = np.clip((nir - red) / (nir + red + np.float32(1e-10)), -1, 1)
+        stats = (
+            float(np.mean(ndvi)),
+            float(np.median(ndvi)),
+            float(np.min(ndvi)),
+            float(np.max(ndvi)),
+            float(np.mean(ndvi > 0.2) * 100),
+        )
+        rgba = sm.to_rgba(ndvi, bytes=True)
+        return stats, rgba
+
+    run(img)  # warmup
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        run(img)
+    dt = (time.perf_counter() - t0) / repeats
+    mpix = img.shape[0] * img.shape[1] / 1e6
+    return mpix / dt
+
+
+def device_mpix_s(batch: int = 8, size: int = 1024) -> float:
+    """Steady-state device throughput of the fused pass.
+
+    Timing note: under the tunneled single-chip environment,
+    ``block_until_ready`` can return before execution completes, so
+    naive per-dispatch timing is bogus. We instead chain N data-dependent
+    iterations inside one ``lax.fori_loop`` (each iteration feeds
+    ``wb ^ render`` back in, so nothing can be elided or overlapped) and
+    force a host fetch of the result; the slope between two N values
+    cancels the fixed dispatch/transfer latency. Calibrated against a
+    4096^3 bf16 matmul (measures ~0.7 ms on v5e, as expected).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from rgnir_tpu.pipeline.fused import analyze_image
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (batch, size, size, 3), dtype=np.uint8)
+    x = jax.device_put(jnp.asarray(imgs))
+
+    @jax.jit
+    def run(img, n):
+        def body(i, carry):
+            img, acc = carry
+            res = analyze_image(img, kinds=("NDVI",), with_renders=True)
+            nxt = res.wb ^ res.renders["NDVI"]  # full data dependency
+            acc = acc + res.stats["NDVI"].mean + res.stats["NDVI"].median
+            return nxt, acc
+        return jax.lax.fori_loop(0, n, body, (img, jnp.zeros(batch)))
+
+    t0 = time.perf_counter()
+    out = run(x, 2)
+    np.asarray(out[1])  # host fetch forces completion
+    _log(f"compile+first-run: {time.perf_counter() - t0:.2f}s")
+
+    times = {}
+    for n in (4, 24):
+        t0 = time.perf_counter()
+        out = run(x, n)
+        np.asarray(out[1])
+        times[n] = time.perf_counter() - t0
+    dt = (times[24] - times[4]) / 20.0
+    mpix = batch * size * size / 1e6
+    _log(f"device: {dt*1e3:.2f} ms / {mpix:.0f} MPix batch (slope of 4->24 iters)")
+    return mpix / dt
+
+
+def main() -> None:
+    import jax
+
+    _log(f"devices: {jax.devices()}")
+    dev = device_mpix_s()
+    base_img = np.random.default_rng(1).integers(
+        0, 256, (1024, 1024, 3), dtype=np.uint8
+    )
+    base = numpy_reference_mpix_s(base_img)
+    _log(f"device {dev:.1f} MPix/s | numpy baseline {base:.1f} MPix/s")
+    print(
+        json.dumps(
+            {
+                "metric": "fused WB+NDVI+stats+colormap throughput (1024^2 batch)",
+                "value": round(dev, 1),
+                "unit": "MPix/s/chip",
+                "vs_baseline": round(dev / base, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,234 @@
+"""Golden tests: device ops vs NumPy reference semantics (SURVEY.md section 4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rgnir_tpu import (
+    IndexKind,
+    white_balance,
+    compute_index,
+    index_stats,
+    render_colormap,
+    channel_histograms,
+    percentiles_from_histogram,
+)
+from rgnir_tpu.ops.stats import to_analyze_index_dict, to_ndvi_report_dict
+from rgnir_tpu.pipeline.fused import analyze_image_jit
+
+import golden
+
+ALL = ["NDVI", "GNDVI", "NDWI"]
+
+
+class TestHistogram:
+    def test_channel_histograms_exact(self, rgnir_image):
+        hist = np.asarray(channel_histograms(jnp.asarray(rgnir_image)))
+        for c in range(3):
+            expected = np.bincount(rgnir_image[..., c].ravel(), minlength=256)
+            np.testing.assert_array_equal(hist[c], expected)
+
+    def test_histogram_batched(self, rgnir_batch):
+        hist = np.asarray(channel_histograms(jnp.asarray(rgnir_batch)))
+        assert hist.shape == (4, 3, 256)
+        for b in range(4):
+            for c in range(3):
+                np.testing.assert_array_equal(
+                    hist[b, c],
+                    np.bincount(rgnir_batch[b, ..., c].ravel(), minlength=256),
+                )
+
+    def test_histogram_masked(self, rgnir_image):
+        h, w, _ = rgnir_image.shape
+        mask = np.zeros((h, w), bool)
+        mask[: h // 2] = True
+        hist = np.asarray(
+            channel_histograms(jnp.asarray(rgnir_image), mask=jnp.asarray(mask))
+        )
+        for c in range(3):
+            np.testing.assert_array_equal(
+                hist[c],
+                np.bincount(rgnir_image[: h // 2, :, c].ravel(), minlength=256),
+            )
+
+    @pytest.mark.parametrize("q", [0.0, 2.0, 50.0, 98.0, 100.0, 33.3])
+    def test_percentile_parity(self, rng, q):
+        """Exact np.percentile (linear) parity from the 256-bin histogram."""
+        for size in [97, 1000, 4096]:
+            vals = rng.integers(0, 256, size=size).astype(np.uint8)
+            hist = jnp.asarray(np.bincount(vals, minlength=256).astype(np.int32))
+            got = float(percentiles_from_histogram(hist, (q,), n=size)[0])
+            want = float(np.percentile(vals.astype(np.float32), q))
+            assert got == want, (q, size)
+
+    def test_percentile_skewed(self):
+        """Heavy ties (the uint8 regime that makes sorting-free exactness matter)."""
+        vals = np.concatenate(
+            [np.zeros(5000), np.full(100, 128), np.full(3, 255)]
+        ).astype(np.uint8)
+        hist = jnp.asarray(np.bincount(vals, minlength=256).astype(np.int32))
+        for q in (2.0, 50.0, 98.0, 99.9):
+            got = float(percentiles_from_histogram(hist, (q,), n=vals.size)[0])
+            want = float(np.percentile(vals.astype(np.float32), q))
+            assert got == want, q
+
+
+class TestWhiteBalance:
+    def test_vs_reference(self, rgnir_image):
+        """Parity contract: XLA f32 division is within 1 ulp of IEEE, so
+        the uint8 floor can flip by +/-1 only where the stretched value
+        sits within ~3e-5 of an integer — measured <0.1% of pixels."""
+        got = np.asarray(white_balance(jnp.asarray(rgnir_image)))
+        ref = golden.golden_white_balance(rgnir_image)
+        diff = np.abs(got.astype(int) - ref.astype(int))
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 1e-3
+
+    def test_batched_independent(self, rgnir_batch):
+        got = np.asarray(white_balance(jnp.asarray(rgnir_batch)))
+        for b in range(4):
+            single = np.asarray(white_balance(jnp.asarray(rgnir_batch[b])))
+            np.testing.assert_array_equal(got[b], single)
+
+    def test_constant_channel_no_nan(self):
+        img = np.full((16, 16, 3), 7, np.uint8)
+        got = np.asarray(white_balance(jnp.asarray(img)))
+        assert got.dtype == np.uint8  # reference would NaN here; we define 0
+        np.testing.assert_array_equal(got, 0)
+
+
+class TestIndices:
+    ULP = 1.2e-7  # 1 ulp at |x| ~ 1: XLA f32 division vs IEEE
+
+    @pytest.mark.parametrize("kind", ALL)
+    def test_vs_reference_1ulp(self, rgnir_image, kind):
+        got = np.asarray(compute_index(jnp.asarray(rgnir_image), kind))
+        ref = golden.golden_index(rgnir_image, kind)
+        np.testing.assert_allclose(got, ref, atol=self.ULP, rtol=0)
+
+    def test_unknown_kind_raises(self, rgnir_image):
+        with pytest.raises(ValueError, match="Unknown index type"):
+            compute_index(jnp.asarray(rgnir_image), "EVI")
+
+    def test_range(self, rgnir_batch):
+        for kind in ALL:
+            idx = np.asarray(compute_index(jnp.asarray(rgnir_batch), kind))
+            assert idx.min() >= -1.0 and idx.max() <= 1.0
+            assert idx.dtype == np.float32
+
+    def test_ndwi_is_negated_gndvi(self, rgnir_image):
+        """(G - NIR) == -(NIR - G) given the same denominator."""
+        g = np.asarray(compute_index(jnp.asarray(rgnir_image), "GNDVI"))
+        w = np.asarray(compute_index(jnp.asarray(rgnir_image), "NDWI"))
+        np.testing.assert_allclose(w, -g, atol=1e-7)
+
+
+class TestStats:
+    @pytest.mark.parametrize("kind", ALL)
+    def test_analyze_index_parity(self, rgnir_image, kind):
+        idx = golden.golden_index(rgnir_image, kind)
+        st = index_stats(jnp.asarray(idx), kind)
+        got = to_analyze_index_dict(st, kind)
+        want = golden.golden_analyze_index(idx, kind)
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-5), k
+
+    def test_ndvi_report_parity(self, rgnir_image):
+        ndvi = golden.golden_index(rgnir_image, "NDVI")
+        st = index_stats(jnp.asarray(ndvi), "NDVI")
+        got = to_ndvi_report_dict(st)
+        want = golden.golden_ndvi_statistics(ndvi)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-5), k
+
+    def test_histogram_50bin_parity(self, rgnir_image):
+        ndvi = golden.golden_index(rgnir_image, "NDVI")
+        st = index_stats(jnp.asarray(ndvi), "NDVI")
+        np.testing.assert_array_equal(
+            np.asarray(st.histogram), golden.golden_histogram(ndvi)
+        )
+
+    def test_median_even_odd(self, rng):
+        for h, w in [(5, 5), (4, 4)]:
+            x = rng.normal(size=(h, w)).astype(np.float32).clip(-1, 1)
+            st = index_stats(jnp.asarray(x), "NDVI")
+            assert float(st.median) == pytest.approx(float(np.median(x)), abs=1e-7)
+
+    def test_masked_stats_equal_crop(self, rgnir_image):
+        idx = golden.golden_index(rgnir_image, "NDVI")
+        h, w = idx.shape
+        mask = np.zeros((h, w), bool)
+        mask[: h // 2, : w // 2] = True
+        n = int(mask.sum())
+        st_m = index_stats(jnp.asarray(idx), "NDVI", mask=jnp.asarray(mask), n_valid=n)
+        st_c = index_stats(jnp.asarray(idx[: h // 2, : w // 2]), "NDVI")
+        for field in ("mean", "median", "std", "min", "max", "coverage_pct"):
+            assert float(getattr(st_m, field)) == pytest.approx(
+                float(getattr(st_c, field)), abs=1e-6
+            ), field
+        np.testing.assert_array_equal(
+            np.asarray(st_m.histogram), np.asarray(st_c.histogram)
+        )
+
+
+class TestColormap:
+    @pytest.mark.parametrize("kind", ALL)
+    def test_vs_matplotlib(self, rgnir_image, kind):
+        idx = golden.golden_index(rgnir_image, kind)
+        got = np.asarray(render_colormap(jnp.asarray(idx), kind, alpha=True))
+        want = golden.golden_colormap_rgba(
+            idx, "RdYlBu" if kind == "NDWI" else "RdYlGn"
+        )
+        # f32 vs f64 bin edges can flip a pixel into the adjacent LUT
+        # entry; require exact match on >99.9% and near-match elsewhere.
+        exact = (got == want).all(axis=-1)
+        assert exact.mean() > 0.999
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 8
+
+    def test_change_map_bwr(self, rng):
+        diff = rng.uniform(-0.5, 0.5, size=(32, 32)).astype(np.float32)
+        got = np.asarray(
+            render_colormap(jnp.asarray(diff), "bwr", vmin=-0.5, vmax=0.5, alpha=True)
+        )
+        want = golden.golden_colormap_rgba(diff, "bwr", vmin=-0.5, vmax=0.5)
+        exact = (got == want).all(axis=-1)
+        assert exact.mean() > 0.999
+
+
+class TestFusedPipeline:
+    def test_end_to_end_single(self, rgnir_image):
+        res = analyze_image_jit(jnp.asarray(rgnir_image))
+        ref_wb = golden.golden_white_balance(rgnir_image)
+        wb = np.asarray(res.wb)
+        diff = np.abs(wb.astype(int) - ref_wb.astype(int))
+        assert diff.max() <= 1 and (diff > 0).mean() < 1e-3
+        for kind in ALL:
+            # golden continues from the device WB so per-stage parity
+            # composes (WB boundary flips are checked above).
+            ref_idx = golden.golden_index(wb, kind)
+            np.testing.assert_allclose(
+                np.asarray(res.indices[kind]), ref_idx, atol=1.2e-7, rtol=0
+            )
+            want = golden.golden_analyze_index(ref_idx, kind)
+            got = to_analyze_index_dict(res.stats[kind], kind)
+            for k in want:
+                assert got[k] == pytest.approx(want[k], abs=2e-2), (kind, k)
+            assert res.renders[kind].shape == ref_idx.shape + (3,)
+
+    def test_end_to_end_batch(self, rgnir_batch):
+        res = analyze_image_jit(jnp.asarray(rgnir_batch), kinds=("NDVI",))
+        assert res.wb.shape == rgnir_batch.shape
+        assert res.indices["NDVI"].shape == rgnir_batch.shape[:3]
+        assert res.stats["NDVI"].mean.shape == (4,)
+
+    def test_no_wb_path(self, rgnir_image):
+        """process-ndvi.py computes NDVI on the raw image (lines 17-31)."""
+        res = analyze_image_jit(
+            jnp.asarray(rgnir_image), kinds=("NDVI",), with_wb=False
+        )
+        ref = golden.golden_index(rgnir_image, "NDVI")
+        np.testing.assert_allclose(
+            np.asarray(res.indices["NDVI"]), ref, atol=1.2e-7, rtol=0
+        )

@@ -1,0 +1,140 @@
+"""Distributed tests on the 8-device virtual CPU mesh (SURVEY.md section 4):
+sharded mosaic stats must equal single-device stats must equal NumPy."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rgnir_tpu.parallel import (
+    analyze_mosaic,
+    local_mesh,
+    masked_median,
+    ordered_u32_from_f32,
+    f32_from_ordered_u32,
+    radix_order_statistic,
+)
+from rgnir_tpu.ops.stats import index_stats, to_analyze_index_dict
+from rgnir_tpu.ops.wb import white_balance
+from rgnir_tpu.ops.indices import compute_index
+
+import golden
+
+
+class TestOrderedKey:
+    def test_roundtrip_and_monotone(self, rng):
+        x = np.concatenate(
+            [rng.normal(size=1000), [-np.inf, np.inf, 0.0, -0.0, 1e-38, -1e-38]]
+        ).astype(np.float32)
+        keys = np.asarray(ordered_u32_from_f32(jnp.asarray(x)))
+        back = np.asarray(f32_from_ordered_u32(jnp.asarray(keys)))
+        np.testing.assert_array_equal(back, x)
+        # Strictly monotone on *distinct* values. (-0.0 keys below +0.0,
+        # which float comparison calls equal — fine for order statistics.)
+        order = np.argsort(x, kind="stable")
+        xs, ks = x[order], keys[order]
+        distinct = xs[1:] > xs[:-1]
+        assert (ks[1:][distinct] > ks[:-1][distinct]).all()
+        neg0 = np.asarray(ordered_u32_from_f32(jnp.float32(-0.0)))
+        pos0 = np.asarray(ordered_u32_from_f32(jnp.float32(0.0)))
+        assert neg0 < pos0
+
+
+class TestRadixSelect:
+    def test_order_statistic_exact(self, rng):
+        x = rng.normal(size=4097).astype(np.float32)
+        xs = np.sort(x)
+        for rank in [0, 1, 2048, 4095, 4096]:
+            got = float(radix_order_statistic(jnp.asarray(x), rank))
+            assert got == xs[rank], rank
+
+    def test_masked(self, rng):
+        x = rng.normal(size=1000).astype(np.float32)
+        mask = rng.random(1000) < 0.5
+        valid = np.sort(x[mask])
+        got = float(
+            radix_order_statistic(jnp.asarray(x), 10, mask=jnp.asarray(mask))
+        )
+        assert got == valid[10]
+
+    @pytest.mark.parametrize("n", [999, 1000])
+    def test_median_numpy_parity(self, rng, n):
+        x = rng.normal(size=n).astype(np.float32)
+        got = float(masked_median(jnp.asarray(x), n))
+        assert got == float(np.median(x))
+
+
+@pytest.fixture
+def mosaic(rng):
+    """A 200x176 'mosaic' (odd vs the 8-device row split: exercises padding)."""
+    return rng.integers(0, 256, (200, 176, 3), dtype=np.uint8)
+
+
+class TestAnalyzeMosaic:
+    def test_matches_single_device(self, mosaic):
+        mesh = local_mesh("d")
+        assert mesh.devices.size == 8
+        res = analyze_mosaic(mosaic, kinds=("NDVI", "NDWI"), mesh=mesh)
+
+        wb_single = np.asarray(white_balance(jnp.asarray(mosaic)))
+        h = mosaic.shape[0]
+        np.testing.assert_array_equal(np.asarray(res.wb)[:h], wb_single)
+
+        for kind in ("NDVI", "NDWI"):
+            idx_single = np.asarray(compute_index(jnp.asarray(wb_single), kind))
+            np.testing.assert_array_equal(
+                np.asarray(res.indices[kind])[:h], idx_single
+            )
+            st_single = index_stats(jnp.asarray(idx_single), kind)
+            st = res.stats[kind]
+            assert float(st.mean) == pytest.approx(float(st_single.mean), abs=1e-6)
+            assert float(st.median) == float(st_single.median)
+            assert float(st.std) == pytest.approx(float(st_single.std), abs=1e-6)
+            assert float(st.min) == float(st_single.min)
+            assert float(st.max) == float(st_single.max)
+            assert float(st.coverage_pct) == pytest.approx(
+                float(st_single.coverage_pct), abs=1e-6
+            )
+            np.testing.assert_array_equal(
+                np.asarray(st.histogram), np.asarray(st_single.histogram)
+            )
+
+    def test_numpy_end_to_end(self, mosaic):
+        """Sharded mosaic vs the NumPy reference semantics end to end."""
+        res = analyze_mosaic(mosaic, kinds=("NDVI",), mesh=local_mesh("d"))
+        ref_wb = golden.golden_white_balance(mosaic)
+        h = mosaic.shape[0]
+        wb = np.asarray(res.wb)[:h]
+        diff = np.abs(wb.astype(int) - ref_wb.astype(int))
+        assert diff.max() <= 1 and (diff > 0).mean() < 1e-3
+        ref_idx = golden.golden_index(wb, "NDVI")
+        want = golden.golden_analyze_index(ref_idx, "NDVI")
+        got = to_analyze_index_dict(res.stats["NDVI"], "NDVI")
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-4), k
+
+    def test_renders(self, mosaic):
+        res = analyze_mosaic(
+            mosaic, kinds=("NDVI",), mesh=local_mesh("d"), with_renders=True
+        )
+        assert res.renders["NDVI"].shape[-1] == 3
+
+
+class TestTiling:
+    def test_roundtrip(self, rng):
+        from rgnir_tpu.tiling import pad_to_multiple, tile_image, untile_image
+
+        img = rng.integers(0, 256, (70, 50, 3), dtype=np.uint8)
+        padded, (h, w) = pad_to_multiple(jnp.asarray(img), 32, 32)
+        assert padded.shape == (96, 64, 3)
+        tiles = tile_image(padded, 32, 32)
+        assert tiles.shape == (3, 2, 32, 32, 3)
+        back = np.asarray(untile_image(tiles))[:h, :w]
+        np.testing.assert_array_equal(back, img)
+
+    def test_valid_mask(self):
+        from rgnir_tpu.tiling import valid_mask
+
+        m = np.asarray(valid_mask((8, 8), (5, 6)))
+        assert m.sum() == 30
+        assert m[:5, :6].all() and not m[5:].any() and not m[:, 6:].any()

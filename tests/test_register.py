@@ -1,0 +1,87 @@
+"""Registration tests: scipy/skimage-parity for warp, shift recovery for
+phase correlation (reference behavior: process-images.py:515-565)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.ndimage as ndi
+
+from rgnir_tpu.register import (
+    align_images,
+    bilinear_shift_2d,
+    luminance,
+    phase_correlation_shift,
+    shift_image,
+)
+
+
+def _texture(rng, h=96, w=128):
+    base = rng.normal(size=(h // 8, w // 8))
+    img = np.kron(base, np.ones((8, 8)))
+    img += rng.normal(0, 0.05, size=img.shape)
+    return img.astype(np.float32)
+
+
+class TestWarp:
+    @pytest.mark.parametrize("shift", [(0, 0), (3, -5), (0.5, 0.25), (-2.75, 4.5)])
+    def test_vs_scipy_2d(self, rng, shift):
+        img = _texture(rng)
+        got = np.asarray(bilinear_shift_2d(jnp.asarray(img), shift[0], shift[1]))
+        want = ndi.shift(img, shift, order=1, mode="reflect")
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_vs_scipy_3d(self, rng):
+        """The reference shifts HWC images with a (dy, dx, 0) vector
+        (process-images.py:554-559)."""
+        img = rng.random((40, 50, 3)).astype(np.float32)
+        got = np.asarray(shift_image(jnp.asarray(img), jnp.asarray([1.5, -2.25, 0.0])))
+        want = ndi.shift(img, (1.5, -2.25, 0.0), order=1, mode="reflect")
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_large_shift_reflect(self, rng):
+        img = _texture(rng, 16, 16)
+        got = np.asarray(bilinear_shift_2d(jnp.asarray(img), 20.0, -18.0))
+        want = ndi.shift(img, (20.0, -18.0), order=1, mode="reflect")
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestLuminance:
+    def test_uint8_parity(self, rgnir_image):
+        got = np.asarray(luminance(jnp.asarray(rgnir_image)))
+        x = rgnir_image.astype(np.float32) / 255.0
+        want = 0.2125 * x[..., 0] + 0.7154 * x[..., 1] + 0.0721 * x[..., 2]
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        assert got.min() >= 0.0 and got.max() <= 1.0
+
+
+class TestPhaseCorrelation:
+    @pytest.mark.parametrize("dy,dx", [(0, 0), (5, 3), (-7, 11), (20, -15)])
+    def test_recovers_integer_shift(self, rng, dy, dx):
+        fixed = _texture(rng)
+        moving = np.roll(fixed, (-dy, -dx), axis=(0, 1))
+        got = np.asarray(phase_correlation_shift(jnp.asarray(fixed), jnp.asarray(moving)))
+        assert got[0] == dy and got[1] == dx, (got, (dy, dx))
+
+    def test_subpixel_close(self, rng):
+        img = _texture(rng)
+        moving = ndi.shift(img, (-2.5, 1.5), order=1, mode="reflect")
+        got = np.asarray(
+            phase_correlation_shift(
+                jnp.asarray(img), jnp.asarray(moving), subpixel=True
+            )
+        )
+        assert abs(got[0] - 2.5) < 0.6 and abs(got[1] + 1.5) < 0.6
+
+
+class TestAlignImages:
+    def test_end_to_end(self, rng):
+        gray = _texture(rng)
+        fixed = np.stack([gray, gray * 0.8, gray * 1.2], axis=-1)
+        fixed = np.clip(fixed * 120 + 60, 0, 255).astype(np.uint8)
+        moving = np.roll(fixed, (-4, 6), axis=(0, 1))
+        aligned, shift = align_images(jnp.asarray(fixed), jnp.asarray(moving))
+        assert tuple(np.asarray(shift)) == (4.0, -6.0)
+        # interior agrees after alignment (borders reflect-filled)
+        a = np.asarray(aligned)[10:-10, 10:-10]
+        f = fixed[10:-10, 10:-10].astype(np.float32)
+        assert np.abs(a - f).mean() < 1.0
