@@ -99,19 +99,26 @@ def device_mpix_s(batch: int = 8, size: int = 1024) -> float:
         return jax.lax.fori_loop(0, n, body, (img, jnp.zeros(batch)))
 
     t0 = time.perf_counter()
-    out = run(x, 2)
-    np.asarray(out[1])  # host fetch forces completion
-    _log(f"compile+first-run: {time.perf_counter() - t0:.2f}s")
-
-    times = {}
-    for n in (4, 24):
-        t0 = time.perf_counter()
+    ns = (10, 110)
+    best = {}
+    for n in ns:
         out = run(x, n)
-        np.asarray(out[1])
-        times[n] = time.perf_counter() - t0
-    dt = (times[24] - times[4]) / 20.0
+        np.asarray(out[1])  # host fetch forces completion (compile+warm)
+        if not best:
+            _log(f"compile+first-run: {time.perf_counter() - t0:.2f}s")
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = run(x, n)
+            np.asarray(out[1])
+            ts.append(time.perf_counter() - t0)
+        best[n] = min(ts)
+    dt = (best[ns[1]] - best[ns[0]]) / (ns[1] - ns[0])
     mpix = batch * size * size / 1e6
-    _log(f"device: {dt*1e3:.2f} ms / {mpix:.0f} MPix batch (slope of 4->24 iters)")
+    _log(
+        f"device: {dt*1e3:.2f} ms / {mpix:.0f} MPix batch "
+        f"(slope of {ns[0]}->{ns[1]} iters, min of 3)"
+    )
     return mpix / dt
 
 

@@ -21,11 +21,12 @@ import jax.numpy as jnp
 from rgnir_tpu.config import IndexConfig, IndexKind
 
 # (positive band, negative band) channel indices per kind.
-_BANDS = {
+BAND_INDICES = {
     IndexKind.NDVI: (2, 0),   # NIR, R
     IndexKind.GNDVI: (2, 1),  # NIR, G
     IndexKind.NDWI: (1, 2),   # G, NIR
 }
+_BANDS = BAND_INDICES
 
 
 def index_from_bands(

@@ -38,27 +38,39 @@ def wb_bounds_from_histogram(
     return ps[..., 0], ps[..., 1]  # (..., C) each
 
 
+def apply_white_balance_planar(
+    img_pl: jax.Array,
+    lo: jax.Array,
+    hi: jax.Array,
+    cfg: WBConfig = WBConfig(),
+) -> jax.Array:
+    """Rescale a planar ``(..., C, H, W)`` image by per-channel bounds.
+
+    ``lo``/``hi`` broadcast as ``(..., C)``. Degenerate channels
+    (hi <= lo) pass through as 0 (the reference divides by zero there;
+    we define the guard instead of emitting NaN). Exact reference op
+    ordering for bit parity (process-images.py:438):
+    ``(channel - p2) / (p98 - p2) * 255`` — all float32 under numpy>=2.
+    """
+    x = img_pl.astype(jnp.float32)
+    lo = lo[..., :, None, None].astype(jnp.float32)
+    hi = hi[..., :, None, None].astype(jnp.float32)
+    span = hi - lo
+    corrected = (x - lo) / span * cfg.out_scale
+    corrected = jnp.where(span > 0, corrected, 0.0)
+    return jnp.clip(corrected, 0.0, cfg.out_scale).astype(jnp.uint8)
+
+
 def apply_white_balance(
     img: jax.Array,
     lo: jax.Array,
     hi: jax.Array,
     cfg: WBConfig = WBConfig(),
 ) -> jax.Array:
-    """Rescale channels by precomputed bounds; returns uint8.
-
-    ``lo``/``hi`` broadcast as ``(..., C)`` against ``(..., H, W, C)``.
-    Degenerate channels (hi <= lo) pass through as 0 (the reference
-    divides by zero there; we define the guard instead of emitting NaN).
-    """
-    x = img.astype(jnp.float32)
-    lo = lo[..., None, None, :].astype(jnp.float32)
-    hi = hi[..., None, None, :].astype(jnp.float32)
-    span = hi - lo
-    # Exact reference op ordering for bit parity (process-images.py:438):
-    # (channel - p2) / (p98 - p2) * 255 — all float32 under numpy>=2.
-    corrected = (x - lo) / span * cfg.out_scale
-    corrected = jnp.where(span > 0, corrected, 0.0)  # NaN guard (ref divides by 0)
-    return jnp.clip(corrected, 0.0, cfg.out_scale).astype(jnp.uint8)
+    """Interleaved ``(..., H, W, C)`` variant of
+    :func:`apply_white_balance_planar` (the reference's layout)."""
+    pl = apply_white_balance_planar(jnp.moveaxis(img, -1, -3), lo, hi, cfg)
+    return jnp.moveaxis(pl, -3, -1)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_valid"))

@@ -27,10 +27,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from rgnir_tpu.config import ALL_INDICES, IndexConfig, IndexKind, WBConfig
 from rgnir_tpu.ops.colormap import render_colormap
-from rgnir_tpu.ops.histogram import channel_histograms, histogram_fixed_bins
-from rgnir_tpu.ops.indices import compute_index
+from rgnir_tpu.ops.histogram import histogram_fixed_bins, planar_histograms
+from rgnir_tpu.ops.indices import BAND_INDICES, index_from_bands
 from rgnir_tpu.ops.stats import IndexStats
-from rgnir_tpu.ops.wb import apply_white_balance, wb_bounds_from_histogram
+from rgnir_tpu.ops.wb import apply_white_balance_planar, wb_bounds_from_histogram
 from rgnir_tpu.parallel.mesh import local_mesh
 from rgnir_tpu.parallel.reduce import masked_median
 
@@ -79,21 +79,24 @@ def analyze_mosaic(
     block_h = hp // n_dev
 
     def shard_fn(tile: jax.Array):
-        # tile: (block_h, W, 3) uint8 local shard
+        # tile: (block_h, W, 3) uint8 local shard -> planar (3, bh, W)
         row0 = jax.lax.axis_index(axis) * block_h
         rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (block_h, 1), 0)
         mask = jnp.broadcast_to(rows < h, (block_h, w))
 
-        hist = channel_histograms(tile, mask=mask)
+        pl = jnp.moveaxis(tile, -1, -3)
+        hist = planar_histograms(pl, mask=mask)
         hist = jax.lax.psum(hist, axis)
         lo, hi = wb_bounds_from_histogram(hist, n=n_valid, cfg=wb_cfg)
-        wb = apply_white_balance(tile, lo, hi, cfg=wb_cfg)
+        wb_pl = apply_white_balance_planar(pl, lo, hi, cfg=wb_cfg)
+        wb = jnp.moveaxis(wb_pl, -3, -1)
 
         indices: Dict[str, jax.Array] = {}
         renders: Dict[str, jax.Array] = {}
         stats: Dict[str, IndexStats] = {}
         for kind in kinds:
-            idx = compute_index(wb, kind, cfg=idx_cfg)
+            ia, ib = BAND_INDICES[kind]
+            idx = index_from_bands(wb_pl[ia], wb_pl[ib], cfg=idx_cfg)
             indices[kind.value] = idx
             mf = mask.astype(jnp.float32)
             s1 = jax.lax.psum(jnp.sum(idx * mf), axis)
@@ -105,7 +108,9 @@ def analyze_mosaic(
                 jnp.sum(((idx > kind.coverage_threshold) & mask).astype(jnp.int32)),
                 axis,
             )
-            med = masked_median(idx, n_valid, mask=mask, axis_name=axis)
+            med = masked_median(
+                idx, n_valid, mask=mask, axis_name=axis, reduce_ndim=2
+            )
             h50 = jax.lax.psum(
                 histogram_fixed_bins(
                     idx, idx_cfg.hist_bins, idx_cfg.clip_lo, idx_cfg.clip_hi,

@@ -23,10 +23,10 @@ import jax.numpy as jnp
 
 from rgnir_tpu.config import ALL_INDICES, IndexConfig, IndexKind, WBConfig
 from rgnir_tpu.ops.colormap import render_colormap
-from rgnir_tpu.ops.histogram import channel_histograms
-from rgnir_tpu.ops.indices import compute_index
+from rgnir_tpu.ops.histogram import planar_histograms
+from rgnir_tpu.ops.indices import BAND_INDICES, index_from_bands
 from rgnir_tpu.ops.stats import IndexStats, index_stats
-from rgnir_tpu.ops.wb import apply_white_balance, wb_bounds_from_histogram
+from rgnir_tpu.ops.wb import apply_white_balance_planar, wb_bounds_from_histogram
 
 
 @flax.struct.dataclass
@@ -54,6 +54,11 @@ def analyze_image(
     ``kinds``/``with_renders`` are static. With ``with_wb=False`` the
     indices are computed on the raw image (the process-ndvi.py:5-48 path,
     which skips white balance).
+
+    TPU-first layout: the interleaved HWC input is converted once to
+    planar (band-major) ``(..., C, H, W)`` so W rides the 128-wide lane
+    dimension for every subsequent op; outputs convert back to the
+    reference's HWC at the boundary (cheap uint8 relayouts).
     """
     kinds = tuple(IndexKind.parse(k) for k in kinds)
     h, w = img.shape[-3], img.shape[-2]
@@ -61,25 +66,32 @@ def analyze_image(
     if mask is not None and n_valid is None:
         raise ValueError("n_valid (static) required with mask")
 
+    pl = jnp.moveaxis(img, -1, -3)  # (..., 3, H, W)
     if with_wb:
-        hist = channel_histograms(img, mask=mask)
+        hist = planar_histograms(pl, mask=mask)
         lo, hi = wb_bounds_from_histogram(hist, n=n, cfg=wb_cfg)
-        base = apply_white_balance(img, lo, hi, cfg=wb_cfg)
+        base = apply_white_balance_planar(pl, lo, hi, cfg=wb_cfg)
     else:
-        base = img
+        base = pl
 
     indices: Dict[str, jax.Array] = {}
     stats: Dict[str, IndexStats] = {}
     renders: Dict[str, jax.Array] = {}
     for kind in kinds:
-        idx = compute_index(base, kind, cfg=idx_cfg)
+        ia, ib = BAND_INDICES[kind]
+        idx = index_from_bands(
+            base[..., ia, :, :], base[..., ib, :, :], cfg=idx_cfg
+        )
         indices[kind.value] = idx
         stats[kind.value] = index_stats(
             idx, kind, cfg=idx_cfg, mask=mask, n_valid=n_valid
         )
         if with_renders:
             renders[kind.value] = render_colormap(idx, kind)
-    return AnalyzeResult(wb=base, indices=indices, stats=stats, renders=renders)
+    return AnalyzeResult(
+        wb=jnp.moveaxis(base, -3, -1), indices=indices, stats=stats,
+        renders=renders,
+    )
 
 
 @functools.partial(

@@ -150,6 +150,15 @@ class TestStats:
             np.asarray(st.histogram), golden.golden_histogram(ndvi)
         )
 
+    def test_batched_median_per_image(self, rgnir_batch):
+        """Regression: batched stats must give per-image medians, not one
+        median over the whole batch."""
+        idx = golden.golden_index(rgnir_batch, "NDVI")
+        st = index_stats(jnp.asarray(idx), "NDVI")
+        assert st.median.shape == (4,)
+        for b in range(4):
+            assert float(st.median[b]) == float(np.median(idx[b])), b
+
     def test_median_even_odd(self, rng):
         for h, w in [(5, 5), (4, 4)]:
             x = rng.normal(size=(h, w)).astype(np.float32).clip(-1, 1)

@@ -63,6 +63,27 @@ class TestRadixSelect:
         got = float(masked_median(jnp.asarray(x), n))
         assert got == float(np.median(x))
 
+    def test_median_heavy_ties(self, rng):
+        """Adjacent-rank fast path: both branches (tie vs distinct)."""
+        from rgnir_tpu.ops.select import adjacent_order_statistics
+
+        # ties straddling the middle
+        x = np.array([3.0, 1.0, 1.0, 1.0, 2.0, 2.0], np.float32)
+        lo, hi = adjacent_order_statistics(jnp.asarray(x), 2)
+        assert (float(lo), float(hi)) == (1.0, 2.0)  # distinct branch
+        lo, hi = adjacent_order_statistics(jnp.asarray(x), 1)
+        assert (float(lo), float(hi)) == (1.0, 1.0)  # tie branch
+        for trial in range(3):
+            y = rng.choice([0.0, 0.25, -0.5, 1.0], size=1000).astype(np.float32)
+            got = float(masked_median(jnp.asarray(y), 1000))
+            assert got == float(np.median(y)), trial
+
+    def test_batched_even_median(self, rng):
+        x = rng.normal(size=(3, 10, 10)).astype(np.float32)
+        got = np.asarray(masked_median(x, 100, reduce_ndim=2))
+        want = np.array([np.median(x[b]) for b in range(3)], np.float32)
+        np.testing.assert_array_equal(got, want)
+
 
 @pytest.fixture
 def mosaic(rng):
