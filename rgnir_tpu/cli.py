@@ -1,0 +1,275 @@
+"""Command-line interface — the headless entry points of the framework.
+
+Replaces the reference's edit-the-source batch script
+(backend-process.py:7-15) and ``__main__`` blocks (process-ndvi.py:113,
+process-rgn.py:71) with one CLI:
+
+    python -m rgnir_tpu.cli batch IN OUT --wb --indices NDVI,NDWI
+    python -m rgnir_tpu.cli report IMAGE OUTDIR
+    python -m rgnir_tpu.cli analyze IMAGE --out DIR
+    python -m rgnir_tpu.cli mosaic IMAGE --out DIR
+    python -m rgnir_tpu.cli store upload|list|remove|dedupe ...
+    python -m rgnir_tpu.cli sites create|list|assign ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+from rgnir_tpu.config import ALL_INDICES
+from rgnir_tpu.utils.logging import get_logger
+
+logger = get_logger("rgnir_tpu.cli")
+
+
+def _parse_indices(value: str):
+    if not value:
+        return ()
+    return tuple(v.strip().upper() for v in value.split(",") if v.strip())
+
+
+def cmd_batch(args) -> int:
+    from rgnir_tpu.pipeline.batch import batch_process
+
+    summary = batch_process(
+        args.input, args.output,
+        save_wb=args.wb,
+        indices=_parse_indices(args.indices),
+        figures=args.figures,
+        resume=not args.no_resume,
+    )
+    print(json.dumps({
+        "processed": summary["processed"],
+        "skipped": summary["skipped"],
+        "failed": [str(p) for p, _ in summary["failed"]],
+    }))
+    return 1 if summary["failed"] else 0
+
+
+def cmd_report(args) -> int:
+    from rgnir_tpu.pipeline.single import generate_ndvi_report
+
+    _, stats = generate_ndvi_report(args.image, args.output)
+    print("\nNDVI Analysis Summary:")
+    for key, value in stats.items():
+        print(f"{key}: {value:.4f}")
+    return 0
+
+
+def cmd_analyze(args) -> int:
+    import numpy as np
+    import jax.numpy as jnp
+
+    from rgnir_tpu.io.decode import decode_file
+    from rgnir_tpu.io.writer import AsyncWriter
+    from rgnir_tpu.pipeline.fused import analyze_image_jit
+    from rgnir_tpu.ops.stats import to_analyze_index_dict
+
+    kinds = _parse_indices(args.indices) or tuple(k.value for k in ALL_INDICES)
+    img = decode_file(args.image)
+    res = analyze_image_jit(jnp.asarray(img), kinds=kinds)
+    out = {}
+    for kind in kinds:
+        out[kind] = to_analyze_index_dict(res.stats[kind], kind)
+    print(json.dumps(out, indent=2))
+    if args.out:
+        outdir = Path(args.out)
+        stem = Path(args.image).stem
+        with AsyncWriter() as writer:
+            writer.submit_array(outdir / f"{stem}_wb.png", np.asarray(res.wb))
+            for kind in kinds:
+                writer.submit_array(
+                    outdir / f"{stem}_{kind.lower()}.png",
+                    np.asarray(res.renders[kind]),
+                )
+    return 0
+
+
+def cmd_mosaic(args) -> int:
+    import numpy as np
+
+    from rgnir_tpu.io.decode import decode_file
+    from rgnir_tpu.io.writer import AsyncWriter
+    from rgnir_tpu.parallel import analyze_mosaic
+    from rgnir_tpu.ops.stats import to_analyze_index_dict
+
+    kinds = _parse_indices(args.indices) or tuple(k.value for k in ALL_INDICES)
+    mosaic = decode_file(args.image)
+    res = analyze_mosaic(mosaic, kinds=kinds, with_renders=bool(args.out))
+    out = {
+        kind: to_analyze_index_dict(res.stats[kind], kind) for kind in kinds
+    }
+    print(json.dumps(out, indent=2))
+    if args.out:
+        h = mosaic.shape[0]
+        outdir = Path(args.out)
+        stem = Path(args.image).stem
+        with AsyncWriter() as writer:
+            writer.submit_array(
+                outdir / f"{stem}_wb.png", np.asarray(res.wb)[:h]
+            )
+            for kind in kinds:
+                writer.submit_array(
+                    outdir / f"{stem}_{kind.lower()}.png",
+                    np.asarray(res.renders[kind])[:h],
+                )
+    return 0
+
+
+def _open_store(args):
+    from rgnir_tpu.store import FsImageStore, MongoImageStore
+
+    if getattr(args, "mongo", None):
+        if MongoImageStore is None:
+            print("pymongo is not installed", file=sys.stderr)
+            raise SystemExit(2)
+        return MongoImageStore(args.mongo)
+    return FsImageStore(args.root)
+
+
+def cmd_store(args) -> int:
+    store = _open_store(args)
+    if args.action == "upload":
+        from rgnir_tpu.store import DuplicateImageError
+
+        for path in args.files:
+            p = Path(path)
+            try:
+                rec = store.save_image(p.name, p.read_bytes())
+                print(f"stored {p.name} -> {rec.image_id}")
+            except DuplicateImageError:
+                print(f"duplicate skipped: {p.name}")
+        return 0
+    if args.action == "list":
+        recs, total = store.list_images(
+            page=args.page, per_page=args.per_page, with_total=True
+        )
+        print(f"total: {total}")
+        for r in recs:
+            print(
+                f"{r.image_id}  {r.filename}  {r.upload_date:%Y-%m-%d %H:%M}"
+                f"  {r.image_dimensions[0]}x{r.image_dimensions[1]}"
+            )
+        return 0
+    if args.action == "remove":
+        ok = store.remove_image(args.id)
+        print("removed" if ok else "not found")
+        return 0 if ok else 1
+    if args.action == "dedupe":
+        print(f"removed {store.remove_duplicates()} duplicates")
+        return 0
+    raise SystemExit(f"unknown store action {args.action}")
+
+
+def cmd_sites(args) -> int:
+    store = _open_store(args)
+    if args.action == "create":
+        coords = None
+        if args.lat is not None and args.lng is not None:
+            coords = {"lat": args.lat, "lng": args.lng}
+        site = store.create_site(args.name, args.description or "", coords)
+        print(f"created site {site.site_id}: {site.name}")
+        return 0
+    if args.action == "list":
+        for s in store.list_sites():
+            n = len(store.site_images(s.site_id))
+            print(f"{s.site_id}  {s.name}  ({n} images)")
+        return 0
+    if args.action == "assign":
+        ok = store.assign_image_to_site(args.image_id, args.site_id)
+        print("assigned" if ok else "not found")
+        return 0 if ok else 1
+    if args.action == "timeseries":
+        from rgnir_tpu.pipeline.timeseries import time_series_analysis
+
+        recs = store.site_images(args.site_id)
+        seq = []
+        for rec in recs:
+            _, arr = store.load_array(rec.image_id)
+            seq.append((rec.upload_date, arr))
+        res = time_series_analysis(seq, args.index.upper())
+        print(res.table.to_string(index=False))
+        if args.out:
+            outdir = Path(args.out)
+            outdir.mkdir(parents=True, exist_ok=True)
+            if res.figure is not None:
+                res.figure.save(outdir / f"timeseries_{args.index.lower()}.png")
+            if res.change is not None and res.change["figure"] is not None:
+                res.change["figure"].save(
+                    outdir / f"change_{args.index.lower()}.png"
+                )
+        return 0
+    raise SystemExit(f"unknown sites action {args.action}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rgnir_tpu", description="TPU-native RGNir image analysis"
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    b = sub.add_parser("batch", help="process a directory of images")
+    b.add_argument("input")
+    b.add_argument("output")
+    b.add_argument("--wb", action="store_true", help="save white-balanced TIFFs")
+    b.add_argument("--indices", default="NDVI,GNDVI,NDWI")
+    b.add_argument("--figures", action="store_true",
+                   help="matplotlib figures instead of raw colormap PNGs")
+    b.add_argument("--no-resume", action="store_true")
+    b.set_defaults(fn=cmd_batch)
+
+    r = sub.add_parser("report", help="single-image NDVI report")
+    r.add_argument("image")
+    r.add_argument("output")
+    r.set_defaults(fn=cmd_report)
+
+    a = sub.add_parser("analyze", help="analyze one image (stats JSON)")
+    a.add_argument("image")
+    a.add_argument("--indices", default="")
+    a.add_argument("--out", default="")
+    a.set_defaults(fn=cmd_analyze)
+
+    m = sub.add_parser("mosaic", help="sharded whole-mosaic analysis")
+    m.add_argument("image")
+    m.add_argument("--indices", default="")
+    m.add_argument("--out", default="")
+    m.set_defaults(fn=cmd_mosaic)
+
+    s = sub.add_parser("store", help="image store operations")
+    s.add_argument("action", choices=["upload", "list", "remove", "dedupe"])
+    s.add_argument("files", nargs="*")
+    s.add_argument("--root", default="./rgnir_store")
+    s.add_argument("--mongo", default="")
+    s.add_argument("--page", type=int, default=1)
+    s.add_argument("--per-page", type=int, default=12)
+    s.add_argument("--id", default="")
+    s.set_defaults(fn=cmd_store)
+
+    t = sub.add_parser("sites", help="monitoring sites")
+    t.add_argument(
+        "action", choices=["create", "list", "assign", "timeseries"]
+    )
+    t.add_argument("--root", default="./rgnir_store")
+    t.add_argument("--mongo", default="")
+    t.add_argument("--name", default="")
+    t.add_argument("--description", default="")
+    t.add_argument("--lat", type=float, default=None)
+    t.add_argument("--lng", type=float, default=None)
+    t.add_argument("--image-id", default="")
+    t.add_argument("--site-id", default="")
+    t.add_argument("--index", default="NDVI")
+    t.add_argument("--out", default="")
+    t.set_defaults(fn=cmd_sites)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -9,4 +9,9 @@ report (process-ndvi.py:75-110), batch directory processing
 
 from rgnir_tpu.pipeline.fused import AnalyzeResult, analyze_image
 
-__all__ = ["AnalyzeResult", "analyze_image"]
+__all__ = [
+    "AnalyzeResult",
+    "analyze_image",
+    # Submodules (imported lazily by callers to keep import light):
+    # batch, single, compare, timeseries, change, export, streaming
+]

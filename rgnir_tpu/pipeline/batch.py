@@ -1,0 +1,140 @@
+"""Headless batch directory pipeline (reference: backend-process.py:49-97).
+
+Reference semantics reproduced:
+- input filter on {.tif,.tiff,.png,.jpg,.jpeg} (backend-process.py:88-89),
+- output tree ``{out}/white_balanced/{stem}_wb.tif`` (when WB saving is
+  on) and ``{out}/{INDEX}/{stem}_{index}.png`` (backend-process.py:55-72),
+- per-file continue-on-error (backend-process.py:93-97),
+- ``Processing {i}/{total}`` progress (backend-process.py:94) via logger.
+
+TPU-native redesign: instead of a sequential decode -> compute -> figure
+loop, images stream through the async BatchLoader into same-shape device
+batches; one jit-compiled fused pass produces WB + all index renders for
+the whole batch; an AsyncWriter overlaps PNG/TIFF encode with the next
+batch's compute. Adds a resumable manifest (SURVEY.md section 5) the
+reference lacks.
+
+Output fidelity note: by default index PNGs are full-resolution
+device-rendered colormap images (exact matplotlib LUT parity, see
+rgnir_tpu.ops.colormap). ``figures=True`` instead writes the reference's
+matplotlib figure (with colorbar, 10x8 in @100 dpi,
+backend-process.py:40-47) at figure-render speed.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import Callable, List, Optional, Sequence, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rgnir_tpu.config import ALL_INDICES, IndexKind, LoaderConfig
+from rgnir_tpu.io.decode import IMAGE_EXTENSIONS
+from rgnir_tpu.io.loader import BatchLoader
+from rgnir_tpu.io.writer import AsyncWriter
+from rgnir_tpu.pipeline.fused import analyze_image
+from rgnir_tpu.utils.logging import get_logger
+from rgnir_tpu.utils.manifest import Manifest
+
+logger = get_logger("rgnir_tpu.batch")
+
+
+def list_input_images(input_dir: Union[str, Path]) -> List[Path]:
+    """Non-recursive glob filtered by extension (backend-process.py:88-89)."""
+    input_path = Path(input_dir)
+    return sorted(
+        p for p in input_path.glob("*") if p.suffix.lower() in IMAGE_EXTENSIONS
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("kinds",))
+def _batch_forward(images: jax.Array, kinds):
+    res = analyze_image(images, kinds=kinds, with_renders=True)
+    return res.wb, res.renders
+
+
+def batch_process(
+    input_dir: Union[str, Path],
+    output_dir: Union[str, Path],
+    save_wb: bool = False,
+    indices: Sequence[Union[IndexKind, str]] = ALL_INDICES,
+    loader_cfg: LoaderConfig = LoaderConfig(),
+    figures: bool = False,
+    resume: bool = True,
+    progress: Optional[Callable[[int, int, Path], None]] = None,
+) -> dict:
+    """Process a directory; returns a summary dict.
+
+    Summary: {"processed": int, "skipped": int, "failed": [(path, err)]}.
+    """
+    output_path = Path(output_dir)
+    output_path.mkdir(parents=True, exist_ok=True)
+    kinds = tuple(IndexKind.parse(k) for k in indices)
+    kind_names = tuple(k.value for k in kinds)
+
+    files = list_input_images(input_dir)
+    total = len(files)
+    manifest = Manifest(output_path / ".manifest.jsonl")
+    todo = [p for p in files if not (resume and manifest.is_done(p))]
+    skipped = total - len(todo)
+    if skipped:
+        logger.info("resuming: %d/%d already done", skipped, total)
+
+    failed: List[tuple] = []
+    processed = 0
+    loader = BatchLoader(todo, cfg=loader_cfg)
+    writer = AsyncWriter(loader_cfg.encode_workers)
+    try:
+        done_counter = skipped
+        for batch in loader:
+            wb, renders = _batch_forward(jnp.asarray(batch.images), kind_names)
+            wb_np = np.asarray(wb)
+            renders_np = {k: np.asarray(v) for k, v in renders.items()}
+            for j, path in enumerate(batch.paths):
+                done_counter += 1
+                logger.info(
+                    "Processing %d/%d: %s", done_counter, total, path.name
+                )
+                outputs = []
+                stem = path.stem
+                if save_wb:
+                    out = output_path / "white_balanced" / f"{stem}_wb.tif"
+                    writer.submit_array(out, wb_np[j])
+                    outputs.append(out)
+                for kind in kinds:
+                    out = (
+                        output_path / kind.value
+                        / f"{stem}_{kind.value.lower()}.png"
+                    )
+                    if figures:
+                        from rgnir_tpu.ops.indices import compute_index
+                        from rgnir_tpu.viz import render_index_figure
+
+                        idx = compute_index(jnp.asarray(wb_np[j]), kind)
+                        writer.submit_pil(
+                            out, render_index_figure(np.asarray(idx), kind)
+                        )
+                    else:
+                        writer.submit_array(out, renders_np[kind.value][j])
+                    outputs.append(out)
+                manifest.mark(path, "done", outputs=outputs)
+                processed += 1
+                if progress is not None:
+                    progress(done_counter, total, path)
+        for failure in loader.failures:
+            logger.error(
+                "Error processing %s: %s", failure.path.name, failure.error
+            )
+            manifest.mark(failure.path, "failed", error=str(failure.error))
+            failed.append((failure.path, failure.error))
+    finally:
+        write_errors = writer.close()
+        manifest.close()
+    for path, err in write_errors:
+        logger.error("Write failed %s: %s", path, err)
+        failed.append((path, err))
+    return {"processed": processed, "skipped": skipped, "failed": failed}

@@ -1,0 +1,71 @@
+"""Single-image NDVI report (reference: process-ndvi.py:75-110).
+
+Output tree parity:
+- ``ndvi_visualization.png``  — NDVI figure with colorbar (12x8 in,
+  RdYlGn, vmin/vmax +/-1, title 'NDVI Values'; process-ndvi.py:33-46)
+- ``ndvi_histogram.png``      — 50-bin distribution over (-1, 1)
+  (process-ndvi.py:96-102)
+- ``ndvi_statistics.txt``     — 'NDVI Statistics:' header + 4-decimal
+  ``key: value`` lines (process-ndvi.py:105-108)
+
+Math note: process-ndvi.py computes NDVI on the *raw* image, float64,
+no white balance (process-ndvi.py:17-31). The device path here is the
+float32 fused pass with WB off; stats agree to ~1e-5.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Tuple, Union
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from rgnir_tpu.config import IndexKind
+from rgnir_tpu.io.decode import decode_file
+from rgnir_tpu.pipeline.fused import analyze_image_jit
+from rgnir_tpu.ops.stats import to_ndvi_report_dict
+from rgnir_tpu.viz.figures import _fig_to_pil, _new_figure, render_histogram_figure
+
+
+def ndvi_figure(ndvi: np.ndarray) -> "object":
+    """The 12x8 'NDVI Values' figure of process-ndvi.py:33-46."""
+    fig = _new_figure((12, 8))
+    ax = fig.add_subplot(111)
+    im = ax.imshow(np.asarray(ndvi), cmap="RdYlGn", vmin=-1, vmax=1)
+    fig.colorbar(im, label="NDVI")
+    ax.set_title("NDVI Values")
+    return _fig_to_pil(fig, pad_inches=0.1)
+
+
+def generate_ndvi_report(
+    image_path: Union[str, Path],
+    output_dir: Union[str, Path],
+) -> Tuple[np.ndarray, dict]:
+    """Full parity flow: NDVI map + stats + histogram + text report.
+
+    Returns ``(ndvi_array, stats_dict)`` like the reference
+    (process-ndvi.py:110).
+    """
+    out = Path(output_dir)
+    os.makedirs(out, exist_ok=True)
+
+    img = decode_file(image_path)
+    res = analyze_image_jit(
+        jnp.asarray(img), kinds=("NDVI",), with_wb=False, with_renders=False
+    )
+    ndvi = np.asarray(res.indices["NDVI"])
+    st = res.stats["NDVI"]
+    stats = to_ndvi_report_dict(st)
+
+    ndvi_figure(ndvi).save(out / "ndvi_visualization.png")
+    render_histogram_figure(np.asarray(st.histogram), IndexKind.NDVI).save(
+        out / "ndvi_histogram.png"
+    )
+    with open(out / "ndvi_statistics.txt", "w") as f:
+        f.write("NDVI Statistics:\n")
+        for key, value in stats.items():
+            f.write(f"{key}: {value:.4f}\n")
+    return ndvi, stats

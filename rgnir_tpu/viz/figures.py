@@ -1,0 +1,189 @@
+"""Matplotlib figure composers (reference parity: process-images.py:669-989,
+process-ndvi.py:33-46 + 96-102, process-rgn.py:51-68).
+
+All functions take already-computed arrays/stats (numpy or device
+arrays) and return PIL images; none of them touch the device compute
+path. Agg-only (no interactive backend).
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+from PIL import Image
+
+from rgnir_tpu.config import IndexKind
+
+
+def _fig_to_pil(fig, pad_inches: float = 0.0, dpi: int = 100) -> Image.Image:
+    from matplotlib.backends.backend_agg import FigureCanvasAgg
+
+    canvas = FigureCanvasAgg(fig)
+    buf = io.BytesIO()
+    canvas.print_figure(
+        buf, format="png", bbox_inches="tight", pad_inches=pad_inches, dpi=dpi
+    )
+    buf.seek(0)
+    with Image.open(buf) as img:
+        return img.copy()
+
+
+def _new_figure(figsize, dpi: int = 100):
+    from matplotlib.figure import Figure
+
+    return Figure(figsize=figsize, dpi=dpi)
+
+
+def render_index_figure(
+    index_array: np.ndarray, kind: Union[IndexKind, str]
+) -> Optional[Image.Image]:
+    """Single index map with colorbar (process-images.py:669-716):
+    10x8 in @ 100 dpi, cmap by kind, vmin/vmax +/-1, axis off,
+    tight bbox with zero padding."""
+    if index_array is None or np.asarray(index_array).size == 0:
+        return None
+    kind = IndexKind.parse(kind)
+    index_array = np.asarray(index_array)
+    fig = _new_figure((10, 8))
+    ax = fig.add_subplot(111)
+    im = ax.imshow(index_array, cmap=kind.cmap_name, vmin=-1, vmax=1)
+    fig.colorbar(im, label=kind.value)
+    ax.axis("off")
+    return _fig_to_pil(fig, pad_inches=0.0)
+
+
+def render_comparison_figure(
+    items: Sequence[dict],
+    index_type: Optional[Union[IndexKind, str]] = None,
+) -> Tuple[Optional[Image.Image], Dict[str, dict]]:
+    """N-up side-by-side comparison (process-images.py:718-799).
+
+    Each item: ``{"filename": str, "array": ndarray, "stats": dict?}``.
+    With ``index_type`` the arrays are index maps rendered with the
+    index colormap and per-image stats are collected (precomputed stats
+    preferred — the device already produced them); without it the
+    arrays display as plain images. 4N x 4 in, filename titles at
+    fontsize 8, tight layout with 0.1 in padding.
+    """
+    if not items:
+        return None, {}
+    n = len(items)
+    fig = _new_figure((4 * n, 4))
+    all_stats: Dict[str, dict] = {}
+    kind = IndexKind.parse(index_type) if index_type else None
+    for i, item in enumerate(items):
+        ax = fig.add_subplot(1, n, i + 1)
+        arr = np.asarray(item["array"])
+        if kind is not None:
+            im = ax.imshow(arr, cmap=kind.cmap_name, vmin=-1, vmax=1)
+            fig.colorbar(im, ax=ax, label=kind.value)
+            name = item.get("filename", f"image_{i}")
+            if "stats" in item and item["stats"] is not None:
+                all_stats[name] = item["stats"]
+        else:
+            ax.imshow(arr)
+        if item.get("filename"):
+            ax.set_title(item["filename"], fontsize=8)
+        ax.axis("off")
+    fig.tight_layout()
+    return _fig_to_pil(fig, pad_inches=0.1), all_stats
+
+
+def render_time_series_figure(
+    dates: Sequence,
+    means: Sequence[float],
+    mins: Sequence[float],
+    maxs: Sequence[float],
+    kind: Union[IndexKind, str],
+) -> Optional[Image.Image]:
+    """Error-bar time series (process-images.py:801-883): mean with
+    asymmetric yerr [mean-min, max-mean], fmt 'o-', capsize 5, red
+    dashed threshold line, grid alpha 0.3, legend, autofmt_xdate."""
+    if len(dates) < 2:
+        return None
+    kind = IndexKind.parse(kind)
+    means = np.asarray(means, dtype=float)
+    mins = np.asarray(mins, dtype=float)
+    maxs = np.asarray(maxs, dtype=float)
+    fig = _new_figure((10, 6))
+    ax = fig.add_subplot(111)
+    ax.errorbar(
+        list(dates), means, yerr=[means - mins, maxs - means],
+        fmt="o-", capsize=5, label=f"Mean {kind.value}",
+    )
+    ax.axhline(
+        y=kind.coverage_threshold, color="r", linestyle="--",
+        label=f"{kind.feature_name} Threshold",
+    )
+    ax.set_title(f"{kind.value} Time Series")
+    ax.set_xlabel("Date")
+    ax.set_ylabel(f"{kind.value} Value")
+    ax.grid(True, alpha=0.3)
+    ax.legend()
+    fig.autofmt_xdate()
+    return _fig_to_pil(fig)
+
+
+def render_change_figure(
+    early_index: np.ndarray,
+    late_index: np.ndarray,
+    diff: np.ndarray,
+    kind: Union[IndexKind, str],
+    early_label: str = "",
+    late_label: str = "",
+) -> Image.Image:
+    """3-panel change detection (process-images.py:927-989): early/late
+    with the index colormap at +/-1, difference with bwr at +/-0.5 and a
+    delta-labeled colorbar; 15x5 in."""
+    kind = IndexKind.parse(kind)
+    fig = _new_figure((15, 5))
+    panels = [
+        (np.asarray(early_index), kind.cmap_name, (-1, 1),
+         f"Early: {early_label}", kind.value),
+        (np.asarray(late_index), kind.cmap_name, (-1, 1),
+         f"Late: {late_label}", kind.value),
+        (np.asarray(diff), "bwr", (-0.5, 0.5),
+         f"Change in {kind.value}", f"Δ{kind.value}"),
+    ]
+    for i, (arr, cmap, (vmin, vmax), title, cbar_label) in enumerate(panels):
+        ax = fig.add_subplot(1, 3, i + 1)
+        im = ax.imshow(arr, cmap=cmap, vmin=vmin, vmax=vmax)
+        ax.set_title(title)
+        fig.colorbar(im, ax=ax, label=cbar_label)
+        ax.axis("off")
+    fig.tight_layout()
+    return _fig_to_pil(fig)
+
+
+def render_histogram_figure(
+    hist_counts: np.ndarray,
+    kind: Union[IndexKind, str] = IndexKind.NDVI,
+    bins_range: Tuple[float, float] = (-1.0, 1.0),
+) -> Image.Image:
+    """Index-value distribution (process-ndvi.py:96-102): 50 bins over
+    (-1, 1), 10x6 in. Takes the device-computed histogram counts and
+    draws the same bars ``plt.hist`` would."""
+    kind = IndexKind.parse(kind)
+    counts = np.asarray(hist_counts)
+    edges = np.linspace(bins_range[0], bins_range[1], counts.size + 1)
+    fig = _new_figure((10, 6))
+    ax = fig.add_subplot(111)
+    ax.bar(edges[:-1], counts, width=np.diff(edges), align="edge")
+    ax.set_title(f"Distribution of {kind.value} Values")
+    ax.set_xlabel(kind.value)
+    ax.set_ylabel("Pixel Count")
+    return _fig_to_pil(fig, pad_inches=0.1)
+
+
+def side_by_side_canvas(
+    left: Image.Image, right: Image.Image
+) -> Image.Image:
+    """Two images pasted into a double-width canvas
+    (process-rgn.py:51-68 ``visualize_correction``)."""
+    w, h = left.size
+    canvas = Image.new("RGB", (w * 2, h))
+    canvas.paste(left, (0, 0))
+    canvas.paste(right, (w, 0))
+    return canvas

@@ -1,0 +1,100 @@
+"""CLI tests — the surface replacing backend-process.py / process-ndvi.py
+entry points."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from rgnir_tpu.cli import main
+
+
+def _write_png(path: Path, arr: np.ndarray) -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    Image.fromarray(arr).save(path)
+
+
+@pytest.fixture
+def image_file(tmp_path, rgnir_image):
+    p = tmp_path / "field.png"
+    _write_png(p, rgnir_image)
+    return p
+
+
+class TestCli:
+    def test_batch(self, tmp_path, rng, capsys):
+        d = tmp_path / "in"
+        for i in range(3):
+            _write_png(d / f"f{i}.png", rng.integers(0, 256, (24, 24, 3), dtype=np.uint8))
+        rc = main(["batch", str(d), str(tmp_path / "out"), "--wb",
+                   "--indices", "NDVI"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["processed"] == 3
+        assert (tmp_path / "out" / "NDVI" / "f0_ndvi.png").exists()
+        assert (tmp_path / "out" / "white_balanced" / "f0_wb.tif").exists()
+
+    def test_report(self, image_file, tmp_path, capsys):
+        rc = main(["report", str(image_file), str(tmp_path / "rep")])
+        assert rc == 0
+        assert "NDVI Analysis Summary:" in capsys.readouterr().out
+        assert (tmp_path / "rep" / "ndvi_statistics.txt").exists()
+
+    def test_analyze_json(self, image_file, capsys):
+        rc = main(["analyze", str(image_file), "--indices", "NDVI,NDWI"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert "Mean NDVI" in out["NDVI"]
+        assert "Water Coverage (%)" in out["NDWI"]
+
+    def test_mosaic(self, image_file, capsys):
+        rc = main(["mosaic", str(image_file), "--indices", "NDVI"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert "Mean NDVI" in out["NDVI"]
+
+    def test_store_and_sites_roundtrip(self, tmp_path, image_file, capsys):
+        root = str(tmp_path / "storedir")
+        assert main(["store", "upload", str(image_file), "--root", root]) == 0
+        assert main(["store", "upload", str(image_file), "--root", root]) == 0
+        out = capsys.readouterr().out
+        assert "duplicate skipped" in out
+        assert main(["store", "list", "--root", root]) == 0
+        out = capsys.readouterr().out
+        assert "total: 1" in out
+        image_id = out.strip().splitlines()[-1].split()[0]
+
+        assert main(["sites", "create", "--root", root, "--name", "Plot 7",
+                     "--lat", "52.1", "--lng", "4.3"]) == 0
+        site_id = capsys.readouterr().out.split()[2].rstrip(":")
+        assert main(["sites", "assign", "--root", root,
+                     "--image-id", image_id, "--site-id", site_id]) == 0
+        assert main(["sites", "list", "--root", root]) == 0
+        assert "Plot 7" in capsys.readouterr().out
+
+
+class TestStreaming:
+    def test_stream_analyzer(self, rng):
+        from rgnir_tpu.pipeline.streaming import StreamAnalyzer
+
+        an = StreamAnalyzer(frame_shape=(64, 96), kinds=("NDVI",), depth=2)
+        an.warmup()
+        results = []
+        for i in range(5):
+            frame = rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+            r = an.submit(frame)
+            if r is not None:
+                results.append(r)
+        results.extend(an.drain())
+        assert [r.frame_id for r in results] == list(range(5))
+        m = float(results[0].stats["NDVI"].mean)
+        assert -1.0 <= m <= 1.0
+
+    def test_shape_mismatch_raises(self, rng):
+        from rgnir_tpu.pipeline.streaming import StreamAnalyzer
+
+        an = StreamAnalyzer(frame_shape=(32, 32), kinds=("NDVI",))
+        with pytest.raises(ValueError, match="frame shape"):
+            an.submit(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))

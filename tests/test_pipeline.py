@@ -1,0 +1,179 @@
+"""Pipeline tests: batch directory processing (backend-process.py parity),
+NDVI report (process-ndvi.py parity), compare, time series, change
+detection, ZIP export."""
+
+import io
+import zipfile
+from datetime import datetime
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import golden
+
+
+def _write_png(path: Path, arr: np.ndarray) -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    Image.fromarray(arr).save(path)
+
+
+@pytest.fixture
+def input_dir(tmp_path, rng):
+    d = tmp_path / "in"
+    d.mkdir()
+    for i in range(5):
+        _write_png(
+            d / f"frame_{i}.png",
+            rng.integers(0, 256, (40, 56, 3), dtype=np.uint8),
+        )
+    _write_png(
+        d / "other_size.jpg", rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    )
+    (d / "notes.txt").write_text("ignored")
+    (d / "broken.png").write_bytes(b"corrupt bytes")
+    return d
+
+
+class TestBatchProcess:
+    def test_output_tree_parity(self, input_dir, tmp_path):
+        from rgnir_tpu.pipeline.batch import batch_process
+
+        out = tmp_path / "out"
+        summary = batch_process(
+            input_dir, out, save_wb=True, indices=("NDVI", "NDWI")
+        )
+        assert summary["processed"] == 6
+        assert len(summary["failed"]) == 1  # broken.png
+        # backend-process.py:55-72 output tree
+        for i in range(5):
+            assert (out / "white_balanced" / f"frame_{i}_wb.tif").exists()
+            assert (out / "NDVI" / f"frame_{i}_ndvi.png").exists()
+            assert (out / "NDWI" / f"frame_{i}_ndwi.png").exists()
+        assert (out / "NDVI" / "other_size_ndvi.png").exists()
+        assert not (out / "NDVI" / "notes_ndvi.png").exists()
+
+    def test_wb_output_matches_reference(self, input_dir, tmp_path):
+        from rgnir_tpu.pipeline.batch import batch_process
+
+        out = tmp_path / "out"
+        batch_process(input_dir, out, save_wb=True, indices=())
+        src = np.asarray(Image.open(input_dir / "frame_0.png"))
+        got = np.asarray(Image.open(out / "white_balanced" / "frame_0_wb.tif"))
+        want = golden.golden_white_balance(src)
+        diff = np.abs(got.astype(int) - want.astype(int))
+        assert diff.max() <= 1
+
+    def test_resume_skips_done(self, input_dir, tmp_path):
+        from rgnir_tpu.pipeline.batch import batch_process
+
+        out = tmp_path / "out"
+        s1 = batch_process(input_dir, out, indices=("NDVI",))
+        s2 = batch_process(input_dir, out, indices=("NDVI",))
+        assert s1["processed"] == 6
+        assert s2["processed"] == 0
+        assert s2["skipped"] == 6
+
+
+class TestNdviReport:
+    def test_report_outputs(self, tmp_path, rgnir_image):
+        from rgnir_tpu.pipeline.single import generate_ndvi_report
+
+        src = tmp_path / "img.png"
+        _write_png(src, rgnir_image)
+        ndvi, stats = generate_ndvi_report(src, tmp_path / "report")
+        # process-ndvi.py:89-108 outputs
+        assert (tmp_path / "report" / "ndvi_visualization.png").exists()
+        assert (tmp_path / "report" / "ndvi_histogram.png").exists()
+        txt = (tmp_path / "report" / "ndvi_statistics.txt").read_text()
+        assert txt.startswith("NDVI Statistics:\n")
+        for key in (
+            "mean_ndvi", "median_ndvi", "min_ndvi", "max_ndvi", "std_ndvi",
+            "vegetation_coverage",
+        ):
+            assert key in txt
+        # stats parity vs reference math (raw image, no WB)
+        want = golden.golden_ndvi_statistics(
+            golden.golden_index(rgnir_image, "NDVI")
+        )
+        for k, v in want.items():
+            assert stats[k] == pytest.approx(v, abs=1e-4), k
+
+
+class TestExportZip:
+    def test_zip_contents(self, rgnir_image):
+        from rgnir_tpu.pipeline.export import export_processed_zip
+
+        wb = golden.golden_white_balance(rgnir_image)
+        blob = export_processed_zip(wb, ("NDVI", "GNDVI"), figures=False)
+        zf = zipfile.ZipFile(io.BytesIO(blob))
+        names = set(zf.namelist())
+        assert names == {
+            "white_balanced.png",
+            "NDVI_visualization.png",
+            "GNDVI_visualization.png",
+        }
+        wb_back = np.asarray(Image.open(io.BytesIO(zf.read("white_balanced.png"))))
+        np.testing.assert_array_equal(wb_back, wb)
+
+
+class TestCompare:
+    def test_comparison_stats(self, rng):
+        from rgnir_tpu.pipeline.compare import comparison_analysis
+
+        imgs = [
+            ("a.png", rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)),
+            ("b.png", rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)),
+            ("c.png", rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)),
+        ]
+        res = comparison_analysis(imgs, kinds=("NDVI",), with_figures=True)
+        assert set(res.index_stats["NDVI"]) == {"a.png", "b.png", "c.png"}
+        for name, arr in imgs:
+            wb = golden.golden_white_balance(arr)
+            idx = golden.golden_index(wb, "NDVI")
+            want = golden.golden_analyze_index(idx, "NDVI")
+            got = res.index_stats["NDVI"][name]
+            for k in want:
+                assert got[k] == pytest.approx(want[k], abs=2e-2), (name, k)
+        assert res.original_figure is not None
+        assert res.index_figures["NDVI"].size[0] > 0
+
+
+class TestTimeSeries:
+    def test_table_and_change(self, rng):
+        from rgnir_tpu.pipeline.timeseries import time_series_analysis
+
+        dates = [datetime(2025, m, 1) for m in (3, 5, 7)]
+        base = rng.integers(40, 200, (48, 48, 3), dtype=np.uint8)
+        seq = [
+            (d, np.clip(base + rng.integers(-20, 20, base.shape), 0, 255).astype(np.uint8))
+            for d in dates
+        ]
+        res = time_series_analysis(seq, "NDVI")
+        assert list(res.table["Date"]) == dates
+        assert "Vegetation Coverage (%)" in res.table.columns
+        # row parity vs reference math for the first image
+        wb = golden.golden_white_balance(np.asarray(seq[0][1]))
+        idx = golden.golden_index(wb, "NDVI")
+        assert res.table["Mean"][0] == pytest.approx(float(np.mean(idx)), abs=2e-2)
+        assert res.figure is not None
+        assert res.change is not None
+        assert res.change["figure"] is not None
+        assert res.change["diff"].shape == (48, 48)
+
+
+class TestChangeDetection:
+    def test_shift_recovery_and_diff(self, rng):
+        from rgnir_tpu.pipeline.change import change_detection
+
+        base = np.kron(
+            rng.integers(0, 256, (12, 12, 3), dtype=np.uint8),
+            np.ones((8, 8, 1), dtype=np.uint8),
+        )
+        shifted = np.roll(base, (-3, 5), axis=(0, 1))
+        res = change_detection(base, shifted, "NDVI", "2025-01-01", "2025-06-01")
+        assert tuple(res["shift"]) == (3.0, -5.0)
+        # aligned late ~= early -> diff near zero in the interior
+        assert np.abs(res["diff"][10:-10, 10:-10]).mean() < 0.02
+        assert res["figure"] is not None
