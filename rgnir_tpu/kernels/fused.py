@@ -1,0 +1,287 @@
+"""The fully-fused analysis kernel: WB + indices + stats + colormap,
+one HBM read of the image per row-block.
+
+Per grid step (a row-block of the planar uint8 image), entirely in VMEM:
+
+1. white-balance rescale of the 3 bands from precomputed percentile
+   bounds (reference op ordering, process-images.py:438) + floor to the
+   uint8 contract,
+2. per requested index kind: normalized difference (eps 1e-10, clip
+   +/-1),
+3. stats partials (sum, sum of squares, min, max, coverage count, 50-bin
+   histogram) accumulated across grid steps in the output ref,
+4. colormap render via the nibble one-hot MXU factorization — all in
+   bf16, exact because LUT bytes (<= 255) and 0/1 one-hots are exactly
+   representable.
+
+Outputs: wb (3,H,W) u8, per-kind index (K,H,W) f32, render (K,3,H,W) u8,
+stats partials (K,128) f32. The median is *not* in this kernel: it needs
+global information, and runs as the 4-round radix-select over the index
+output (rgnir_tpu.ops.select).
+
+jnp reference: rgnir_tpu.pipeline.fused.analyze_image (parity-tested).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rgnir_tpu.color import get_lut
+from rgnir_tpu.config import EPSILON, IndexKind
+from rgnir_tpu.ops.indices import BAND_INDICES
+
+# stats partial layout in the (K, 128) output
+S_SUM, S_SUMSQ, S_MIN, S_MAX, S_ABOVE = 0, 1, 2, 3, 4
+S_HIST = 64  # 50 bins at [64:114]
+
+# The exact f32 histogram edges (np.histogram parity), padded to 64 and
+# fed to the kernel through SMEM: computing them in-kernel from an iota
+# is NOT safe — XLA's f32 division is ~1 ulp off IEEE, which shifts
+# edge-straddling pixels into the adjacent bin.
+_EDGES50_PAD = np.concatenate(
+    [np.linspace(-1.0, 1.0, 51).astype(np.float32),
+     np.full(13, np.inf, np.float32)]
+)
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _ceil_to(a: int, b: int) -> int:
+    return _cdiv(a, b) * b
+
+
+def _fused_kernel(
+    img_ref, bounds_ref, lut_ref, edges_ref,
+    wb_ref, idx_ref, rgb_ref, stats_ref,
+    *,
+    kinds: Tuple[IndexKind, ...],
+    h_valid: int,
+    w_valid: int,
+    block_h: int,
+):
+    step = pl.program_id(0)
+    c, bh, wp = img_ref.shape
+    n = bh * wp
+
+    nk = len(kinds)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (nk, 128), 1)
+
+    @pl.when(step == 0)
+    def _():
+        # Mosaic only allows full-tensor VMEM stores; build the initial
+        # stats block with lane masks (min/max seeded at +/-inf).
+        init = jnp.zeros((nk, 128), jnp.float32)
+        init = jnp.where(lane == S_MIN, jnp.inf, init)
+        init = jnp.where(lane == S_MAX, -jnp.inf, init)
+        stats_ref[...] = init
+
+    row0 = step * block_h
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bh, wp), 0) + row0
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bh, wp), 1)
+    valid = (rows < h_valid) & (cols < w_valid)
+    validf = valid.astype(jnp.float32)
+
+    # --- white balance (3 bands) ---------------------------------------
+    wb = []
+    for ch in range(c):
+        # Mosaic lacks direct u8<->f32 casts; hop through int32.
+        x = img_ref[ch].astype(jnp.int32).astype(jnp.float32)
+        lo = bounds_ref[0, ch]
+        span = bounds_ref[1, ch] - lo
+        corrected = (x - lo) / span * 255.0
+        corrected = jnp.where(span > 0, corrected, 0.0)
+        corrected = jnp.clip(corrected, 0.0, 255.0)
+        # the uint8 value as float (truncation), reused by the indices
+        wbf = jnp.floor(corrected)
+        wb_ref[ch] = wbf.astype(jnp.int32).astype(jnp.uint8)
+        wb.append(wbf)
+
+    nib_col = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+
+    add_rows = []
+    min_scalars = []
+    max_scalars = []
+    for k, kind in enumerate(kinds):
+        ia, ib = BAND_INDICES[kind]
+        a, b = wb[ia], wb[ib]
+        idx = jnp.clip((a - b) / (a + b + jnp.float32(EPSILON)), -1.0, 1.0)
+        idx_ref[k] = idx
+
+        # --- stats partials (gathered into one (nk, 128) update) -------
+        s_sum = jnp.sum(idx * validf)
+        s_sumsq = jnp.sum(idx * idx * validf)
+        min_scalars.append(jnp.min(jnp.where(valid, idx, jnp.inf)))
+        max_scalars.append(jnp.max(jnp.where(valid, idx, -jnp.inf)))
+        thr = jnp.float32(kind.coverage_threshold)
+        s_above = jnp.sum(((idx > thr) & valid).astype(jnp.float32))
+
+        # 50-bin histogram over (-1, 1): exact np.histogram parity needs
+        # searchsorted against the f32 edges (affine floor-binning is 1
+        # ulp off at e.g. 0.84 — see ops.histogram). We accumulate the
+        # *cumulative* counts C[i] = #(v >= edge_i) with one ge-compare
+        # matrix and one MXU dot; the wrapper differences adjacent C
+        # into per-bin counts (right-closed last bin).
+        # Cumulative counts against the exact f32 edges (SMEM scalars):
+        # C[i] = #(v >= edge_i). 51 masked compare-sums; bins are
+        # differenced by the wrapper (right-closed last bin).
+        cum_parts = []
+        for j in range(51):
+            cnt = jnp.sum(
+                jnp.where(valid & (idx >= edges_ref[j]), 1.0, 0.0)
+            )
+            cum_parts.append(cnt.reshape(1, 1))
+        cum_parts.append(jnp.zeros((1, 13), jnp.float32))
+        cum = jnp.concatenate(cum_parts, axis=1)  # (1, 64)
+        lane1 = lane[:1]  # (1, 128)
+        row = jnp.where(lane1 == S_SUM, s_sum, 0.0)
+        row = jnp.where(lane1 == S_SUMSQ, s_sumsq, row)
+        row = jnp.where(lane1 == S_ABOVE, s_above, row)
+        # lanes [64:128) hold the cumulative histogram counts
+        row = jnp.where(
+            lane1 >= S_HIST,
+            jnp.concatenate(
+                [jnp.zeros((1, 64), jnp.float32), cum], axis=1
+            ),
+            row,
+        )
+        add_rows.append(row)
+
+        # --- colormap render (nibble one-hot MXU LUT) ------------------
+        i256 = jnp.minimum(
+            jnp.floor((idx + 1.0) * jnp.float32(128.0)).astype(jnp.int32),
+            255,
+        )
+        i256 = jnp.maximum(i256, 0).reshape(1, n)
+        oh_hiT = jnp.where(
+            (i256 >> 4) == nib_col, jnp.float32(1), jnp.float32(0)
+        )  # (16, n)
+        oh_loT = jnp.where(
+            (i256 & 15) == nib_col, jnp.float32(1), jnp.float32(0)
+        )  # (16, n)
+        for ch in range(3):
+            # candT[l, i] = lut[hi_i, l, ch]: contract the hi one-hot.
+            # lut_ref layout (K, 3, 16{hi}, 16{lo}).
+            candT = jax.lax.dot_general(
+                lut_ref[k, ch], oh_hiT,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (16{lo}, n)
+            val = jnp.sum(oh_loT * candT, axis=0, keepdims=True)  # (1, n)
+            rgb_ref[k, ch] = (
+                val.reshape(bh, wp).astype(jnp.int32).astype(jnp.uint8)
+            )
+
+    # single full-tensor stats update (Mosaic allows no scalar stores)
+    old = stats_ref[...]
+    new = old + jnp.concatenate(add_rows, axis=0)
+    tmin = jnp.concatenate(
+        [s.reshape(1, 1) for s in min_scalars], axis=0
+    )  # (nk, 1)
+    tmax = jnp.concatenate([s.reshape(1, 1) for s in max_scalars], axis=0)
+    new = jnp.where(lane == S_MIN, jnp.minimum(old, tmin), new)
+    new = jnp.where(lane == S_MAX, jnp.maximum(old, tmax), new)
+    stats_ref[...] = new
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kinds", "block_h", "interpret")
+)
+def _fused_call(
+    img_pl: jax.Array,
+    bounds: jax.Array,  # (2, C) f32: row 0 = lo, row 1 = hi
+    kinds: Tuple[IndexKind, ...],
+    block_h: int,
+    interpret: bool,
+):
+    c, h, w = img_pl.shape
+    k = len(kinds)
+    wp = _ceil_to(w, 128)
+    hp = _ceil_to(h, block_h)
+    padded = jnp.pad(img_pl, ((0, 0), (0, hp - h), (0, wp - w)))
+    # (K, 3, 16{hi}, 16{lo}) byte tables
+    luts = np.stack(
+        [
+            get_lut(kind.cmap_name)[:, :3]
+            .reshape(16, 16, 3)
+            .transpose(2, 0, 1)
+            .astype(np.float32)
+            for kind in kinds
+        ]
+    )
+    grid = (hp // block_h,)
+    kernel = functools.partial(
+        _fused_kernel,
+        kinds=kinds, h_valid=h, w_valid=w, block_h=block_h,
+    )
+    wb, idx, rgb, stats = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((c, block_h, wp), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, c), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((k, 3, 16, 16), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64,), lambda i: (0,), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((c, block_h, wp), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, block_h, wp), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c, block_h, wp), lambda i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((c, hp, wp), jnp.uint8),
+            jax.ShapeDtypeStruct((k, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((k, c, hp, wp), jnp.uint8),
+            jax.ShapeDtypeStruct((k, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        padded, bounds, jnp.asarray(luts, jnp.float32),
+        jnp.asarray(_EDGES50_PAD),
+    )
+    # Convert cumulative >=-edge counts into per-bin counts:
+    # hist[i] = C[i] - C[i+1] for i < 49; hist[49] = C[49] (right-closed,
+    # values above edge 50 are impossible for clipped indices).
+    cum = stats[:, S_HIST:S_HIST + 51]
+    bins = cum[:, :49] - cum[:, 1:50]
+    stats = stats.at[:, S_HIST:S_HIST + 49].set(bins)
+    stats = stats.at[:, S_HIST + 49].set(cum[:, 49])
+    stats = stats.at[:, S_HIST + 50:].set(0.0)
+    return wb[:, :h, :w], idx[:, :h, :w], rgb[:, :, :h, :w], stats
+
+
+def fused_analyze_pallas(
+    img_pl: jax.Array,
+    lo: jax.Array,
+    hi: jax.Array,
+    kinds: Sequence[Union[IndexKind, str]],
+    block_h: int = 64,
+    interpret: Optional[bool] = None,
+):
+    """Fused WB+index+stats+render of a planar ``(3, H, W)`` uint8 image.
+
+    ``lo``/``hi``: per-channel WB bounds (from the histogram kernel).
+    Returns ``(wb_planar u8, index (K,H,W) f32, rgb (K,3,H,W) u8,
+    stats_partials (K,128) f32)`` with the S_* layout of this module.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    kinds = tuple(IndexKind.parse(kd) for kd in kinds)
+    bounds = jnp.stack([lo.astype(jnp.float32), hi.astype(jnp.float32)])
+    return _fused_call(img_pl, bounds, kinds, block_h, interpret)

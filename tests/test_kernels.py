@@ -1,0 +1,95 @@
+"""Pallas kernel parity tests (interpret mode on CPU) vs the jnp ops."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rgnir_tpu.kernels import fused_analyze_pallas, planar_histograms_pallas
+from rgnir_tpu.kernels.fused import S_ABOVE, S_HIST, S_MAX, S_MIN, S_SUM, S_SUMSQ
+from rgnir_tpu.ops.histogram import planar_histograms
+from rgnir_tpu.ops.wb import wb_bounds_from_histogram
+from rgnir_tpu.pipeline.fused import analyze_image
+
+import golden
+
+
+@pytest.fixture
+def planar_image(rgnir_image):
+    return jnp.moveaxis(jnp.asarray(rgnir_image), -1, -3)  # (3, 96, 128)
+
+
+class TestHistKernel:
+    def test_parity_exact(self, planar_image):
+        got = np.asarray(planar_histograms_pallas(planar_image, block_h=32))
+        want = np.asarray(planar_histograms(planar_image))
+        np.testing.assert_array_equal(got, want)
+
+    def test_unaligned_shapes(self, rng):
+        """H not a block multiple, W not a lane multiple: padding must be
+        masked out of the counts."""
+        img = jnp.asarray(
+            rng.integers(0, 256, (3, 37, 90), dtype=np.uint8)
+        )
+        got = np.asarray(planar_histograms_pallas(img, block_h=16))
+        want = np.asarray(planar_histograms(img))
+        np.testing.assert_array_equal(got, want)
+        assert got.sum() == 3 * 37 * 90
+
+    def test_batched(self, rng):
+        imgs = jnp.asarray(rng.integers(0, 256, (2, 3, 24, 128), dtype=np.uint8))
+        got = np.asarray(planar_histograms_pallas(imgs, block_h=8))
+        want = np.asarray(planar_histograms(imgs))
+        np.testing.assert_array_equal(got, want)
+
+
+class TestFusedKernel:
+    def test_full_parity(self, rgnir_image, planar_image):
+        hist = planar_histograms(planar_image)
+        h, w = rgnir_image.shape[:2]
+        lo, hi = wb_bounds_from_histogram(hist, n=h * w)
+        kinds = ("NDVI", "NDWI")
+        wb, idx, rgb, stats = fused_analyze_pallas(
+            planar_image, lo, hi, kinds, block_h=32
+        )
+        ref = analyze_image(jnp.asarray(rgnir_image), kinds=kinds)
+
+        np.testing.assert_array_equal(
+            np.moveaxis(np.asarray(wb), 0, -1), np.asarray(ref.wb)
+        )
+        for k, kind in enumerate(kinds):
+            np.testing.assert_allclose(
+                np.asarray(idx[k]), np.asarray(ref.indices[kind]),
+                atol=1.2e-7, rtol=0,
+            )
+            np.testing.assert_array_equal(
+                np.moveaxis(np.asarray(rgb[k]), 0, -1),
+                np.asarray(ref.renders[kind]),
+            )
+            st = ref.stats[kind]
+            s = np.asarray(stats[k])
+            n = h * w
+            assert s[S_SUM] / n == pytest.approx(float(st.mean), abs=1e-5)
+            assert s[S_MIN] == float(st.min)
+            assert s[S_MAX] == float(st.max)
+            assert s[S_ABOVE] == pytest.approx(
+                float(st.coverage_pct) * n / 100.0, abs=0.5
+            )
+            np.testing.assert_array_equal(
+                s[S_HIST:S_HIST + 50].astype(np.int64),
+                np.asarray(st.histogram),
+            )
+
+    def test_unaligned_and_stats_masking(self, rng):
+        img_hwc = rng.integers(0, 256, (41, 77, 3), dtype=np.uint8)
+        pl_img = jnp.moveaxis(jnp.asarray(img_hwc), -1, -3)
+        hist = planar_histograms(pl_img)
+        lo, hi = wb_bounds_from_histogram(hist, n=41 * 77)
+        wb, idx, rgb, stats = fused_analyze_pallas(
+            pl_img, lo, hi, ("NDVI",), block_h=16
+        )
+        ref_wb = golden.golden_white_balance(img_hwc)
+        got_wb = np.moveaxis(np.asarray(wb), 0, -1)
+        assert np.abs(got_wb.astype(int) - ref_wb.astype(int)).max() <= 1
+        s = np.asarray(stats[0])
+        assert s[S_HIST:S_HIST + 50].sum() == 41 * 77  # padding masked
