@@ -127,21 +127,28 @@ def _fused_kernel(
 
         # 50-bin histogram over (-1, 1): exact np.histogram parity needs
         # searchsorted against the f32 edges (affine floor-binning is 1
-        # ulp off at e.g. 0.84 — see ops.histogram). We accumulate the
-        # *cumulative* counts C[i] = #(v >= edge_i) with one ge-compare
-        # matrix and one MXU dot; the wrapper differences adjacent C
-        # into per-bin counts (right-closed last bin).
-        # Cumulative counts against the exact f32 edges (SMEM scalars):
-        # C[i] = #(v >= edge_i). 51 masked compare-sums; bins are
-        # differenced by the wrapper (right-closed last bin).
-        cum_parts = []
-        for j in range(51):
-            cnt = jnp.sum(
-                jnp.where(valid & (idx >= edges_ref[j]), 1.0, 0.0)
-            )
-            cum_parts.append(cnt.reshape(1, 1))
-        cum_parts.append(jnp.zeros((1, 13), jnp.float32))
-        cum = jnp.concatenate(cum_parts, axis=1)  # (1, 64)
+        # ulp off at e.g. 0.84, and computing edges from an iota is
+        # unsafe because XLA f32 division is ~1 ulp off IEEE — see
+        # ops.histogram). Exact edges arrive via SMEM; a (64,1) column
+        # built from scalar reshapes feeds ONE ge-compare matrix and one
+        # MXU dot for the cumulative counts C[i] = #(v >= edge_i); the
+        # wrapper differences adjacent C into bins (right-closed last).
+        edges_col = jnp.concatenate(
+            [edges_ref[j].reshape(1, 1) for j in range(51)]
+            + [jnp.full((13, 1), jnp.inf, jnp.float32)],
+            axis=0,
+        )  # (64, 1)
+        idx_row = idx.reshape(1, n)
+        mask_row = valid.reshape(1, n)
+        ge = jnp.where(
+            mask_row & (idx_row >= edges_col),
+            jnp.float32(1), jnp.float32(0),
+        ).astype(jnp.bfloat16)  # (64, n); 0/1 exact in bf16
+        cum = jax.lax.dot_general(
+            jnp.ones((1, n), jnp.bfloat16), ge,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, 64)
         lane1 = lane[:1]  # (1, 128)
         row = jnp.where(lane1 == S_SUM, s_sum, 0.0)
         row = jnp.where(lane1 == S_SUMSQ, s_sumsq, row)

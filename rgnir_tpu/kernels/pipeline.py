@@ -1,15 +1,22 @@
 """Kernel-backed analyze pipeline — drop-in for pipeline.fused.analyze_image.
 
 Composition: histogram kernel (WB bounds) -> fused analyze kernel
-(WB + indices + stats partials + renders, one image read) -> radix-select
-median over the index maps (rgnir_tpu.ops.select). Assembles the same
-AnalyzeResult as the jnp path; parity-tested against it.
+(WB + indices + stats partials + renders, one image read) -> batched
+radix-select median kernel over the index maps. Assembles the same
+AnalyzeResult as the jnp path; parity-tested against it (bit-exact on
+CPU interpret and real TPU).
+
+Batching note: the hist/fused kernels batch via vmap (Mosaic handles the
+extra batch grid dim), but the select kernel batches natively through
+its own leading grid dimension — vmap over its SMEM prefix input trips
+Mosaic layout checks — so medians are computed after the vmapped core,
+on the stacked index maps.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Sequence, Tuple, Union
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,52 +32,18 @@ from rgnir_tpu.kernels.fused import (
     fused_analyze_pallas,
 )
 from rgnir_tpu.kernels.hist import planar_histograms_pallas
-from rgnir_tpu.ops.select import masked_median
+from rgnir_tpu.kernels.select import masked_median_pallas
 from rgnir_tpu.ops.stats import IndexStats
 from rgnir_tpu.ops.wb import wb_bounds_from_histogram
 from rgnir_tpu.pipeline.fused import AnalyzeResult
 
 
-def _analyze_one(
-    img_hwc: jax.Array,
-    kinds: Tuple[IndexKind, ...],
-    with_renders: bool,
-    wb_cfg: WBConfig,
-) -> AnalyzeResult:
+def _core(img_hwc: jax.Array, kinds: Tuple[IndexKind, ...], wb_cfg: WBConfig):
     h, w = img_hwc.shape[0], img_hwc.shape[1]
     pl_img = jnp.moveaxis(img_hwc, -1, -3)
     hist = planar_histograms_pallas(pl_img)
     lo, hi = wb_bounds_from_histogram(hist, n=h * w, cfg=wb_cfg)
-    wb_pl, idx, rgb, stats = fused_analyze_pallas(pl_img, lo, hi, kinds)
-
-    n = h * w
-    indices: Dict[str, jax.Array] = {}
-    renders: Dict[str, jax.Array] = {}
-    out_stats: Dict[str, IndexStats] = {}
-    for k, kind in enumerate(kinds):
-        indices[kind.value] = idx[k]
-        if with_renders:
-            renders[kind.value] = jnp.moveaxis(rgb[k], 0, -1)
-        s = stats[k]
-        mean = s[S_SUM] / n
-        var = jnp.maximum(s[S_SUMSQ] / n - mean * mean, 0.0)
-        med = masked_median(idx[k], n, reduce_ndim=2)
-        out_stats[kind.value] = IndexStats(
-            mean=mean,
-            median=med,
-            std=jnp.sqrt(var),
-            min=s[S_MIN],
-            max=s[S_MAX],
-            coverage_pct=s[S_ABOVE] / n * 100.0,
-            histogram=s[S_HIST:S_HIST + 50].astype(jnp.int32),
-            n=jnp.int32(n),
-        )
-    return AnalyzeResult(
-        wb=jnp.moveaxis(wb_pl, -3, -1),
-        indices=indices,
-        stats=out_stats,
-        renders=renders,
-    )
+    return fused_analyze_pallas(pl_img, lo, hi, kinds)
 
 
 @functools.partial(jax.jit, static_argnames=("kinds", "with_renders"))
@@ -87,8 +60,43 @@ def analyze_image_kernel(
     """
     kinds = tuple(IndexKind.parse(k) for k in kinds)
     cfg = WBConfig()
-    if img.ndim == 4:
-        return jax.vmap(
-            lambda x: _analyze_one(x, kinds, with_renders, cfg)
+    batched = img.ndim == 4
+    h, w = img.shape[-3], img.shape[-2]
+    n = h * w
+
+    if batched:
+        wb_pl, idx, rgb, stats = jax.vmap(
+            lambda x: _core(x, kinds, cfg)
         )(img)
-    return _analyze_one(img, kinds, with_renders, cfg)
+        # leading batch: wb_pl (B,3,H,W), idx (B,K,H,W), stats (B,K,128)
+        wb = jnp.moveaxis(wb_pl, -3, -1)
+    else:
+        wb_pl, idx, rgb, stats = _core(img, kinds, cfg)
+        wb = jnp.moveaxis(wb_pl, -3, -1)
+
+    indices: Dict[str, jax.Array] = {}
+    renders: Dict[str, jax.Array] = {}
+    out_stats: Dict[str, IndexStats] = {}
+    for k, kind in enumerate(kinds):
+        idx_k = idx[:, k] if batched else idx[k]
+        indices[kind.value] = idx_k
+        if with_renders:
+            rgb_k = rgb[:, k] if batched else rgb[k]
+            renders[kind.value] = jnp.moveaxis(rgb_k, -3, -1)
+        s = stats[:, k] if batched else stats[k]
+        mean = s[..., S_SUM] / n
+        var = jnp.maximum(s[..., S_SUMSQ] / n - mean * mean, 0.0)
+        med = masked_median_pallas(idx_k, n, reduce_ndim=2)
+        out_stats[kind.value] = IndexStats(
+            mean=mean,
+            median=med,
+            std=jnp.sqrt(var),
+            min=s[..., S_MIN],
+            max=s[..., S_MAX],
+            coverage_pct=s[..., S_ABOVE] / n * 100.0,
+            histogram=s[..., S_HIST:S_HIST + 50].astype(jnp.int32),
+            n=jnp.full(mean.shape, n, jnp.int32),
+        )
+    return AnalyzeResult(
+        wb=wb, indices=indices, stats=out_stats, renders=renders
+    )

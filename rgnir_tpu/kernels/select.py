@@ -1,0 +1,215 @@
+"""Pallas radix-select: exact order statistics with in-VMEM byte histograms.
+
+The jnp radix-select (rgnir_tpu.ops.select) is algorithmically right but
+XLA materializes the 16-wide nibble one-hots in HBM — ~256 MB of
+traffic per round for an 8 MPix batch. This kernel keeps them in VMEM:
+each round reads the 4-byte keys once, masks actives by comparing the
+high bits against the current per-batch prefix (SMEM scalars), and
+contracts nibble one-hots on the MXU into a (16,16) histogram per batch
+element. Batch rides the leading grid dimension (vmap over pallas_call
+trips Mosaic layout checks in this jax version).
+
+The round loop (4 rounds; cdf scan + byte pick on 256 values) stays in
+jnp — it is O(256) work. Parity: bit-exact with ops.select
+(tests/test_kernels.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rgnir_tpu.ops.select import f32_from_ordered_u32, ordered_u32_from_f32
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _ceil_to(a: int, b: int) -> int:
+    return _cdiv(a, b) * b
+
+
+def _byte_hist_kernel(
+    keys_ref, prefix_ref, out_ref, *, shift: int, n_valid: int, block_r: int
+):
+    """Grid: (B, num_row_blocks). keys_ref: (1, block_r, 1024) uint32 of
+    one batch element (row-major flattened keys, padded with
+    0xFFFFFFFF; width 1024 mirrors the fused kernel's proven
+    reshape-to-(1,n) layout). out_ref: (1, 16, 16) f32 accumulated."""
+    bi = pl.program_id(0)
+    step = pl.program_id(1)
+    _, br, wc = keys_ref.shape
+    n = br * wc
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    keys = keys_ref[0]
+    prefix = prefix_ref[bi]  # whole (B,) SMEM array, indexed by batch
+    pos = (
+        jax.lax.broadcasted_iota(jnp.int32, (br, wc), 0) * wc
+        + jax.lax.broadcasted_iota(jnp.int32, (br, wc), 1)
+        + step * n
+    )
+    in_bounds = pos < n_valid
+    if shift < 24:
+        sh_hi = jnp.uint32(shift + 8)
+        active = in_bounds & ((keys >> sh_hi) == (prefix >> sh_hi))
+    else:
+        active = in_bounds
+
+    byte = (keys >> jnp.uint32(shift)).astype(jnp.int32) & 255
+    brow = byte.reshape(1, n)
+    arow = active.reshape(1, n)
+    nib_col = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+    oh_hi = jnp.where(
+        arow & ((brow >> 4) == nib_col), jnp.float32(1), jnp.float32(0)
+    )
+    oh_lo = jnp.where((brow & 15) == nib_col, jnp.float32(1), jnp.float32(0))
+    out_ref[0] += jax.lax.dot_general(
+        oh_hi, oh_lo,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shift", "n_valid", "block_r", "interpret")
+)
+def _byte_hist(
+    keys: jax.Array,    # (B, R, 128) uint32
+    prefix: jax.Array,  # (B,) uint32
+    shift: int,
+    n_valid: int,
+    block_r: int,
+    interpret: bool,
+) -> jax.Array:
+    b, r, _ = keys.shape
+    grid = (b, _cdiv(r, block_r))
+    out = pl.pallas_call(
+        functools.partial(
+            _byte_hist_kernel, shift=shift, n_valid=n_valid, block_r=block_r
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_r, 1024), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b,), lambda bi, i: (0,),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 16, 16), lambda bi, i: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 16, 16), jnp.float32),
+        interpret=interpret,
+    )(keys, prefix)
+    return out.reshape(b, 256).astype(jnp.int32)
+
+
+def _select_batched(
+    keys: jax.Array,  # (B, R, 128) uint32, padded with 0xFFFFFFFF
+    rank: jax.Array,  # (B,) int32
+    n_valid: int,
+    block_r: int,
+    interpret: bool,
+):
+    """4 radix rounds; returns (key (B,), eq_minus_rank (B,))."""
+    b = keys.shape[0]
+    prefix = jnp.zeros((b,), jnp.uint32)
+    rk = jnp.asarray(rank, jnp.int32)
+    eq_minus_rank = None
+    for shift in (24, 16, 8, 0):
+        hist = _byte_hist(keys, prefix, shift, n_valid, block_r, interpret)
+        cdf = jnp.cumsum(hist, axis=-1)  # (B, 256)
+        sel = jnp.sum((cdf <= rk[:, None]).astype(jnp.int32), axis=-1)
+        below = jnp.take_along_axis(
+            cdf, jnp.maximum(sel - 1, 0)[:, None], axis=-1
+        )[:, 0]
+        below = jnp.where(sel > 0, below, 0)
+        in_bin = jnp.take_along_axis(
+            cdf, jnp.minimum(sel, 255)[:, None], axis=-1
+        )[:, 0] - below
+        rk = rk - below
+        prefix = prefix | (sel.astype(jnp.uint32) << jnp.uint32(shift))
+        eq_minus_rank = in_bin - rk
+    return prefix, eq_minus_rank
+
+
+def _pack_keys(vals_flat: jax.Array, block_r: int):
+    """(B, N) f32 -> (B, R, 1024) uint32 keys padded with the max key."""
+    b, n = vals_flat.shape
+    rows = _ceil_to(_cdiv(n, 1024), block_r)
+    pad = rows * 1024 - n
+    keys = ordered_u32_from_f32(vals_flat)
+    keys = jnp.pad(
+        keys, ((0, 0), (0, pad)), constant_values=jnp.uint32(0xFFFFFFFF)
+    )
+    return keys.reshape(b, rows, 1024)
+
+
+def radix_order_statistic_pallas(
+    vals: jax.Array,
+    rank: jax.Array,
+    reduce_ndim: int = 1,
+    block_r: int = 64,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Exact rank-th smallest float32 over the last ``reduce_ndim`` axes;
+    leading dims batch. (Dense path, no mask — for masked/distributed
+    selection use ops.select.)"""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    batch = vals.shape[: vals.ndim - reduce_ndim]
+    n = 1
+    for d in vals.shape[vals.ndim - reduce_ndim:]:
+        n *= d
+    flat = vals.reshape((-1, n))
+    keys = _pack_keys(flat, block_r)
+    rank_b = jnp.broadcast_to(jnp.asarray(rank, jnp.int32), batch).reshape(-1)
+    key, _ = _select_batched(keys, rank_b, n, block_r, interpret)
+    return f32_from_ordered_u32(key).reshape(batch)
+
+
+def masked_median_pallas(
+    vals: jax.Array,
+    n_valid: int,
+    reduce_ndim: int = 1,
+    block_r: int = 64,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Exact median (numpy even-n semantics) via the kernel radix-select.
+
+    Even n uses the adjacent-rank fast path: one 4-round select plus a
+    single masked min over the keys (padding keys are 0xFFFFFFFF and
+    never the minimum unless the median itself is a NaN-class key).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    batch = vals.shape[: vals.ndim - reduce_ndim]
+    n = 1
+    for d in vals.shape[vals.ndim - reduce_ndim:]:
+        n *= d
+    assert n == n_valid, (n, n_valid)
+    flat = vals.reshape((-1, n))
+    keys = _pack_keys(flat, block_r)
+    b = keys.shape[0]
+    rank = jnp.full((b,), (n_valid - 1) // 2, jnp.int32)
+    key_lo, eq_minus_rank = _select_batched(
+        keys, rank, n_valid, block_r, interpret
+    )
+    lo = f32_from_ordered_u32(key_lo)
+    if n_valid % 2 == 1:
+        return lo.reshape(batch)
+    candidates = jnp.where(
+        keys > key_lo[:, None, None], keys, jnp.uint32(0xFFFFFFFF)
+    )
+    nxt = jnp.min(candidates, axis=(1, 2))
+    key_hi = jnp.where(eq_minus_rank >= 2, key_lo, nxt)
+    hi = f32_from_ordered_u32(key_hi)
+    return ((lo + hi) * 0.5).reshape(batch)

@@ -43,6 +43,34 @@ class TestHistKernel:
         np.testing.assert_array_equal(got, want)
 
 
+class TestSelectKernel:
+    def test_order_statistic_parity(self, rng):
+        from rgnir_tpu.kernels.select import radix_order_statistic_pallas
+
+        x = rng.normal(size=(3, 1000)).astype(np.float32)
+        for rank in (0, 17, 499, 999):
+            got = np.asarray(
+                radix_order_statistic_pallas(jnp.asarray(x), rank, block_r=4)
+            )
+            want = np.sort(x, axis=1)[:, rank]
+            np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("n", [999, 1000])
+    def test_median_parity(self, rng, n):
+        from rgnir_tpu.kernels.select import masked_median_pallas
+
+        x = rng.normal(size=n).astype(np.float32)
+        got = float(masked_median_pallas(jnp.asarray(x), n, block_r=4))
+        assert got == float(np.median(x))
+
+    def test_median_ties(self, rng):
+        from rgnir_tpu.kernels.select import masked_median_pallas
+
+        y = rng.choice([0.0, 0.25, -0.5, 1.0], size=512).astype(np.float32)
+        got = float(masked_median_pallas(jnp.asarray(y), 512, block_r=2))
+        assert got == float(np.median(y))
+
+
 class TestFusedKernel:
     def test_full_parity(self, rgnir_image, planar_image):
         hist = planar_histograms(planar_image)
