@@ -59,6 +59,21 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_rgn(args) -> int:
+    from rgnir_tpu.pipeline.rgn import correct_file, visualize_correction_file
+
+    if args.out:
+        correct_file(args.image, args.out)
+        print(f"corrected -> {args.out}")
+    if args.viz:
+        visualize_correction_file(args.image, args.viz)
+        print(f"comparison -> {args.viz}")
+    if not args.out and not args.viz:
+        print("nothing to do: pass --out and/or --viz", file=sys.stderr)
+        return 2
+    return 0
+
+
 def cmd_analyze(args) -> int:
     import numpy as np
     import jax.numpy as jnp
@@ -225,6 +240,14 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("image")
     r.add_argument("output")
     r.set_defaults(fn=cmd_report)
+
+    g = sub.add_parser(
+        "rgn", help="standalone white-balance correction (process-rgn.py flow)"
+    )
+    g.add_argument("image")
+    g.add_argument("--out", default="", help="corrected image path")
+    g.add_argument("--viz", default="", help="side-by-side canvas path")
+    g.set_defaults(fn=cmd_rgn)
 
     a = sub.add_parser("analyze", help="analyze one image (stats JSON)")
     a.add_argument("image")

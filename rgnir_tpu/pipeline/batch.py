@@ -23,7 +23,6 @@ backend-process.py:40-47) at figure-render speed.
 
 from __future__ import annotations
 
-import functools
 from pathlib import Path
 from typing import Callable, List, Optional, Sequence, Union
 
@@ -36,7 +35,6 @@ from rgnir_tpu.config import ALL_INDICES, IndexKind, LoaderConfig
 from rgnir_tpu.io.decode import IMAGE_EXTENSIONS
 from rgnir_tpu.io.loader import BatchLoader
 from rgnir_tpu.io.writer import AsyncWriter
-from rgnir_tpu.pipeline.fused import analyze_image
 from rgnir_tpu.utils.logging import get_logger
 from rgnir_tpu.utils.manifest import Manifest
 
@@ -51,9 +49,10 @@ def list_input_images(input_dir: Union[str, Path]) -> List[Path]:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("kinds",))
 def _batch_forward(images: jax.Array, kinds):
-    res = analyze_image(images, kinds=kinds, with_renders=True)
+    from rgnir_tpu.pipeline.dispatch import analyze_image_auto
+
+    res = analyze_image_auto(images, kinds=kinds, with_renders=True)
     return res.wb, res.renders
 
 

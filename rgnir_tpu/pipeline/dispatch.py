@@ -1,0 +1,39 @@
+"""Implementation dispatch: Pallas kernels on TPU, jnp elsewhere.
+
+Both paths are parity-tested against each other (bit-exact outputs);
+the kernel path avoids HBM round-trips for one-hots and is ~2-3x
+faster on TPU, while the jnp path compiles everywhere (and is what the
+CPU test mesh runs). Override with RGNIR_FORCE_IMPL=kernel|jnp.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence, Tuple, Union
+
+import jax
+
+from rgnir_tpu.config import ALL_INDICES, IndexKind
+from rgnir_tpu.pipeline.fused import AnalyzeResult, analyze_image_jit
+
+
+def use_kernels() -> bool:
+    forced = os.environ.get("RGNIR_FORCE_IMPL", "")
+    if forced == "kernel":
+        return True
+    if forced == "jnp":
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
+def analyze_image_auto(
+    img: jax.Array,
+    kinds: Tuple[str, ...] = tuple(k.value for k in ALL_INDICES),
+    with_renders: bool = True,
+) -> AnalyzeResult:
+    """analyze_image with automatic implementation choice."""
+    if use_kernels():
+        from rgnir_tpu.kernels.pipeline import analyze_image_kernel
+
+        return analyze_image_kernel(img, kinds=kinds, with_renders=with_renders)
+    return analyze_image_jit(img, kinds=kinds, with_renders=with_renders)

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import collections
 import dataclasses
-import functools
 from typing import Deque, Dict, Optional, Sequence, Tuple, Union
 
 import numpy as np
@@ -26,7 +25,6 @@ import jax.numpy as jnp
 
 from rgnir_tpu.config import ALL_INDICES, IndexKind
 from rgnir_tpu.ops.stats import IndexStats
-from rgnir_tpu.pipeline.fused import analyze_image
 
 
 @dataclasses.dataclass
@@ -53,9 +51,10 @@ class StreamAnalyzer:
         self._inflight: Deque[FrameResult] = collections.deque()
         self._next_id = 0
 
-        @functools.partial(jax.jit, static_argnames=())
         def step(frame):
-            res = analyze_image(
+            from rgnir_tpu.pipeline.dispatch import analyze_image_auto
+
+            res = analyze_image_auto(
                 frame, kinds=self.kinds, with_renders=with_renders
             )
             return res.stats, res.renders

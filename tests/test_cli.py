@@ -75,6 +75,24 @@ class TestCli:
         assert "Plot 7" in capsys.readouterr().out
 
 
+class TestRgn:
+    def test_correct_and_viz(self, image_file, tmp_path, rgnir_image, capsys):
+        import golden
+
+        rc = main(["rgn", str(image_file),
+                   "--out", str(tmp_path / "c.png"),
+                   "--viz", str(tmp_path / "v.png")])
+        assert rc == 0
+        got = np.asarray(Image.open(tmp_path / "c.png"))
+        want = golden.golden_white_balance(rgnir_image)
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+        viz = Image.open(tmp_path / "v.png")
+        assert viz.size == (2 * rgnir_image.shape[1], rgnir_image.shape[0])
+
+    def test_noop_errors(self, image_file):
+        assert main(["rgn", str(image_file)]) == 2
+
+
 class TestStreaming:
     def test_stream_analyzer(self, rng):
         from rgnir_tpu.pipeline.streaming import StreamAnalyzer
