@@ -1,7 +1,7 @@
 """The fully-fused analysis kernel: WB + indices + stats + colormap,
-one HBM read of the image per row-block.
+one HBM read of the image per block.
 
-Per grid step (a row-block of the planar uint8 image), entirely in VMEM:
+Per grid step (a block of row-major-flattened pixels), entirely in VMEM:
 
 1. white-balance rescale of the 3 bands from precomputed percentile
    bounds (reference op ordering, process-images.py:438) + floor to the
@@ -10,14 +10,24 @@ Per grid step (a row-block of the planar uint8 image), entirely in VMEM:
    +/-1),
 3. stats partials (sum, sum of squares, min, max, coverage count, 50-bin
    histogram) accumulated across grid steps in the output ref,
-4. colormap render via the nibble one-hot MXU factorization — all in
-   bf16, exact because LUT bytes (<= 255) and 0/1 one-hots are exactly
-   representable.
+4. colormap render via the nibble one-hot MXU factorization (f32
+   one-hots, LUT bytes exactly representable, f32 accumulation — exact).
+
+Canonical layout: pixels flattened to (C, R, 1024) rows (see
+kernels/hist.py — Mosaic reliably supports only the (block_r, 1024) ->
+(1, n) reshape); masks are positional (pos < H*W). The wrapper
+flattens/unflattens in XLA.
+
+Mosaic lowering constraints encoded here: no scalar VMEM stores
+(full-tensor lane-masked updates), no u8<->f32 casts (hop via int32),
+f32 one-hots (i1->bf16 relayout unsupported), 32-bit MXU accumulation,
+exact histogram edges via SMEM (XLA f32 division is ~1 ulp off IEEE so
+iota-derived edges shift edge-straddling pixels).
 
 Outputs: wb (3,H,W) u8, per-kind index (K,H,W) f32, render (K,3,H,W) u8,
 stats partials (K,128) f32. The median is *not* in this kernel: it needs
-global information, and runs as the 4-round radix-select over the index
-output (rgnir_tpu.ops.select).
+global information, and runs as the radix-select kernel over the index
+output (rgnir_tpu.kernels.select).
 
 jnp reference: rgnir_tpu.pipeline.fused.analyze_image (parity-tested).
 """
@@ -36,16 +46,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rgnir_tpu.color import get_lut
 from rgnir_tpu.config import EPSILON, IndexKind
+from rgnir_tpu.kernels.hist import _LANES, flatten_to_rows
 from rgnir_tpu.ops.indices import BAND_INDICES
 
 # stats partial layout in the (K, 128) output
 S_SUM, S_SUMSQ, S_MIN, S_MAX, S_ABOVE = 0, 1, 2, 3, 4
 S_HIST = 64  # 50 bins at [64:114]
 
-# The exact f32 histogram edges (np.histogram parity), padded to 64 and
-# fed to the kernel through SMEM: computing them in-kernel from an iota
-# is NOT safe — XLA's f32 division is ~1 ulp off IEEE, which shifts
-# edge-straddling pixels into the adjacent bin.
+# Exact f32 histogram edges (np.histogram parity), padded to 64, fed
+# through SMEM.
 _EDGES50_PAD = np.concatenate(
     [np.linspace(-1.0, 1.0, 51).astype(np.float32),
      np.full(13, np.inf, np.float32)]
@@ -56,22 +65,16 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _ceil_to(a: int, b: int) -> int:
-    return _cdiv(a, b) * b
-
-
 def _fused_kernel(
     img_ref, bounds_ref, lut_ref, edges_ref,
     wb_ref, idx_ref, rgb_ref, stats_ref,
     *,
     kinds: Tuple[IndexKind, ...],
-    h_valid: int,
-    w_valid: int,
-    block_h: int,
+    n_valid: int,
 ):
     step = pl.program_id(0)
-    c, bh, wp = img_ref.shape
-    n = bh * wp
+    c, br, wc = img_ref.shape
+    n = br * wc
 
     nk = len(kinds)
     lane = jax.lax.broadcasted_iota(jnp.int32, (nk, 128), 1)
@@ -85,10 +88,12 @@ def _fused_kernel(
         init = jnp.where(lane == S_MAX, -jnp.inf, init)
         stats_ref[...] = init
 
-    row0 = step * block_h
-    rows = jax.lax.broadcasted_iota(jnp.int32, (bh, wp), 0) + row0
-    cols = jax.lax.broadcasted_iota(jnp.int32, (bh, wp), 1)
-    valid = (rows < h_valid) & (cols < w_valid)
+    pos = (
+        jax.lax.broadcasted_iota(jnp.int32, (br, wc), 0) * wc
+        + jax.lax.broadcasted_iota(jnp.int32, (br, wc), 1)
+        + step * n
+    )
+    valid = pos < n_valid
     validf = valid.astype(jnp.float32)
 
     # --- white balance (3 bands) ---------------------------------------
@@ -125,13 +130,8 @@ def _fused_kernel(
         thr = jnp.float32(kind.coverage_threshold)
         s_above = jnp.sum(((idx > thr) & valid).astype(jnp.float32))
 
-        # 50-bin histogram over (-1, 1): exact np.histogram parity needs
-        # searchsorted against the f32 edges (affine floor-binning is 1
-        # ulp off at e.g. 0.84, and computing edges from an iota is
-        # unsafe because XLA f32 division is ~1 ulp off IEEE — see
-        # ops.histogram). Exact edges arrive via SMEM; a (64,1) column
-        # built from scalar reshapes feeds ONE ge-compare matrix and one
-        # MXU dot for the cumulative counts C[i] = #(v >= edge_i); the
+        # 50-bin histogram: cumulative counts C[i] = #(v >= edge_i)
+        # against the exact f32 edges — one ge matrix, one MXU dot; the
         # wrapper differences adjacent C into bins (right-closed last).
         edges_col = jnp.concatenate(
             [edges_ref[j].reshape(1, 1) for j in range(51)]
@@ -185,7 +185,7 @@ def _fused_kernel(
             )  # (16{lo}, n)
             val = jnp.sum(oh_loT * candT, axis=0, keepdims=True)  # (1, n)
             rgb_ref[k, ch] = (
-                val.reshape(bh, wp).astype(jnp.int32).astype(jnp.uint8)
+                val.reshape(br, wc).astype(jnp.int32).astype(jnp.uint8)
             )
 
     # single full-tensor stats update (Mosaic allows no scalar stores)
@@ -201,20 +201,20 @@ def _fused_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kinds", "block_h", "interpret")
+    jax.jit, static_argnames=("kinds", "block_r", "interpret")
 )
 def _fused_call(
     img_pl: jax.Array,
     bounds: jax.Array,  # (2, C) f32: row 0 = lo, row 1 = hi
     kinds: Tuple[IndexKind, ...],
-    block_h: int,
+    block_r: int,
     interpret: bool,
 ):
     c, h, w = img_pl.shape
     k = len(kinds)
-    wp = _ceil_to(w, 128)
-    hp = _ceil_to(h, block_h)
-    padded = jnp.pad(img_pl, ((0, 0), (0, hp - h), (0, wp - w)))
+    n = h * w
+    flat = flatten_to_rows(img_pl, block_r)  # (C, R, 1024)
+    rows = flat.shape[-2]
     # (K, 3, 16{hi}, 16{lo}) byte tables
     luts = np.stack(
         [
@@ -225,16 +225,13 @@ def _fused_call(
             for kind in kinds
         ]
     )
-    grid = (hp // block_h,)
-    kernel = functools.partial(
-        _fused_kernel,
-        kinds=kinds, h_valid=h, w_valid=w, block_h=block_h,
-    )
+    grid = (rows // block_r,)
+    kernel = functools.partial(_fused_kernel, kinds=kinds, n_valid=n)
     wb, idx, rgb, stats = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((c, block_h, wp), lambda i: (0, i, 0),
+            pl.BlockSpec((c, block_r, _LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, c), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((k, 3, 16, 16), lambda i: (0, 0, 0, 0),
@@ -242,26 +239,30 @@ def _fused_call(
             pl.BlockSpec((64,), lambda i: (0,), memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((c, block_h, wp), lambda i: (0, i, 0),
+            pl.BlockSpec((c, block_r, _LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, block_h, wp), lambda i: (0, i, 0),
+            pl.BlockSpec((k, block_r, _LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, c, block_h, wp), lambda i: (0, 0, i, 0),
+            pl.BlockSpec((k, c, block_r, _LANES), lambda i: (0, 0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((c, hp, wp), jnp.uint8),
-            jax.ShapeDtypeStruct((k, hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((k, c, hp, wp), jnp.uint8),
+            jax.ShapeDtypeStruct((c, rows, _LANES), jnp.uint8),
+            jax.ShapeDtypeStruct((k, rows, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((k, c, rows, _LANES), jnp.uint8),
             jax.ShapeDtypeStruct((k, 128), jnp.float32),
         ),
         interpret=interpret,
     )(
-        padded, bounds, jnp.asarray(luts, jnp.float32),
+        flat, bounds, jnp.asarray(luts, jnp.float32),
         jnp.asarray(_EDGES50_PAD),
     )
+    # unflatten + drop tail padding (XLA-side reshapes, contiguous)
+    wb = wb.reshape(c, -1)[:, :n].reshape(c, h, w)
+    idx = idx.reshape(k, -1)[:, :n].reshape(k, h, w)
+    rgb = rgb.reshape(k, c, -1)[:, :, :n].reshape(k, c, h, w)
     # Convert cumulative >=-edge counts into per-bin counts:
     # hist[i] = C[i] - C[i+1] for i < 49; hist[49] = C[49] (right-closed,
     # values above edge 50 are impossible for clipped indices).
@@ -270,7 +271,7 @@ def _fused_call(
     stats = stats.at[:, S_HIST:S_HIST + 49].set(bins)
     stats = stats.at[:, S_HIST + 49].set(cum[:, 49])
     stats = stats.at[:, S_HIST + 50:].set(0.0)
-    return wb[:, :h, :w], idx[:, :h, :w], rgb[:, :, :h, :w], stats
+    return wb, idx, rgb, stats
 
 
 def fused_analyze_pallas(
@@ -278,7 +279,7 @@ def fused_analyze_pallas(
     lo: jax.Array,
     hi: jax.Array,
     kinds: Sequence[Union[IndexKind, str]],
-    block_h: int = 64,
+    block_r: int = 64,
     interpret: Optional[bool] = None,
 ):
     """Fused WB+index+stats+render of a planar ``(3, H, W)`` uint8 image.
@@ -291,4 +292,4 @@ def fused_analyze_pallas(
         interpret = jax.default_backend() == "cpu"
     kinds = tuple(IndexKind.parse(kd) for kd in kinds)
     bounds = jnp.stack([lo.astype(jnp.float32), hi.astype(jnp.float32)])
-    return _fused_call(img_pl, bounds, kinds, block_h, interpret)
+    return _fused_call(img_pl, bounds, kinds, block_r, interpret)

@@ -1,10 +1,14 @@
 """Fused per-channel 256-bin histogram kernel.
 
 One HBM read of the uint8 image; nibble one-hots are built in VMEM and
-contracted on the MXU ((N,16)^T @ (N,16) -> (16,16) per channel);
-partial histograms accumulate in the output ref across row-block grid
-steps. Padding rows/cols are masked in-kernel from static valid bounds
-(no mask tensor traffic).
+contracted on the MXU ((16,n) @ (16,n)^T -> (16,16) per channel);
+partial histograms accumulate in the output ref across grid steps.
+
+Canonical kernel layout: pixels flattened row-major into (C, R, 1024)
+— Mosaic reliably supports the (block_r, 1024) -> (1, n) in-kernel
+reshape, while arbitrary-width reshapes crash its layout pass. The
+wrapper flattens/pads in XLA (free for contiguous arrays) and masks
+padding positionally (tail positions >= n_valid).
 
 jnp reference: rgnir_tpu.ops.histogram.planar_histograms.
 """
@@ -19,6 +23,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_LANES = 1024
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -28,24 +34,23 @@ def _ceil_to(a: int, b: int) -> int:
     return _cdiv(a, b) * b
 
 
-def _hist_kernel(img_ref, out_ref, *, h_valid: int, w_valid: int, block_h: int):
-    """Grid: (num_row_blocks,). img_ref: (C, block_h, Wp) uint8.
-    out_ref: (C, 16, 16) float32 [hi, lo], accumulated across steps
-    (flattened to (C, 256) by the wrapper — Mosaic cannot reshape
-    (16,16) -> (1,256) in-kernel)."""
+def _hist_kernel(img_ref, out_ref, *, n_valid: int):
+    """Grid: (num_blocks,). img_ref: (C, block_r, 1024) uint8 flat rows.
+    out_ref: (C, 16, 16) f32 [hi, lo], accumulated across steps."""
     step = pl.program_id(0)
-    c, bh, wp = img_ref.shape
+    c, br, wc = img_ref.shape
+    n = br * wc
 
     @pl.when(step == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    n = bh * wp
-    row0 = step * block_h
-    rows = jax.lax.broadcasted_iota(jnp.int32, (bh, wp), 0) + row0
-    cols = jax.lax.broadcasted_iota(jnp.int32, (bh, wp), 1)
-    # (1, n) row layout: Mosaic reshapes must keep the lane dim wide.
-    mrow = ((rows < h_valid) & (cols < w_valid)).reshape(1, n)
+    pos = (
+        jax.lax.broadcasted_iota(jnp.int32, (br, wc), 0) * wc
+        + jax.lax.broadcasted_iota(jnp.int32, (br, wc), 1)
+        + step * n
+    )
+    mrow = (pos < n_valid).reshape(1, n)
     nib_col = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
 
     for ch in range(c):
@@ -67,36 +72,44 @@ def _hist_kernel(img_ref, out_ref, *, h_valid: int, w_valid: int, block_h: int):
         out_ref[ch] += h2
 
 
-@functools.partial(jax.jit, static_argnames=("block_h", "interpret"))
-def _hist_call(img_pl: jax.Array, block_h: int, interpret: bool) -> jax.Array:
+def flatten_to_rows(x: jax.Array, block_r: int, fill: int = 0):
+    """(..., H, W) -> (..., R, 1024) row-major flat with tail padding."""
+    *lead, h, w = x.shape
+    n = h * w
+    rows = _ceil_to(_cdiv(n, _LANES), block_r)
+    pad = rows * _LANES - n
+    flat = x.reshape(tuple(lead) + (n,))
+    if pad:
+        widths = [(0, 0)] * len(lead) + [(0, pad)]
+        flat = jnp.pad(flat, widths, constant_values=fill)
+    return flat.reshape(tuple(lead) + (rows, _LANES))
+
+
+@functools.partial(jax.jit, static_argnames=("block_r", "interpret"))
+def _hist_call(img_pl: jax.Array, block_r: int, interpret: bool) -> jax.Array:
     c, h, w = img_pl.shape
-    wp = _ceil_to(w, 128)
-    hp = _ceil_to(h, block_h)
-    padded = jnp.pad(img_pl, ((0, 0), (0, hp - h), (0, wp - w)))
-    grid = (hp // block_h,)
+    flat = flatten_to_rows(img_pl, block_r)  # (C, R, 1024)
+    rows = flat.shape[-2]
+    grid = (rows // block_r,)
     out = pl.pallas_call(
-        functools.partial(
-            _hist_kernel, h_valid=h, w_valid=w, block_h=block_h
-        ),
+        functools.partial(_hist_kernel, n_valid=h * w),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(
-                (c, block_h, wp), lambda i: (0, i, 0),
-                memory_space=pltpu.VMEM,
-            )
+            pl.BlockSpec((c, block_r, _LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (c, 16, 16), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((c, 16, 16), jnp.float32),
         interpret=interpret,
-    )(padded)
+    )(flat)
     return out.reshape(c, 256).astype(jnp.int32)
 
 
 def planar_histograms_pallas(
     img_pl: jax.Array,
-    block_h: int = 64,
+    block_r: int = 64,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Per-channel 256-bin histograms of a planar uint8 image.
@@ -109,6 +122,6 @@ def planar_histograms_pallas(
         interpret = jax.default_backend() == "cpu"
     if img_pl.ndim == 4:
         return jax.vmap(
-            lambda x: _hist_call(x, block_h, interpret)
+            lambda x: _hist_call(x, block_r, interpret)
         )(img_pl)
-    return _hist_call(img_pl, block_h, interpret)
+    return _hist_call(img_pl, block_r, interpret)

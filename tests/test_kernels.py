@@ -21,7 +21,7 @@ def planar_image(rgnir_image):
 
 class TestHistKernel:
     def test_parity_exact(self, planar_image):
-        got = np.asarray(planar_histograms_pallas(planar_image, block_h=32))
+        got = np.asarray(planar_histograms_pallas(planar_image, block_r=8))
         want = np.asarray(planar_histograms(planar_image))
         np.testing.assert_array_equal(got, want)
 
@@ -31,14 +31,14 @@ class TestHistKernel:
         img = jnp.asarray(
             rng.integers(0, 256, (3, 37, 90), dtype=np.uint8)
         )
-        got = np.asarray(planar_histograms_pallas(img, block_h=16))
+        got = np.asarray(planar_histograms_pallas(img, block_r=4))
         want = np.asarray(planar_histograms(img))
         np.testing.assert_array_equal(got, want)
         assert got.sum() == 3 * 37 * 90
 
     def test_batched(self, rng):
         imgs = jnp.asarray(rng.integers(0, 256, (2, 3, 24, 128), dtype=np.uint8))
-        got = np.asarray(planar_histograms_pallas(imgs, block_h=8))
+        got = np.asarray(planar_histograms_pallas(imgs, block_r=2))
         want = np.asarray(planar_histograms(imgs))
         np.testing.assert_array_equal(got, want)
 
@@ -78,7 +78,7 @@ class TestFusedKernel:
         lo, hi = wb_bounds_from_histogram(hist, n=h * w)
         kinds = ("NDVI", "NDWI")
         wb, idx, rgb, stats = fused_analyze_pallas(
-            planar_image, lo, hi, kinds, block_h=32
+            planar_image, lo, hi, kinds, block_r=8
         )
         ref = analyze_image(jnp.asarray(rgnir_image), kinds=kinds)
 
@@ -114,7 +114,7 @@ class TestFusedKernel:
         hist = planar_histograms(pl_img)
         lo, hi = wb_bounds_from_histogram(hist, n=41 * 77)
         wb, idx, rgb, stats = fused_analyze_pallas(
-            pl_img, lo, hi, ("NDVI",), block_h=16
+            pl_img, lo, hi, ("NDVI",), block_r=4
         )
         ref_wb = golden.golden_white_balance(img_hwc)
         got_wb = np.moveaxis(np.asarray(wb), 0, -1)
