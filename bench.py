@@ -99,7 +99,10 @@ def device_mpix_s(batch: int = 8, size: int = 1024) -> float:
         def body(i, carry):
             img, acc = carry
             res = analyze_image_kernel(img, kinds=("NDVI",))
-            nxt = img ^ res.renders["NDVI"]  # full data dependency
+            # Data dependency through the wb output forces sequential
+            # execution; renders/index maps are opaque kernel outputs
+            # and are always materialized.
+            nxt = res.wb
             acc = acc + res.stats["NDVI"].mean + res.stats["NDVI"].median
             return nxt, acc
         return jax.lax.fori_loop(

@@ -66,15 +66,15 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def _fused_kernel(
-    img_ref, bounds_ref, lut_ref, edges_ref,
+    img_ref, bounds_ref, lut_ref, edges_ref, nvalid_ref,
     wb_ref, idx_ref, rgb_ref, stats_ref,
     *,
     kinds: Tuple[IndexKind, ...],
-    n_valid: int,
 ):
     step = pl.program_id(0)
     c, br, wc = img_ref.shape
     n = br * wc
+    n_valid = nvalid_ref[0]
 
     nk = len(kinds)
     lane = jax.lax.broadcasted_iota(jnp.int32, (nk, 128), 1)
@@ -209,10 +209,13 @@ def _fused_call(
     kinds: Tuple[IndexKind, ...],
     block_r: int,
     interpret: bool,
+    n_valid=None,
 ):
     c, h, w = img_pl.shape
     k = len(kinds)
     n = h * w
+    if n_valid is None:
+        n_valid = n
     flat = flatten_to_rows(img_pl, block_r)  # (C, R, 1024)
     rows = flat.shape[-2]
     # (K, 3, 16{hi}, 16{lo}) byte tables
@@ -226,7 +229,7 @@ def _fused_call(
         ]
     )
     grid = (rows // block_r,)
-    kernel = functools.partial(_fused_kernel, kinds=kinds, n_valid=n)
+    kernel = functools.partial(_fused_kernel, kinds=kinds)
     wb, idx, rgb, stats = pl.pallas_call(
         kernel,
         grid=grid,
@@ -237,6 +240,7 @@ def _fused_call(
             pl.BlockSpec((k, 3, 16, 16), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((64,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((c, block_r, _LANES), lambda i: (0, i, 0),
@@ -258,6 +262,7 @@ def _fused_call(
     )(
         flat, bounds, jnp.asarray(luts, jnp.float32),
         jnp.asarray(_EDGES50_PAD),
+        jnp.asarray(n_valid, jnp.int32).reshape(1),
     )
     # unflatten + drop tail padding (XLA-side reshapes, contiguous)
     wb = wb.reshape(c, -1)[:, :n].reshape(c, h, w)
@@ -281,10 +286,13 @@ def fused_analyze_pallas(
     kinds: Sequence[Union[IndexKind, str]],
     block_r: int = 64,
     interpret: Optional[bool] = None,
+    n_valid=None,
 ):
     """Fused WB+index+stats+render of a planar ``(3, H, W)`` uint8 image.
 
     ``lo``/``hi``: per-channel WB bounds (from the histogram kernel).
+    ``n_valid`` (int or traced): count of valid row-major pixels for
+    stats masking (sharded callers pass their shard's live count).
     Returns ``(wb_planar u8, index (K,H,W) f32, rgb (K,3,H,W) u8,
     stats_partials (K,128) f32)`` with the S_* layout of this module.
     """
@@ -292,4 +300,4 @@ def fused_analyze_pallas(
         interpret = jax.default_backend() == "cpu"
     kinds = tuple(IndexKind.parse(kd) for kd in kinds)
     bounds = jnp.stack([lo.astype(jnp.float32), hi.astype(jnp.float32)])
-    return _fused_call(img_pl, bounds, kinds, block_r, interpret)
+    return _fused_call(img_pl, bounds, kinds, block_r, interpret, n_valid)

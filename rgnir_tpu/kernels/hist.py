@@ -34,9 +34,10 @@ def _ceil_to(a: int, b: int) -> int:
     return _cdiv(a, b) * b
 
 
-def _hist_kernel(img_ref, out_ref, *, n_valid: int):
+def _hist_kernel(img_ref, nvalid_ref, out_ref):
     """Grid: (num_blocks,). img_ref: (C, block_r, 1024) uint8 flat rows.
-    out_ref: (C, 16, 16) f32 [hi, lo], accumulated across steps."""
+    nvalid_ref: (1,) int32 SMEM — valid-pixel count (may be traced, e.g.
+    a shard's dynamic row count). out_ref: (C, 16, 16) f32 [hi, lo]."""
     step = pl.program_id(0)
     c, br, wc = img_ref.shape
     n = br * wc
@@ -50,7 +51,7 @@ def _hist_kernel(img_ref, out_ref, *, n_valid: int):
         + jax.lax.broadcasted_iota(jnp.int32, (br, wc), 1)
         + step * n
     )
-    mrow = (pos < n_valid).reshape(1, n)
+    mrow = (pos < nvalid_ref[0]).reshape(1, n)
     nib_col = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
 
     for ch in range(c):
@@ -86,24 +87,32 @@ def flatten_to_rows(x: jax.Array, block_r: int, fill: int = 0):
 
 
 @functools.partial(jax.jit, static_argnames=("block_r", "interpret"))
-def _hist_call(img_pl: jax.Array, block_r: int, interpret: bool) -> jax.Array:
+def _hist_call(
+    img_pl: jax.Array,
+    block_r: int,
+    interpret: bool,
+    n_valid=None,
+) -> jax.Array:
     c, h, w = img_pl.shape
+    if n_valid is None:
+        n_valid = h * w
     flat = flatten_to_rows(img_pl, block_r)  # (C, R, 1024)
     rows = flat.shape[-2]
     grid = (rows // block_r,)
     out = pl.pallas_call(
-        functools.partial(_hist_kernel, n_valid=h * w),
+        _hist_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((c, block_r, _LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (c, 16, 16), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((c, 16, 16), jnp.float32),
         interpret=interpret,
-    )(flat)
+    )(flat, jnp.asarray(n_valid, jnp.int32).reshape(1))
     return out.reshape(c, 256).astype(jnp.int32)
 
 
@@ -111,17 +120,20 @@ def planar_histograms_pallas(
     img_pl: jax.Array,
     block_r: int = 64,
     interpret: Optional[bool] = None,
+    n_valid=None,
 ) -> jax.Array:
     """Per-channel 256-bin histograms of a planar uint8 image.
 
-    Accepts ``(C, H, W)`` or ``(B, C, H, W)`` (vmapped). Exact int32
-    counts (f32 accumulation stays exact: per-(channel, bin) count is
-    bounded by the image size; caller should chunk above 2^24 pixels).
+    Accepts ``(C, H, W)`` or ``(B, C, H, W)`` (vmapped). ``n_valid``
+    (int or traced scalar) counts only the first N row-major pixels —
+    used by sharded callers whose last shard holds padding rows. Exact
+    int32 counts (f32 accumulation stays exact: per-(channel, bin)
+    count is bounded by the image size; chunk above 2^24 pixels).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if img_pl.ndim == 4:
         return jax.vmap(
-            lambda x: _hist_call(x, block_r, interpret)
+            lambda x: _hist_call(x, block_r, interpret, n_valid)
         )(img_pl)
-    return _hist_call(img_pl, block_r, interpret)
+    return _hist_call(img_pl, block_r, interpret, n_valid)

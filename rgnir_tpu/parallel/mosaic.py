@@ -57,6 +57,7 @@ def analyze_mosaic(
     wb_cfg: WBConfig = WBConfig(),
     idx_cfg: IndexConfig = IndexConfig(),
     with_renders: bool = False,
+    impl: str = "jnp",
 ) -> MosaicResult:
     """Analyze one large ``(H, W, 3)`` uint8 mosaic sharded over a mesh.
 
@@ -64,6 +65,10 @@ def analyze_mosaic(
     statistics are exact (padding masked out of every reduction).
     Returned pixel outputs keep the row padding (slice with
     ``[:H]`` on the host if needed); stats are replicated.
+
+    ``impl``: "jnp" (default, compiles on every backend) or "kernel"
+    (Pallas fused kernels inside the shard — the multi-chip TPU
+    production path; interpret-mode on CPU). Both are parity-tested.
     """
     if mesh is None:
         mesh = local_mesh()
@@ -77,6 +82,12 @@ def analyze_mosaic(
     if hp != h:
         mosaic = jnp.pad(mosaic, ((0, hp - h), (0, 0), (0, 0)))
     block_h = hp // n_dev
+
+    if impl == "kernel":
+        return _analyze_mosaic_kernel(
+            mosaic, kinds, mesh, axis, block_h, h, w, wb_cfg, idx_cfg,
+            with_renders,
+        )
 
     def shard_fn(tile: jax.Array):
         # tile: (block_h, W, 3) uint8 local shard -> planar (3, bh, W)
@@ -138,6 +149,76 @@ def analyze_mosaic(
         mesh=mesh,
         in_specs=P(axis),
         out_specs=out_specs,
+        check_vma=False,
+    )
+    wb, indices, renders, stats = jax.jit(fn)(mosaic)
+    return MosaicResult(wb=wb, indices=indices, renders=renders, stats=stats)
+
+
+def _analyze_mosaic_kernel(
+    mosaic, kinds, mesh, axis, block_h, h, w, wb_cfg, idx_cfg, with_renders
+):
+    """Kernel-backed shard body: Pallas fused histogram + analyze kernels
+    per shard, exact global reductions between them. Medians use the
+    distributed jnp radix-select (psum per round) — the byte histograms
+    there are cheap relative to the fused pass."""
+    from rgnir_tpu.kernels.fused import (
+        S_ABOVE, S_HIST, S_MAX, S_MIN, S_SUM, S_SUMSQ, fused_analyze_pallas,
+    )
+    from rgnir_tpu.kernels.hist import planar_histograms_pallas
+    from rgnir_tpu.parallel.reduce import masked_median
+
+    n_valid = h * w
+
+    def shard_fn(tile: jax.Array):
+        row0 = jax.lax.axis_index(axis) * block_h
+        rows_live = jnp.clip(h - row0, 0, block_h)
+        n_live = rows_live * w  # traced per-shard valid count
+
+        pl = jnp.moveaxis(tile, -1, -3)
+        hist = planar_histograms_pallas(pl, n_valid=n_live)
+        hist = jax.lax.psum(hist, axis)
+        lo, hi = wb_bounds_from_histogram(hist, n=n_valid, cfg=wb_cfg)
+        wb_pl, idx, rgb, partials = fused_analyze_pallas(
+            pl, lo, hi, kinds, n_valid=n_live
+        )
+        wb = jnp.moveaxis(wb_pl, -3, -1)
+
+        rowmask = (
+            jax.lax.broadcasted_iota(jnp.int32, (block_h, 1), 0) < rows_live
+        )
+        mask = jnp.broadcast_to(rowmask, (block_h, w))
+
+        indices: Dict[str, jax.Array] = {}
+        renders: Dict[str, jax.Array] = {}
+        stats: Dict[str, IndexStats] = {}
+        for k, kind in enumerate(kinds):
+            s = partials[k]
+            s_sum = jax.lax.psum(s[S_SUM], axis)
+            s_sumsq = jax.lax.psum(s[S_SUMSQ], axis)
+            s_above = jax.lax.psum(s[S_ABOVE], axis)
+            mn = jax.lax.pmin(s[S_MIN], axis)
+            mx = jax.lax.pmax(s[S_MAX], axis)
+            h50 = jax.lax.psum(s[S_HIST:S_HIST + 50], axis)
+            mean = s_sum / n_valid
+            var = jnp.maximum(s_sumsq / n_valid - mean * mean, 0.0)
+            med = masked_median(
+                idx[k], n_valid, mask=mask, axis_name=axis, reduce_ndim=2
+            )
+            indices[kind.value] = idx[k]
+            if with_renders:
+                renders[kind.value] = jnp.moveaxis(rgb[k], -3, -1)
+            stats[kind.value] = IndexStats(
+                mean=mean, median=med, std=jnp.sqrt(var), min=mn, max=mx,
+                coverage_pct=s_above / n_valid * 100.0,
+                histogram=h50.astype(jnp.int32),
+                n=jnp.int32(n_valid),
+            )
+        return wb, indices, renders, stats
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=P(axis),
+        out_specs=(P(axis), P(axis), P(axis), P()),
         check_vma=False,
     )
     wb, indices, renders, stats = jax.jit(fn)(mosaic)

@@ -140,6 +140,37 @@ class TestAnalyzeMosaic:
         )
         assert res.renders["NDVI"].shape[-1] == 3
 
+    def test_kernel_impl_matches_jnp(self, mosaic):
+        """The Pallas-kernel shard body (the multi-chip TPU production
+        path) must agree with the jnp shard body bit-for-bit."""
+        mesh = local_mesh("d")
+        a = analyze_mosaic(
+            mosaic, kinds=("NDVI",), mesh=mesh, impl="kernel",
+            with_renders=True,
+        )
+        b = analyze_mosaic(
+            mosaic, kinds=("NDVI",), mesh=mesh, impl="jnp",
+            with_renders=True,
+        )
+        h = mosaic.shape[0]
+        np.testing.assert_array_equal(np.asarray(a.wb)[:h], np.asarray(b.wb)[:h])
+        np.testing.assert_array_equal(
+            np.asarray(a.indices["NDVI"])[:h], np.asarray(b.indices["NDVI"])[:h]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.renders["NDVI"])[:h], np.asarray(b.renders["NDVI"])[:h]
+        )
+        sa, sb = a.stats["NDVI"], b.stats["NDVI"]
+        assert float(sa.median) == float(sb.median)
+        assert float(sa.min) == float(sb.min)
+        assert float(sa.max) == float(sb.max)
+        assert float(sa.coverage_pct) == pytest.approx(
+            float(sb.coverage_pct), abs=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sa.histogram), np.asarray(sb.histogram)
+        )
+
 
 class TestTiling:
     def test_roundtrip(self, rng):
