@@ -42,14 +42,14 @@ def _body(kinds, renders=True):
     return body
 
 
-def run_config(name, shape, kinds, renders=True, ns=(20, 120)):
+def run_config(name, shape, kinds, renders=True, ns=(20, 120), reps=4):
     rng = np.random.default_rng(0)
     img = jax.device_put(
         jnp.asarray(rng.integers(0, 256, shape, dtype=np.uint8))
     )
     batch = shape[0] if len(shape) == 4 else 1
     acc0 = jnp.zeros(batch) if len(shape) == 4 else jnp.zeros(())
-    ms = chain_time(_body(kinds, renders), (img, acc0), ns=ns, reps=3)
+    ms = chain_time(_body(kinds, renders), (img, acc0), ns=ns, reps=reps)
     mpix = np.prod(shape[:-1]) / 1e6
     rec = {
         "config": name,
@@ -79,7 +79,8 @@ def main() -> None:
     # 3. 4096^2 orthomosaic, fused WB+NDVI (no 512-tiling needed: the
     #    whole mosaic is one fused pass with globally exact percentiles)
     r3 = run_config(
-        "3_mosaic_4096_fused", (4096, 4096, 3), ("NDVI",), ns=ns,
+        "3_mosaic_4096_fused", (4096, 4096, 3), ("NDVI",),
+        ns=(10, 110) if not quick else ns, reps=5,
     )
     # 4. streaming 1080p, all 3 indices + per-frame stats
     r4 = run_config(
@@ -96,7 +97,7 @@ def main() -> None:
     #    histograms/medians) is validated on the CPU mesh + dryrun.
     r5 = run_config(
         "5_survey_8192_fused", (8192, 8192, 3), ("NDVI",),
-        renders=False, ns=(5, 30),
+        renders=False, ns=(5, 55), reps=5,
     )
 
     lines = [

@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rgnir_tpu.color import get_lut
 from rgnir_tpu.config import EPSILON, IndexKind
-from rgnir_tpu.kernels.hist import _LANES, flatten_to_rows
+from rgnir_tpu.kernels.hist import _LANES, auto_block_r, flatten_to_rows
 from rgnir_tpu.ops.indices import BAND_INDICES
 
 # stats partial layout in the (K, 128) output
@@ -207,7 +207,7 @@ def _fused_call(
     img_pl: jax.Array,
     bounds: jax.Array,  # (2, C) f32: row 0 = lo, row 1 = hi
     kinds: Tuple[IndexKind, ...],
-    block_r: int,
+    block_r,
     interpret: bool,
     n_valid=None,
 ):
@@ -216,6 +216,9 @@ def _fused_call(
     n = h * w
     if n_valid is None:
         n_valid = n
+    if block_r is None:
+        # ge matrix (64,n) bf16 + one-hots cap the fused working set
+        block_r = auto_block_r(n, cap=32)
     flat = flatten_to_rows(img_pl, block_r)  # (C, R, 1024)
     rows = flat.shape[-2]
     # (K, 3, 16{hi}, 16{lo}) byte tables
@@ -284,7 +287,7 @@ def fused_analyze_pallas(
     lo: jax.Array,
     hi: jax.Array,
     kinds: Sequence[Union[IndexKind, str]],
-    block_r: int = 64,
+    block_r=None,
     interpret: Optional[bool] = None,
     n_valid=None,
 ):

@@ -73,6 +73,18 @@ def _hist_kernel(img_ref, nvalid_ref, out_ref):
         out_ref[ch] += h2
 
 
+def auto_block_r(n_pixels: int, target_steps: int = 64, cap: int = 64) -> int:
+    """Pick a block row count balancing VMEM footprint (one-hot and
+    ge-matrix intermediates scale with block_r*1024) against grid-step
+    count (small images want small blocks; mosaics want large ones).
+    ``cap`` is per-kernel: the fused kernel's working set is ~3x the
+    histogram kernel's, so it passes a lower cap to stay inside the
+    16 MB VMEM scoped limit."""
+    rows = _cdiv(n_pixels, _LANES)
+    ideal = max(16, rows // target_steps)
+    return min(cap, _ceil_to(ideal, 8))
+
+
 def flatten_to_rows(x: jax.Array, block_r: int, fill: int = 0):
     """(..., H, W) -> (..., R, 1024) row-major flat with tail padding."""
     *lead, h, w = x.shape
@@ -89,13 +101,15 @@ def flatten_to_rows(x: jax.Array, block_r: int, fill: int = 0):
 @functools.partial(jax.jit, static_argnames=("block_r", "interpret"))
 def _hist_call(
     img_pl: jax.Array,
-    block_r: int,
+    block_r,
     interpret: bool,
     n_valid=None,
 ) -> jax.Array:
     c, h, w = img_pl.shape
     if n_valid is None:
         n_valid = h * w
+    if block_r is None:
+        block_r = auto_block_r(h * w)
     flat = flatten_to_rows(img_pl, block_r)  # (C, R, 1024)
     rows = flat.shape[-2]
     grid = (rows // block_r,)
@@ -118,7 +132,7 @@ def _hist_call(
 
 def planar_histograms_pallas(
     img_pl: jax.Array,
-    block_r: int = 64,
+    block_r=None,
     interpret: Optional[bool] = None,
     n_valid=None,
 ) -> jax.Array:

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from rgnir_tpu.kernels.hist import auto_block_r
 from rgnir_tpu.ops.select import f32_from_ordered_u32, ordered_u32_from_f32
 
 
@@ -141,7 +142,7 @@ def _select_batched(
     return prefix, eq_minus_rank
 
 
-def _pack_keys(vals_flat: jax.Array, block_r: int):
+def _pack_keys(vals_flat: jax.Array, block_r):
     """(B, N) f32 -> (B, R, 1024) uint32 keys padded with the max key."""
     b, n = vals_flat.shape
     rows = _ceil_to(_cdiv(n, 1024), block_r)
@@ -157,7 +158,7 @@ def radix_order_statistic_pallas(
     vals: jax.Array,
     rank: jax.Array,
     reduce_ndim: int = 1,
-    block_r: int = 64,
+    block_r=None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Exact rank-th smallest float32 over the last ``reduce_ndim`` axes;
@@ -169,6 +170,8 @@ def radix_order_statistic_pallas(
     n = 1
     for d in vals.shape[vals.ndim - reduce_ndim:]:
         n *= d
+    if block_r is None:
+        block_r = auto_block_r(n)
     flat = vals.reshape((-1, n))
     keys = _pack_keys(flat, block_r)
     rank_b = jnp.broadcast_to(jnp.asarray(rank, jnp.int32), batch).reshape(-1)
@@ -180,7 +183,7 @@ def masked_median_pallas(
     vals: jax.Array,
     n_valid: int,
     reduce_ndim: int = 1,
-    block_r: int = 64,
+    block_r=None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Exact median (numpy even-n semantics) via the kernel radix-select.
@@ -196,6 +199,8 @@ def masked_median_pallas(
     for d in vals.shape[vals.ndim - reduce_ndim:]:
         n *= d
     assert n == n_valid, (n, n_valid)
+    if block_r is None:
+        block_r = auto_block_r(n)
     flat = vals.reshape((-1, n))
     keys = _pack_keys(flat, block_r)
     b = keys.shape[0]

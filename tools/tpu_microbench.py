@@ -29,19 +29,28 @@ def chain_time(
     ns: Tuple[int, int] = (10, 60),
     reps: int = 3,
 ) -> float:
-    """ms per iteration of ``body`` (slope method, min over reps)."""
+    """ms per iteration of ``body``.
+
+    Slope method with jitter hardening: the tunnel adds hundreds of ms
+    of random per-call latency, so a single (A, B) pair can even give a
+    negative slope. We alternate A,B,A,B,... and take the slope of the
+    per-n minima over ``reps`` pairs — min is the right estimator for a
+    fixed cost plus positive noise.
+    """
 
     @jax.jit
     def run(c, n):
         return jax.lax.fori_loop(0, n, body, c)
 
-    best = {}
+    # compile + warm both iteration counts
     for n in ns:
-        _touch(run(carry0, n))  # compile + warm
-        ts = []
-        for _ in range(reps):
+        _touch(run(carry0, n))
+
+    best = {n: float("inf") for n in ns}
+    for _ in range(max(2, reps)):
+        for n in ns:
             t0 = time.perf_counter()
             _touch(run(carry0, n))
-            ts.append(time.perf_counter() - t0)
-        best[n] = min(ts)
-    return (best[ns[1]] - best[ns[0]]) / (ns[1] - ns[0]) * 1e3
+            best[n] = min(best[n], time.perf_counter() - t0)
+    slope = (best[ns[1]] - best[ns[0]]) / (ns[1] - ns[0]) * 1e3
+    return slope
