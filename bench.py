@@ -111,24 +111,26 @@ def device_mpix_s(batch: int = 8, size: int = 1024) -> float:
 
     t0 = time.perf_counter()
     ns = (10, 110)
-    best = {}
+    best = {n: float("inf") for n in ns}
     for n in ns:
         out = run(x, n)
         np.asarray(out[1])  # host fetch forces completion (compile+warm)
-        if not best:
-            _log(f"compile+first-run: {time.perf_counter() - t0:.2f}s")
-        ts = []
-        for _ in range(3):
+    _log(f"compile+first-run: {time.perf_counter() - t0:.2f}s")
+    # Alternate iteration counts and slope the per-count minima: the
+    # tunnel adds hundreds of ms of random per-call latency and the
+    # shared chip's throughput varies with contention — min is the
+    # right estimator for fixed cost + positive noise.
+    for _ in range(4):
+        for n in ns:
             t0 = time.perf_counter()
             out = run(x, n)
             np.asarray(out[1])
-            ts.append(time.perf_counter() - t0)
-        best[n] = min(ts)
+            best[n] = min(best[n], time.perf_counter() - t0)
     dt = (best[ns[1]] - best[ns[0]]) / (ns[1] - ns[0])
     mpix = batch * size * size / 1e6
     _log(
         f"device: {dt*1e3:.2f} ms / {mpix:.0f} MPix batch "
-        f"(slope of {ns[0]}->{ns[1]} iters, min of 3)"
+        f"(slope of per-count minima, {ns[0]}<->{ns[1]} alternating x4)"
     )
     return mpix / dt
 

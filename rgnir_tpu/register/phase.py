@@ -14,6 +14,8 @@ from __future__ import annotations
 import functools
 from typing import Optional, Tuple, Union
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -49,11 +51,40 @@ def _parabolic_refine(c_m: jax.Array, c_0: jax.Array, c_p: jax.Array) -> jax.Arr
     return jnp.clip(off, -0.5, 0.5)
 
 
-@functools.partial(jax.jit, static_argnames=("subpixel",))
+def _upsampled_dft(
+    prod: jax.Array,
+    region: int,
+    upsample: int,
+    off_y: jax.Array,
+    off_x: jax.Array,
+) -> jax.Array:
+    """Matrix-multiply DFT of the cross-power spectrum on an upsampled
+    ``region x region`` grid starting at (off_y, off_x) in upsampled
+    coordinates (Guizar-Sicairos local refinement; the technique behind
+    skimage's ``upsample_factor``). Runs on the MXU: two complex
+    matmuls of shape (region, H) @ (H, W) @ (W, region)."""
+    h, w = prod.shape
+    fy = jnp.fft.fftfreq(h).astype(jnp.float32)  # cycles/sample
+    fx = jnp.fft.fftfreq(w).astype(jnp.float32)
+    r = jnp.arange(region, dtype=jnp.float32)
+    # sample positions in original-pixel units
+    pos_y = (off_y + r) / upsample  # (region,)
+    pos_x = (off_x + r) / upsample
+    ky = jnp.exp(
+        (2j * jnp.pi) * pos_y[:, None] * fy[None, :]
+    )  # (region, H): inverse-DFT kernel rows
+    kx = jnp.exp((2j * jnp.pi) * fx[:, None] * pos_x[None, :])  # (W, region)
+    return ky @ prod @ kx  # (region, region) complex
+
+
+@functools.partial(
+    jax.jit, static_argnames=("subpixel", "upsample_factor")
+)
 def phase_correlation_shift(
     fixed: jax.Array,
     moving: jax.Array,
     subpixel: bool = False,
+    upsample_factor: int = 1,
 ) -> jax.Array:
     """Estimated (dy, dx) such that shifting ``moving`` by it aligns it
     to ``fixed`` — skimage sign convention: ``shift = argmax`` of
@@ -61,7 +92,10 @@ def phase_correlation_shift(
 
     Args:
       fixed/moving: ``(H, W)`` float grayscale (see :func:`luminance`).
-      subpixel: add 3-point parabolic refinement per axis.
+      subpixel: add 3-point parabolic refinement per axis (cheap).
+      upsample_factor: > 1 refines the shift to 1/upsample_factor pixel
+        via a local matrix-multiply DFT around the coarse peak (the
+        skimage ``upsample_factor`` capability; overrides ``subpixel``).
 
     Returns:
       ``(2,)`` float32 ``(dy, dx)``.
@@ -79,22 +113,36 @@ def phase_correlation_shift(
     py = (flat_idx // w).astype(jnp.int32)
     px = (flat_idx % w).astype(jnp.int32)
 
-    if subpixel:
+    # Unwrap: peaks beyond the midpoint are negative shifts
+    # (skimage: shifts[shifts > midpoint] -= shape).
+    dy = jnp.where(py > h // 2, py - h, py).astype(jnp.float32)
+    dx = jnp.where(px > w // 2, px - w, px).astype(jnp.float32)
+
+    if upsample_factor > 1:
+        # Full-spectrum cross-power (normalized) for the matrix DFT.
+        ff = jnp.fft.fft2(fixed.astype(jnp.float32))
+        fm = jnp.fft.fft2(moving.astype(jnp.float32))
+        p = ff * jnp.conj(fm)
+        p = p / jnp.maximum(jnp.abs(p), 1e-20)
+        region = int(np.ceil(1.5 * upsample_factor))
+        # window centered on the coarse estimate, in upsampled coords
+        off_y = dy * upsample_factor - (region - 1) / 2.0
+        off_x = dx * upsample_factor - (region - 1) / 2.0
+        cc_up = jnp.abs(_upsampled_dft(p, region, upsample_factor,
+                                       off_y, off_x))
+        up_idx = jnp.argmax(cc_up)
+        uy = (up_idx // region).astype(jnp.float32)
+        ux = (up_idx % region).astype(jnp.float32)
+        dy = (off_y + uy) / upsample_factor
+        dx = (off_x + ux) / upsample_factor
+    elif subpixel:
         ym = cabs[(py - 1) % h, px]
         yp = cabs[(py + 1) % h, px]
         xm = cabs[py, (px - 1) % w]
         xp = cabs[py, (px + 1) % w]
         c0 = cabs[py, px]
-        fy = _parabolic_refine(ym, c0, yp)
-        fx = _parabolic_refine(xm, c0, xp)
-    else:
-        fy = jnp.float32(0.0)
-        fx = jnp.float32(0.0)
-
-    # Unwrap: peaks beyond the midpoint are negative shifts
-    # (skimage: shifts[shifts > midpoint] -= shape).
-    dy = jnp.where(py > h // 2, py - h, py).astype(jnp.float32) + fy
-    dx = jnp.where(px > w // 2, px - w, px).astype(jnp.float32) + fx
+        dy = dy + _parabolic_refine(ym, c0, yp)
+        dx = dx + _parabolic_refine(xm, c0, xp)
     return jnp.stack([dy, dx])
 
 

@@ -1,0 +1,112 @@
+"""IO layer tests: shape-bucketed async loader, writer, decode."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from rgnir_tpu.config import LoaderConfig
+from rgnir_tpu.io import AsyncWriter, BatchLoader, decode_bytes, decode_file
+from rgnir_tpu.io.writer import encode_png
+
+
+def _write(path: Path, arr: np.ndarray) -> Path:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    Image.fromarray(arr).save(path)
+    return path
+
+
+class TestDecode:
+    def test_roundtrip(self, tmp_path, rng):
+        arr = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+        p = _write(tmp_path / "x.png", arr)
+        np.testing.assert_array_equal(decode_file(p), arr)
+        np.testing.assert_array_equal(decode_bytes(p.read_bytes()), arr)
+
+    def test_grayscale_promoted_to_3ch(self, tmp_path, rng):
+        gray = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+        p = tmp_path / "g.png"
+        Image.fromarray(gray, mode="L").save(p)
+        out = decode_file(p)
+        assert out.shape == (16, 16, 3)
+
+
+class TestBatchLoader:
+    def test_shape_bucketing_and_order(self, tmp_path, rng):
+        paths = []
+        for i in range(5):
+            paths.append(_write(tmp_path / f"a{i}.png",
+                                rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)))
+        for i in range(3):
+            paths.append(_write(tmp_path / f"b{i}.png",
+                                rng.integers(0, 256, (8, 24, 3), dtype=np.uint8)))
+        loader = BatchLoader(paths, cfg=LoaderConfig(batch_size=2, decode_workers=3))
+        batches = list(loader)
+        # every batch is same-shape; all 8 images appear exactly once
+        seen = []
+        for b in batches:
+            assert b.images.shape[0] == len(b.paths) == len(b.indices)
+            assert len({a.shape for a in b.images}) == 1
+            seen.extend(b.indices)
+        assert sorted(seen) == list(range(8))
+        assert not loader.failures
+
+    def test_decode_failure_continues(self, tmp_path, rng):
+        ok = _write(tmp_path / "ok.png",
+                    rng.integers(0, 256, (8, 8, 3), dtype=np.uint8))
+        bad = tmp_path / "bad.png"
+        bad.write_bytes(b"not an image")
+        loader = BatchLoader([ok, bad], cfg=LoaderConfig(batch_size=4))
+        batches = list(loader)
+        assert sum(len(b.paths) for b in batches) == 1
+        assert len(loader.failures) == 1
+        assert loader.failures[0].path == bad
+
+
+class TestWriter:
+    def test_async_write_and_errors(self, tmp_path, rng):
+        arr = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        w = AsyncWriter(workers=2)
+        w.submit_array(tmp_path / "sub" / "a.png", arr)  # creates dirs
+        errors = w.close()
+        assert errors == []
+        np.testing.assert_array_equal(
+            np.asarray(Image.open(tmp_path / "sub" / "a.png")), arr
+        )
+
+    def test_encode_png_roundtrip(self, rng):
+        import io as _io
+
+        arr = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+        back = np.asarray(Image.open(_io.BytesIO(encode_png(arr))))
+        np.testing.assert_array_equal(back, arr)
+
+
+class TestVizSmoke:
+    def test_figures_render(self, rng):
+        from datetime import datetime
+
+        from rgnir_tpu.viz import (
+            render_change_figure,
+            render_comparison_figure,
+            render_histogram_figure,
+            render_index_figure,
+            render_time_series_figure,
+        )
+
+        idx = rng.uniform(-1, 1, (16, 16)).astype(np.float32)
+        assert render_index_figure(idx, "NDVI").size[0] > 0
+        fig, stats = render_comparison_figure(
+            [{"filename": "a", "array": idx, "stats": {"Mean NDVI": 0.1}}],
+            index_type="NDVI",
+        )
+        assert fig.size[0] > 0 and stats["a"]["Mean NDVI"] == 0.1
+        dates = [datetime(2025, m, 1) for m in (1, 2, 3)]
+        assert render_time_series_figure(
+            dates, [0.1, 0.2, 0.3], [0.0, 0.1, 0.2], [0.2, 0.3, 0.4], "NDWI"
+        ).size[0] > 0
+        assert render_change_figure(idx, idx, idx * 0, "NDVI", "a", "b").size[0] > 0
+        assert render_histogram_figure(
+            np.arange(50), "NDVI"
+        ).size[0] > 0

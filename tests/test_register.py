@@ -72,6 +72,26 @@ class TestPhaseCorrelation:
         )
         assert abs(got[0] - 2.5) < 0.6 and abs(got[1] + 1.5) < 0.6
 
+    @pytest.mark.parametrize("dy,dx", [(2.3, -1.7), (-0.4, 5.9)])
+    def test_upsampled_dft_subpixel(self, rng, dy, dx):
+        """skimage upsample_factor capability: recover an exact circular
+        subpixel shift (applied as a spectrum phase ramp) to 1/10 px."""
+        img = _texture(rng)
+        h, w = img.shape
+        fy = np.fft.fftfreq(h)[:, None]
+        fx = np.fft.fftfreq(w)[None, :]
+        ramp = np.exp(-2j * np.pi * (dy * fy + dx * fx))
+        moving = np.real(np.fft.ifft2(np.fft.fft2(img) * ramp)).astype(
+            np.float32
+        )  # moving = img shifted by +(dy,dx); the function returns the
+        # shift to APPLY to moving, i.e. -(dy,dx)
+        got = np.asarray(
+            phase_correlation_shift(
+                jnp.asarray(img), jnp.asarray(moving), upsample_factor=10
+            )
+        )
+        assert abs(got[0] + dy) <= 0.1 and abs(got[1] + dx) <= 0.1, got
+
 
 class TestAlignImages:
     def test_end_to_end(self, rng):
