@@ -1,0 +1,16 @@
+"""Native (C++) runtime components.
+
+The reference has no native code at all (SURVEY.md section 2.4); this
+package adds TPU-framework runtime pieces that belong in C++:
+
+- ``FrameRing`` — a lock-free SPSC shared-memory frame ring for
+  streaming ingestion (camera/telemetry process -> analyzer process,
+  no pickling, no sockets, no GIL hand-offs on the hot path).
+
+Built on demand with g++ (no pybind11 in this environment — plain C ABI
+consumed via ctypes).
+"""
+
+from rgnir_tpu.native.ring import FrameRing, native_available
+
+__all__ = ["FrameRing", "native_available"]

@@ -87,3 +87,24 @@ class StreamAnalyzer:
         """Yield all remaining in-flight results."""
         while self._inflight:
             yield self._inflight.popleft()
+
+    def run_from_ring(self, ring, max_frames: Optional[int] = None,
+                      idle_sleep_s: float = 0.0005):
+        """Consume frames from a native shared-memory FrameRing
+        (rgnir_tpu.native) — the production camera->analyzer hand-off —
+        yielding FrameResults as the pipeline produces them. Stops after
+        ``max_frames`` (None = run until the ring owner closes and the
+        consumer sees ``max_frames`` reached)."""
+        import time as _time
+
+        consumed = 0
+        while max_frames is None or consumed < max_frames:
+            frame = ring.try_pop()
+            if frame is None:
+                _time.sleep(idle_sleep_s)
+                continue
+            consumed += 1
+            result = self.submit(frame)
+            if result is not None:
+                yield result
+        yield from self.drain()

@@ -116,3 +116,21 @@ class TestStreaming:
         an = StreamAnalyzer(frame_shape=(32, 32), kinds=("NDVI",))
         with pytest.raises(ValueError, match="frame shape"):
             an.submit(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))
+
+    def test_ring_fed_stream(self, rng):
+        """End-to-end: native shm ring -> StreamAnalyzer."""
+        from rgnir_tpu.native import FrameRing, native_available
+        from rgnir_tpu.pipeline.streaming import StreamAnalyzer
+
+        if not native_available():
+            pytest.skip("native ring unavailable")
+        shape = (32, 48)
+        an = StreamAnalyzer(frame_shape=shape, kinds=("NDVI",), depth=1)
+        an.warmup()
+        with FrameRing.create("/rgnir_stream_test", shape + (3,), 4) as ring:
+            for _ in range(3):
+                assert ring.try_push(
+                    rng.integers(0, 256, shape + (3,), dtype=np.uint8)
+                )
+            results = list(an.run_from_ring(ring, max_frames=3))
+        assert [r.frame_id for r in results] == [0, 1, 2]
