@@ -54,6 +54,19 @@ class AsyncWriter:
             (Path(path), self.pool.submit(_write_image, Path(path), img))
         )
 
+    def submit_call(self, path: Union[str, Path], fn) -> None:
+        """Run an arbitrary writer callable in the pool (e.g. compose +
+        save a matplotlib figure); ``path`` is for error reporting and
+        directory creation."""
+        p = Path(path)
+
+        def run():
+            p.parent.mkdir(parents=True, exist_ok=True)
+            fn()
+            return p
+
+        self.pending.append((p, self.pool.submit(run)))
+
     def close(self) -> List[Tuple[Path, Exception]]:
         """Wait for all writes; returns (path, error) for any failures."""
         errors = []

@@ -23,6 +23,7 @@ backend-process.py:40-47) at figure-render speed.
 
 from __future__ import annotations
 
+import functools
 from pathlib import Path
 from typing import Callable, List, Optional, Sequence, Union
 
@@ -49,11 +50,14 @@ def list_input_images(input_dir: Union[str, Path]) -> List[Path]:
     )
 
 
-def _batch_forward(images: jax.Array, kinds):
+def _batch_forward(images: jax.Array, kinds, figures: bool):
     from rgnir_tpu.pipeline.dispatch import analyze_image_auto
 
-    res = analyze_image_auto(images, kinds=kinds, with_renders=True)
-    return res.wb, res.renders
+    # In figures mode the matplotlib composer consumes the float index
+    # maps; in the default mode the device produces finished colormap
+    # renders. Never compute both.
+    res = analyze_image_auto(images, kinds=kinds, with_renders=not figures)
+    return res.wb, res.indices if figures else res.renders
 
 
 def batch_process(
@@ -90,9 +94,13 @@ def batch_process(
     try:
         done_counter = skipped
         for batch in loader:
-            wb, renders = _batch_forward(jnp.asarray(batch.images), kind_names)
-            wb_np = np.asarray(wb)
-            renders_np = {k: np.asarray(v) for k, v in renders.items()}
+            wb, per_kind = _batch_forward(
+                jnp.asarray(batch.images), kind_names, figures
+            )
+            # Fetch only what will be written (device->host transfers
+            # are expensive, especially through a tunneled chip).
+            wb_np = np.asarray(wb) if save_wb else None
+            per_kind_np = {k: np.asarray(v) for k, v in per_kind.items()}
             for j, path in enumerate(batch.paths):
                 done_counter += 1
                 logger.info(
@@ -110,15 +118,18 @@ def batch_process(
                         / f"{stem}_{kind.value.lower()}.png"
                     )
                     if figures:
-                        from rgnir_tpu.ops.indices import compute_index
-                        from rgnir_tpu.viz import render_index_figure
+                        # Figure composition stays on the main thread:
+                        # matplotlib's internal locks make threaded
+                        # rendering SLOWER (measured 2x), so only plain
+                        # image encodes go through the writer pool.
+                        from rgnir_tpu.viz.figures import save_index_figure
 
-                        idx = compute_index(jnp.asarray(wb_np[j]), kind)
-                        writer.submit_pil(
-                            out, render_index_figure(np.asarray(idx), kind)
+                        out.parent.mkdir(parents=True, exist_ok=True)
+                        save_index_figure(
+                            per_kind_np[kind.value][j], kind, out
                         )
                     else:
-                        writer.submit_array(out, renders_np[kind.value][j])
+                        writer.submit_array(out, per_kind_np[kind.value][j])
                     outputs.append(out)
                 manifest.mark(path, "done", outputs=outputs)
                 processed += 1

@@ -54,6 +54,25 @@ def render_index_figure(
     return _fig_to_pil(fig, pad_inches=0.0)
 
 
+def save_index_figure(
+    index_array: np.ndarray, kind: Union[IndexKind, str], path
+) -> None:
+    """Compose and write the index figure straight to ``path`` (single
+    PNG encode — the PIL round-trip of render_index_figure costs a
+    second encode, which matters in batch figure mode)."""
+    from matplotlib.backends.backend_agg import FigureCanvasAgg
+
+    kind = IndexKind.parse(kind)
+    fig = _new_figure((10, 8))
+    ax = fig.add_subplot(111)
+    im = ax.imshow(np.asarray(index_array), cmap=kind.cmap_name, vmin=-1, vmax=1)
+    fig.colorbar(im, label=kind.value)
+    ax.axis("off")
+    FigureCanvasAgg(fig).print_figure(
+        str(path), format="png", bbox_inches="tight", pad_inches=0.0, dpi=100
+    )
+
+
 def render_comparison_figure(
     items: Sequence[dict],
     index_type: Optional[Union[IndexKind, str]] = None,
