@@ -8,14 +8,19 @@ statistic *exactly*, and histograms reduce across tiles/devices with a
 single ``psum`` — so global percentiles over a sharded gigapixel mosaic
 are exact, not approximate (SURVEY.md section 7 "hard parts").
 
-NumPy percentile parity (verified empirically against numpy 2.0): for a
-float32 input array ``np.percentile`` computes the virtual index
-``vi = q/100 * (n-1)`` and then casts it to the *input dtype* (float32),
-so ``k = floor(f32(vi))`` and ``gamma = f32(vi) - k`` carry float32
-rounding; the lerp between order statistics ``a[k]`` and ``a[k+1]``
-switches to the ``b - (b-a)*(1-t)`` form when ``t >= 0.5`` (numpy's
-``_lerp``). The reference calls percentile on float32 channels
-(process-images.py:431,437), so we replicate exactly that — bit-exact.
+NumPy percentile parity (verified empirically against numpy 2.0):
+``np.percentile`` has TWO precision behaviors. With a *scalar* q it
+casts the virtual index ``vi = q/100 * (n-1)`` to the input dtype, so a
+float32 array gets a float32 gamma whose error GROWS with n (ulp(vi) is
+0.125 at 16 MPix — numpy's own precision quirk). With an *array/tuple*
+q (what the reference uses: ``np.percentile(channel, (2, 98))`` at
+process-images.py:437) everything stays float64 and the result is
+float64. We implement the array-q model: the virtual index, floor and
+gamma are computed at trace time in Python float64 (exact,
+n-independent), and only the final lerp between the integer order
+statistics runs on device in float32 — within 1 ulp of the reference's
+float64 percentile, with numpy ``_lerp``'s two-sided form replicated.
+The order statistics themselves are exact (integer histogram).
 """
 
 from __future__ import annotations
@@ -158,12 +163,10 @@ def percentiles_from_histogram(
             raise ValueError("n (static total count) is required")
         if n <= 0:
             raise ValueError("n must be positive")
-        # numpy computes vi in float64 then casts to the input dtype
-        # (float32 for the reference's channels) before splitting into
-        # floor + fractional parts — replicate its rounding exactly.
-        vi = np.float32((q / 100.0) * (n - 1))
+        # Array-q numpy model: float64 virtual index, exact at trace time.
+        vi = (float(q) / 100.0) * (n - 1)
         k = int(np.floor(vi))
-        d = float(np.float32(vi) - np.float32(k))
+        d = vi - k
         k1 = min(k + 1, n - 1)
         # a[k] = count of levels whose cdf <= k  (0-indexed order stat)
         a_k = jnp.sum((cdf <= k).astype(jnp.int32), axis=-1).astype(jnp.float32)

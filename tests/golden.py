@@ -17,9 +17,14 @@ def golden_white_balance(img_u8: np.ndarray) -> np.ndarray:
     """fix_white_balance semantics (process-images.py:424-447).
 
     float32 image, per-channel p2/p98 percentile stretch, clip to
-    [0, 255], truncate to uint8. Under numpy>=2 (NEP 50) the float32
-    channel keeps np.percentile and the rescale in float32 throughout,
-    so this *is* the exact reference arithmetic.
+    [0, 255], truncate to uint8. Precision detail: the reference's
+    tuple-q ``np.percentile(channel, (2, 98))`` returns float64, so the
+    rescale promotes to float64, gets rounded to float32 by assignment
+    into the preallocated ``corrected`` array, then truncates to uint8.
+    This function uses numpy directly, so it IS the exact reference
+    arithmetic; the device path computes the lerp and rescale in
+    float32 (<=1 ulp each), flipping the uint8 floor on <0.2%% of
+    pixels by +/-1.
     """
     img_float = img_u8.astype(np.float32)
     corrected = np.zeros_like(img_float)

@@ -52,15 +52,21 @@ class TestHistogram:
                 np.bincount(rgnir_image[: h // 2, :, c].ravel(), minlength=256),
             )
 
+    # The reference uses array-q np.percentile (float64 path,
+    # process-images.py:437); the device lerp is float32, so parity is
+    # <=1 f32 ulp of values <=255.
+    ULP255 = 255 * 1.3e-7
+
     @pytest.mark.parametrize("q", [0.0, 2.0, 50.0, 98.0, 100.0, 33.3])
     def test_percentile_parity(self, rng, q):
-        """Exact np.percentile (linear) parity from the 256-bin histogram."""
+        """np.percentile (linear, array-q/f64 model) parity from the
+        256-bin histogram."""
         for size in [97, 1000, 4096]:
             vals = rng.integers(0, 256, size=size).astype(np.uint8)
             hist = jnp.asarray(np.bincount(vals, minlength=256).astype(np.int32))
             got = float(percentiles_from_histogram(hist, (q,), n=size)[0])
-            want = float(np.percentile(vals.astype(np.float32), q))
-            assert got == want, (q, size)
+            want = float(np.percentile(vals.astype(np.float32), [q])[0])
+            assert got == pytest.approx(want, abs=self.ULP255), (q, size)
 
     def test_percentile_skewed(self):
         """Heavy ties (the uint8 regime that makes sorting-free exactness matter)."""
@@ -70,8 +76,27 @@ class TestHistogram:
         hist = jnp.asarray(np.bincount(vals, minlength=256).astype(np.int32))
         for q in (2.0, 50.0, 98.0, 99.9):
             got = float(percentiles_from_histogram(hist, (q,), n=vals.size)[0])
-            want = float(np.percentile(vals.astype(np.float32), q))
-            assert got == want, q
+            want = float(np.percentile(vals.astype(np.float32), [q])[0])
+            assert got == pytest.approx(want, abs=self.ULP255), q
+
+    def test_percentile_large_n_gamma_precision(self):
+        """At 16 MPix the scalar-q numpy model's f32 virtual index is off
+        by up to 0.125 in gamma; our trace-time f64 gamma must not be.
+        Construct a histogram where the 98th percentile interpolates
+        between two adjacent order statistics with a known f64 gamma."""
+        n = 16_777_216  # 4096 x 4096
+        hist = np.zeros(256, np.int64)
+        k = int(np.floor(0.98 * (n - 1)))
+        hist[10] = k + 1          # a[k] = 10
+        hist[200] = n - (k + 1)   # a[k+1] = 200
+        got = float(
+            percentiles_from_histogram(
+                jnp.asarray(hist.astype(np.int32)), (98.0,), n=n
+            )[0]
+        )
+        d = 0.98 * (n - 1) - k
+        want = 200.0 - (200.0 - 10.0) * (1.0 - d)  # numpy two-sided lerp
+        assert got == pytest.approx(want, abs=self.ULP255)
 
 
 class TestWhiteBalance:
