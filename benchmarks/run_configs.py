@@ -4,8 +4,10 @@ Honest timing via data-dependent chained loops + slope (see
 tools/tpu_microbench.py and .claude/skills/verify/SKILL.md for why naive
 timing lies in this tunneled environment).
 
-Usage:  python benchmarks/run_configs.py [--quick]
-Prints one JSON line per config and rewrites BENCHMARKS.md.
+Usage:  python benchmarks/run_configs.py [--quick] [--write]
+Prints one JSON line per config; --write also rewrites the results
+table in BENCHMARKS.md (only do this in a clean window — the shared
+chip's throughput varies ~10x with contention, see BENCHMARKS.md).
 """
 
 from __future__ import annotations
@@ -135,10 +137,11 @@ def main() -> None:
         "is attached here.",
         "",
     ]
-    Path(__file__).resolve().parent.parent.joinpath("BENCHMARKS.md").write_text(
-        "\n".join(lines)
-    )
-    print("wrote BENCHMARKS.md", file=sys.stderr)
+    if "--write" in sys.argv:
+        Path(__file__).resolve().parent.parent.joinpath(
+            "BENCHMARKS.md"
+        ).write_text("\n".join(lines))
+        print("wrote BENCHMARKS.md", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -290,6 +290,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from rgnir_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

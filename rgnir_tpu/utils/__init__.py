@@ -3,4 +3,20 @@
 from rgnir_tpu.utils.logging import get_logger, log_image_record
 from rgnir_tpu.utils.manifest import Manifest
 
-__all__ = ["get_logger", "log_image_record", "Manifest"]
+
+def enable_compilation_cache(path: str = "/tmp/rgnir_jax_cache") -> None:
+    """Persist compiled executables across processes (SURVEY.md section 5
+    checkpoint/resume: the JAX persistent compilation cache) — first-run
+    latency for the fused kernels drops from minutes to seconds."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+__all__ = [
+    "get_logger",
+    "log_image_record",
+    "Manifest",
+    "enable_compilation_cache",
+]
