@@ -37,6 +37,12 @@ IMAGES_PER_PAGE = StoreConfig().images_per_page  # 12 (process-images.py:1232)
 
 @st.cache_resource
 def get_store():
+    try:  # .env support as in the reference (process-images.py:21)
+        from dotenv import load_dotenv
+
+        load_dotenv()
+    except ImportError:
+        pass
     uri = os.environ.get("MONGODB_URI") or st.secrets.get("MONGODB_URI", None)
     if uri and MongoImageStore is not None:
         return MongoImageStore(uri)
