@@ -172,6 +172,39 @@ class TestAnalyzeMosaic:
         )
 
 
+class TestMeshSizes:
+    @pytest.mark.parametrize("n_dev", [1, 2, 4])
+    def test_submesh_stats_invariant(self, mosaic, n_dev):
+        """Global stats must not depend on the mesh size."""
+        ref = analyze_mosaic(mosaic, kinds=("NDVI",), mesh=local_mesh("d", 8))
+        got = analyze_mosaic(
+            mosaic, kinds=("NDVI",), mesh=local_mesh("d", n_dev)
+        )
+        for f in ("mean", "median", "std", "min", "max", "coverage_pct"):
+            a = float(getattr(got.stats["NDVI"], f))
+            b = float(getattr(ref.stats["NDVI"], f))
+            assert a == pytest.approx(b, abs=1e-6), (n_dev, f)
+        np.testing.assert_array_equal(
+            np.asarray(got.stats["NDVI"].histogram),
+            np.asarray(ref.stats["NDVI"].histogram),
+        )
+
+    def test_kernel_impl_three_kinds(self, mosaic):
+        res = analyze_mosaic(
+            mosaic, kinds=("NDVI", "GNDVI", "NDWI"),
+            mesh=local_mesh("d"), impl="kernel",
+        )
+        ref = analyze_mosaic(
+            mosaic, kinds=("NDVI", "GNDVI", "NDWI"), mesh=local_mesh("d")
+        )
+        for k in ("NDVI", "GNDVI", "NDWI"):
+            assert float(res.stats[k].median) == float(ref.stats[k].median), k
+            np.testing.assert_array_equal(
+                np.asarray(res.stats[k].histogram),
+                np.asarray(ref.stats[k].histogram),
+            )
+
+
 class TestTiling:
     def test_roundtrip(self, rng):
         from rgnir_tpu.tiling import pad_to_multiple, tile_image, untile_image
