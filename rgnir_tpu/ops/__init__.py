@@ -18,6 +18,7 @@ from rgnir_tpu.ops.histogram import (
 )
 from rgnir_tpu.ops.wb import (
     apply_white_balance,
+    gray_world_balance,
     wb_bounds_from_histogram,
     white_balance,
 )
@@ -36,6 +37,7 @@ __all__ = [
     "order_statistic_from_histogram",
     "percentiles_from_histogram",
     "apply_white_balance",
+    "gray_world_balance",
     "wb_bounds_from_histogram",
     "white_balance",
     "compute_index",

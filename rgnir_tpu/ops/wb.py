@@ -73,6 +73,39 @@ def apply_white_balance(
     return jnp.moveaxis(pl, -3, -1)
 
 
+@functools.partial(jax.jit, static_argnames=("n_valid",))
+def gray_world_balance(
+    img: jax.Array,
+    mask: Optional[jax.Array] = None,
+    n_valid: Optional[int] = None,
+) -> jax.Array:
+    """Gray-world white balance: scale each channel so its mean matches
+    the cross-channel mean (the classic illuminant-estimation
+    alternative to the reference's percentile stretch — named alongside
+    it in the project north star). Pure reductions + one elementwise
+    pass; XLA fuses it, no kernel needed.
+
+    Args:
+      img: ``(..., H, W, C)`` uint8.
+      mask/n_valid: optional padding exclusion (n_valid static).
+
+    Returns:
+      uint8 image with equalized channel means.
+    """
+    x = img.astype(jnp.float32)
+    if mask is not None:
+        if n_valid is None:
+            raise ValueError("n_valid (static) required with mask")
+        mf = mask.astype(jnp.float32)[..., None]
+        means = jnp.sum(x * mf, axis=(-3, -2)) / n_valid  # (..., C)
+    else:
+        means = jnp.mean(x, axis=(-3, -2))
+    gray = jnp.mean(means, axis=-1, keepdims=True)
+    scale = jnp.where(means > 0, gray / means, 1.0)
+    out = jnp.clip(x * scale[..., None, None, :], 0.0, 255.0)
+    return out.astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "n_valid"))
 def white_balance(
     img: jax.Array,

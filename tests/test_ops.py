@@ -116,6 +116,38 @@ class TestWhiteBalance:
             single = np.asarray(white_balance(jnp.asarray(rgnir_batch[b])))
             np.testing.assert_array_equal(got[b], single)
 
+    def test_gray_world_equalizes_means(self, rgnir_image):
+        from rgnir_tpu.ops.wb import gray_world_balance
+
+        out = np.asarray(gray_world_balance(jnp.asarray(rgnir_image)))
+        assert out.dtype == np.uint8
+        means = out.reshape(-1, 3).mean(axis=0)
+        # channel means equalized to within clip/rounding effects
+        assert means.std() / means.mean() < 0.03
+        # reference check against the textbook formula
+        x = rgnir_image.astype(np.float32)
+        m = x.reshape(-1, 3).mean(axis=0)
+        want = np.clip(x * (m.mean() / m), 0, 255).astype(np.uint8)
+        diff = np.abs(out.astype(int) - want.astype(int))
+        assert diff.max() <= 1
+
+    def test_gray_world_masked(self, rgnir_image):
+        from rgnir_tpu.ops.wb import gray_world_balance
+
+        h, w, _ = rgnir_image.shape
+        mask = np.zeros((h, w), bool)
+        mask[: h // 2] = True
+        out_m = np.asarray(
+            gray_world_balance(
+                jnp.asarray(rgnir_image), mask=jnp.asarray(mask),
+                n_valid=int(mask.sum()),
+            )
+        )
+        out_c = np.asarray(
+            gray_world_balance(jnp.asarray(rgnir_image[: h // 2]))
+        )
+        np.testing.assert_array_equal(out_m[: h // 2], out_c)
+
     def test_constant_channel_no_nan(self):
         img = np.full((16, 16, 3), 7, np.uint8)
         got = np.asarray(white_balance(jnp.asarray(img)))
