@@ -74,6 +74,11 @@ def analyze_image_kernel(
         wb_pl, idx, rgb, stats = _core(img, kinds, cfg)
         wb = jnp.moveaxis(wb_pl, -3, -1)
 
+    # One radix-select launch covers every (batch, kind) median: the
+    # select kernel batches through its leading grid dimension, so
+    # fusing B*K selections into one call saves K*4 kernel dispatches.
+    meds = masked_median_pallas(idx, n, reduce_ndim=2)  # (B,K) or (K,)
+
     indices: Dict[str, jax.Array] = {}
     renders: Dict[str, jax.Array] = {}
     out_stats: Dict[str, IndexStats] = {}
@@ -86,7 +91,7 @@ def analyze_image_kernel(
         s = stats[:, k] if batched else stats[k]
         mean = s[..., S_SUM] / n
         var = jnp.maximum(s[..., S_SUMSQ] / n - mean * mean, 0.0)
-        med = masked_median_pallas(idx_k, n, reduce_ndim=2)
+        med = meds[:, k] if batched else meds[k]
         out_stats[kind.value] = IndexStats(
             mean=mean,
             median=med,

