@@ -148,6 +148,61 @@ def adjacent_order_statistics(
     return f32_from_ordered_u32(key_lo), f32_from_ordered_u32(key_hi)
 
 
+def exact_quantiles(
+    vals: jax.Array,
+    qs,
+    n_valid: int,
+    mask: Optional[jax.Array] = None,
+    axis_name: Optional[str] = None,
+    reduce_ndim: int = 1,
+) -> jax.Array:
+    """General exact quantiles of arbitrary float32 data, sort-free.
+
+    np.percentile (linear, array-q float64-gamma) semantics: for each
+    static q the rank split ``k = floor(q/100*(n-1))``, gamma is
+    computed at trace time in exact float64; the two adjacent order
+    statistics come from ONE radix-select + one masked-min per q
+    (adjacent-rank fast path), and the lerp runs in f32 (<= 1 ulp of
+    numpy). Generalizes the uint8-histogram percentiles of
+    ops.histogram to any float32 data, including sharded (psum rounds).
+
+    Returns ``batch_shape + (len(qs),)`` float32.
+    """
+    import numpy as _np
+
+    keys = ordered_u32_from_f32(vals)
+    batch = keys.shape[: keys.ndim - reduce_ndim]
+    keys = keys.reshape(batch + (-1,))
+    if mask is not None:
+        mask = mask.reshape(batch + (-1,))
+    active = jnp.ones(keys.shape, bool) if mask is None else mask.astype(bool)
+
+    outs = []
+    for q in qs:
+        vi = (float(q) / 100.0) * (n_valid - 1)
+        k = int(_np.floor(vi))
+        d = vi - k
+        rank = jnp.broadcast_to(jnp.int32(k), batch)
+        key_lo, eq_minus_rank = _radix_select(keys, rank, active, axis_name)
+        lo = f32_from_ordered_u32(key_lo)
+        if d == 0.0:
+            outs.append(lo)
+            continue
+        gt = active & (keys > key_lo[..., None])
+        candidates = jnp.where(gt, keys, jnp.uint32(0xFFFFFFFF))
+        nxt = jnp.min(candidates, axis=-1)
+        if axis_name is not None:
+            nxt = jax.lax.pmin(nxt, axis_name)
+        key_hi = jnp.where(eq_minus_rank >= 2, key_lo, nxt)
+        hi = f32_from_ordered_u32(key_hi)
+        t = jnp.float32(d)
+        diff = hi - lo
+        outs.append(
+            jnp.where(t >= 0.5, hi - diff * (1.0 - t), lo + diff * t)
+        )
+    return jnp.stack(outs, axis=-1)
+
+
 def masked_median(
     vals: jax.Array,
     n_valid: int,

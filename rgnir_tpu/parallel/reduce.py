@@ -7,6 +7,7 @@ axis — communication is 4 x 256 ints per device per statistic.
 """
 
 from rgnir_tpu.ops.select import (
+    exact_quantiles,
     f32_from_ordered_u32,
     masked_median,
     ordered_u32_from_f32,
@@ -18,4 +19,5 @@ __all__ = [
     "f32_from_ordered_u32",
     "radix_order_statistic",
     "masked_median",
+    "exact_quantiles",
 ]

@@ -28,17 +28,24 @@ from rgnir_tpu.register import align_images
 from rgnir_tpu.viz.figures import render_change_figure
 
 
-@functools.partial(jax.jit, static_argnames=("kind",))
+@functools.partial(jax.jit, static_argnames=("kind", "upsample_factor"))
 def change_maps(
-    early_wb: jax.Array, late_wb: jax.Array, kind: Union[IndexKind, str]
+    early_wb: jax.Array,
+    late_wb: jax.Array,
+    kind: Union[IndexKind, str],
+    upsample_factor: int = 1,
 ):
     """(early_index, late_index, diff, shift) — fully on device.
 
     Inputs are white-balanced HWC uint8 images of the same shape (the
-    caller downscales to the alignment cap first).
+    caller downscales to the alignment cap first). ``upsample_factor``
+    > 1 enables subpixel registration (upsampled-DFT refinement, a
+    capability beyond the reference's integer-pixel alignment).
     """
     kind = IndexKind.parse(kind)
-    aligned_late, shift = align_images(early_wb, late_wb)
+    aligned_late, shift = align_images(
+        early_wb, late_wb, upsample_factor=upsample_factor
+    )
     early_index = compute_index(early_wb, kind)
     # The aligned image is float32 (resampled); the reference computes
     # the index on it directly (process-images.py:916-919).
@@ -55,12 +62,14 @@ def change_detection(
     late_label: str = "",
     max_dim: int = MAX_ALIGN_DIM,
     with_figure: bool = True,
+    upsample_factor: int = 1,
 ) -> dict:
     """Full change-detection result.
 
     Returns {"early_index", "late_index", "diff", "shift", "figure"}.
     Labels render as the reference's ``Early: %Y-%m-%d`` titles
-    (process-images.py:943, 950) when given.
+    (process-images.py:943, 950) when given. ``upsample_factor`` > 1
+    registers to 1/upsample_factor pixel before differencing.
     """
     kind = IndexKind.parse(kind)
     early = preprocess_large_image(jnp.asarray(early_wb), max_dim)
@@ -70,7 +79,9 @@ def change_detection(
             f"early/late shapes differ after downscale: "
             f"{early.shape} vs {late.shape}"
         )
-    early_index, late_index, diff, shift = change_maps(early, late, kind)
+    early_index, late_index, diff, shift = change_maps(
+        early, late, kind, upsample_factor=upsample_factor
+    )
     result = {
         "early_index": np.asarray(early_index),
         "late_index": np.asarray(late_index),

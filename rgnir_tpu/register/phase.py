@@ -146,22 +146,26 @@ def phase_correlation_shift(
     return jnp.stack([dy, dx])
 
 
-@functools.partial(jax.jit, static_argnames=("subpixel",))
+@functools.partial(jax.jit, static_argnames=("subpixel", "upsample_factor"))
 def align_images(
     fixed: jax.Array,
     moving: jax.Array,
     subpixel: bool = False,
+    upsample_factor: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """``align_images`` parity (process-images.py:515-565), fully on device.
 
-    Grayscale both, estimate the shift by phase correlation, resample
-    ``moving`` with bilinear + reflect (scipy order=1/mode='reflect'
-    parity). Returns ``(aligned_float32, shift)``; the reference's
-    pre-alignment <=1024 downscale lives in the calling pipeline
-    (rgnir_tpu.pipeline.change), not here — ops keep static shapes.
+    Grayscale both, estimate the shift by phase correlation (optionally
+    to 1/upsample_factor pixel), resample ``moving`` with bilinear +
+    reflect (scipy order=1/mode='reflect' parity). Returns
+    ``(aligned_float32, shift)``; the reference's pre-alignment <=1024
+    downscale lives in the calling pipeline (rgnir_tpu.pipeline.change),
+    not here — ops keep static shapes.
     """
     fg = luminance(fixed)
     mg = luminance(moving)
-    shift = phase_correlation_shift(fg, mg, subpixel=subpixel)
+    shift = phase_correlation_shift(
+        fg, mg, subpixel=subpixel, upsample_factor=upsample_factor
+    )
     aligned = bilinear_shift_2d(moving, shift[0], shift[1])
     return aligned, shift

@@ -57,6 +57,36 @@ class TestRadixSelect:
         )
         assert got == valid[10]
 
+    def test_exact_quantiles_general_floats(self, rng):
+        from rgnir_tpu.ops.select import exact_quantiles
+
+        x = rng.normal(size=2001).astype(np.float32)
+        qs = (0.0, 2.0, 33.3, 50.0, 98.0, 100.0)
+        got = np.asarray(exact_quantiles(jnp.asarray(x), qs, n_valid=2001))
+        want = np.percentile(x, list(qs))  # array-q f64 model
+        np.testing.assert_allclose(got, want, rtol=3e-7, atol=1e-7)
+
+    def test_exact_quantiles_batched_and_masked(self, rng):
+        from rgnir_tpu.ops.select import exact_quantiles
+
+        x = rng.normal(size=(3, 500)).astype(np.float32)
+        mask = rng.random((3, 500)) < 0.6
+        # equal per-row valid counts (static n contract)
+        n = int(mask[0].sum())
+        for b in range(3):
+            idxs = np.nonzero(mask[b])[0]
+            mask[b] = False
+            mask[b][idxs[:n]] = True
+        got = np.asarray(
+            exact_quantiles(
+                jnp.asarray(x), (25.0, 75.0), n_valid=n,
+                mask=jnp.asarray(mask),
+            )
+        )
+        for b in range(3):
+            want = np.percentile(x[b][mask[b]], [25.0, 75.0])
+            np.testing.assert_allclose(got[b], want, rtol=3e-7, atol=1e-7)
+
     @pytest.mark.parametrize("n", [999, 1000])
     def test_median_numpy_parity(self, rng, n):
         x = rng.normal(size=n).astype(np.float32)
