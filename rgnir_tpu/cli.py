@@ -63,10 +63,10 @@ def cmd_rgn(args) -> int:
     from rgnir_tpu.pipeline.rgn import correct_file, visualize_correction_file
 
     if args.out:
-        correct_file(args.image, args.out)
+        correct_file(args.image, args.out, method=args.method)
         print(f"corrected -> {args.out}")
     if args.viz:
-        visualize_correction_file(args.image, args.viz)
+        visualize_correction_file(args.image, args.viz, method=args.method)
         print(f"comparison -> {args.viz}")
     if not args.out and not args.viz:
         print("nothing to do: pass --out and/or --viz", file=sys.stderr)
@@ -247,6 +247,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("image")
     g.add_argument("--out", default="", help="corrected image path")
     g.add_argument("--viz", default="", help="side-by-side canvas path")
+    g.add_argument("--method", default="percentile",
+                   choices=["percentile", "gray_world"])
     g.set_defaults(fn=cmd_rgn)
 
     a = sub.add_parser("analyze", help="analyze one image (stats JSON)")

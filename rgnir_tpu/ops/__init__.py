@@ -30,6 +30,11 @@ from rgnir_tpu.ops.stats import (
     to_ndvi_report_dict,
 )
 from rgnir_tpu.ops.colormap import lut_indices, render_colormap
+from rgnir_tpu.ops.select import (
+    exact_quantiles,
+    masked_median,
+    radix_order_statistic,
+)
 
 __all__ = [
     "channel_histograms",
@@ -49,4 +54,7 @@ __all__ = [
     "to_ndvi_report_dict",
     "lut_indices",
     "render_colormap",
+    "exact_quantiles",
+    "masked_median",
+    "radix_order_statistic",
 ]

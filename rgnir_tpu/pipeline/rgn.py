@@ -26,15 +26,27 @@ from rgnir_tpu.ops.wb import white_balance
 from rgnir_tpu.viz.figures import side_by_side_canvas
 
 
+def _correct(img: np.ndarray, method: str) -> np.ndarray:
+    if method == "gray_world":
+        from rgnir_tpu.ops.wb import gray_world_balance
+
+        return np.asarray(gray_world_balance(jnp.asarray(img)))
+    if method == "percentile":
+        return np.asarray(white_balance(jnp.asarray(img)))
+    raise ValueError(f"unknown WB method {method!r}")
+
+
 def correct_file(
     image_path: Union[str, Path],
     output_path: Optional[Union[str, Path]] = None,
+    method: str = "percentile",
 ) -> np.ndarray:
     """White-balance one file; optionally save. Returns the HWC uint8
     corrected array (the reference returns a PIL image when not saving;
-    wrap with PIL.Image.fromarray if needed)."""
+    wrap with PIL.Image.fromarray if needed). ``method``: "percentile"
+    (reference parity) or "gray_world"."""
     img = decode_file(image_path)
-    corrected = np.asarray(white_balance(jnp.asarray(img)))
+    corrected = _correct(img, method)
     if output_path is not None:
         out = Path(output_path)
         out.parent.mkdir(parents=True, exist_ok=True)
@@ -45,10 +57,11 @@ def correct_file(
 def visualize_correction_file(
     image_path: Union[str, Path],
     output_path: Optional[Union[str, Path]] = None,
+    method: str = "percentile",
 ) -> Image.Image:
     """Side-by-side original vs corrected canvas (process-rgn.py:51-68)."""
     img = decode_file(image_path)
-    corrected = np.asarray(white_balance(jnp.asarray(img)))
+    corrected = _correct(img, method)
     canvas = side_by_side_canvas(
         Image.fromarray(img), Image.fromarray(corrected)
     )
