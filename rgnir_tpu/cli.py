@@ -103,6 +103,24 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_compare(args) -> int:
+    from rgnir_tpu.io.decode import decode_file
+    from rgnir_tpu.pipeline.compare import comparison_analysis
+
+    kinds = _parse_indices(args.indices) or tuple(k.value for k in ALL_INDICES)
+    images = [(Path(p).name, decode_file(p)) for p in args.images]
+    res = comparison_analysis(images, kinds=kinds, with_figures=bool(args.out))
+    print(json.dumps(res.index_stats, indent=2))
+    if args.out:
+        outdir = Path(args.out)
+        outdir.mkdir(parents=True, exist_ok=True)
+        res.original_figure.save(outdir / "comparison_original.png")
+        res.wb_figure.save(outdir / "comparison_white_balanced.png")
+        for kind, fig in res.index_figures.items():
+            fig.save(outdir / f"comparison_{kind.lower()}.png")
+    return 0
+
+
 def cmd_mosaic(args) -> int:
     import numpy as np
 
@@ -256,6 +274,14 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--indices", default="")
     a.add_argument("--out", default="")
     a.set_defaults(fn=cmd_analyze)
+
+    c = sub.add_parser(
+        "compare", help="N-up comparison analysis (UI comparison flow)"
+    )
+    c.add_argument("images", nargs="+")
+    c.add_argument("--indices", default="")
+    c.add_argument("--out", default="")
+    c.set_defaults(fn=cmd_compare)
 
     m = sub.add_parser("mosaic", help="sharded whole-mosaic analysis")
     m.add_argument("image")

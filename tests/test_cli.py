@@ -49,6 +49,20 @@ class TestCli:
         assert "Mean NDVI" in out["NDVI"]
         assert "Water Coverage (%)" in out["NDWI"]
 
+    def test_compare(self, tmp_path, rng, capsys):
+        paths = []
+        for i in range(2):
+            p = tmp_path / f"c{i}.png"
+            _write_png(p, rng.integers(0, 256, (24, 24, 3), dtype=np.uint8))
+            paths.append(str(p))
+        rc = main(["compare", *paths, "--indices", "NDVI",
+                   "--out", str(tmp_path / "cmp")])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert set(out["NDVI"]) == {"c0.png", "c1.png"}
+        assert (tmp_path / "cmp" / "comparison_ndvi.png").exists()
+        assert (tmp_path / "cmp" / "comparison_original.png").exists()
+
     def test_mosaic(self, image_file, capsys):
         rc = main(["mosaic", str(image_file), "--indices", "NDVI"])
         assert rc == 0
