@@ -78,6 +78,36 @@ class TestFuzzExactness:
             )
 
 
+class TestKernelShapeFuzz:
+    def test_kernel_pipeline_odd_shapes(self, rng):
+        """Kernel pipeline (interpret mode) must match the jnp path for
+        awkward shapes: tiny, prime-sized, non-lane-aligned."""
+        from rgnir_tpu.kernels.pipeline import analyze_image_kernel
+        from rgnir_tpu.pipeline.fused import analyze_image_jit
+
+        for h, w in [(1, 7), (13, 13), (5, 257), (127, 31)]:
+            img = jnp.asarray(
+                rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            )
+            a = analyze_image_kernel(img, kinds=("NDVI",))
+            b = analyze_image_jit(img, kinds=("NDVI",))
+            np.testing.assert_array_equal(
+                np.asarray(a.wb), np.asarray(b.wb), err_msg=f"{h}x{w} wb"
+            )
+            np.testing.assert_array_equal(
+                np.asarray(a.renders["NDVI"]), np.asarray(b.renders["NDVI"]),
+                err_msg=f"{h}x{w} render",
+            )
+            assert float(a.stats["NDVI"].median) == float(
+                b.stats["NDVI"].median
+            ), (h, w)
+            np.testing.assert_array_equal(
+                np.asarray(a.stats["NDVI"].histogram),
+                np.asarray(b.stats["NDVI"].histogram),
+                err_msg=f"{h}x{w} hist",
+            )
+
+
 class TestHistogramChunking:
     def test_chunked_accumulation_exact(self, rng, monkeypatch):
         """Force the >2^24-safety chunked path with a tiny chunk size."""
