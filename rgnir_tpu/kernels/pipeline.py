@@ -79,6 +79,15 @@ def analyze_image_kernel(
     # fusing B*K selections into one call saves K*4 kernel dispatches.
     meds = masked_median_pallas(idx, n, reduce_ndim=2)  # (B,K) or (K,)
 
+    # Two-pass variance: the kernel's one-pass E[x^2]-E[x]^2 partials
+    # cancel catastrophically for tightly clustered indices (std error
+    # up to ~3e-4 — visible at the reference's 4-decimal reporting). One
+    # extra fused read of the index maps restores the jnp path's
+    # accuracy.
+    means_all = stats[..., S_SUM] / n                      # (B,K) or (K,)
+    centered = idx - means_all[..., None, None]
+    vars_all = jnp.mean(jnp.square(centered), axis=(-2, -1))
+
     indices: Dict[str, jax.Array] = {}
     renders: Dict[str, jax.Array] = {}
     out_stats: Dict[str, IndexStats] = {}
@@ -89,8 +98,8 @@ def analyze_image_kernel(
             rgb_k = rgb[:, k] if batched else rgb[k]
             renders[kind.value] = jnp.moveaxis(rgb_k, -3, -1)
         s = stats[:, k] if batched else stats[k]
-        mean = s[..., S_SUM] / n
-        var = jnp.maximum(s[..., S_SUMSQ] / n - mean * mean, 0.0)
+        mean = means_all[..., k]
+        var = vars_all[..., k]
         med = meds[:, k] if batched else meds[k]
         out_stats[kind.value] = IndexStats(
             mean=mean,

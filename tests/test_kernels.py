@@ -98,6 +98,9 @@ class TestFusedKernel:
             s = np.asarray(stats[k])
             n = h * w
             assert s[S_SUM] / n == pytest.approx(float(st.mean), abs=1e-5)
+            assert float(s[S_SUMSQ]) / n - (s[S_SUM] / n) ** 2 == pytest.approx(
+                float(st.std) ** 2, abs=1e-4
+            )
             assert s[S_MIN] == float(st.min)
             assert s[S_MAX] == float(st.max)
             assert s[S_ABOVE] == pytest.approx(
