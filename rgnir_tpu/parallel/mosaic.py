@@ -163,7 +163,7 @@ def _analyze_mosaic_kernel(
     distributed jnp radix-select (psum per round) — the byte histograms
     there are cheap relative to the fused pass."""
     from rgnir_tpu.kernels.fused import (
-        S_ABOVE, S_HIST, S_MAX, S_MIN, S_SUM, S_SUMSQ, fused_analyze_pallas,
+        S_ABOVE, S_HIST, S_MAX, S_MIN, S_SUM, fused_analyze_pallas,
     )
     from rgnir_tpu.kernels.hist import planar_histograms_pallas
     from rgnir_tpu.parallel.reduce import masked_median
@@ -195,13 +195,17 @@ def _analyze_mosaic_kernel(
         for k, kind in enumerate(kinds):
             s = partials[k]
             s_sum = jax.lax.psum(s[S_SUM], axis)
-            s_sumsq = jax.lax.psum(s[S_SUMSQ], axis)
             s_above = jax.lax.psum(s[S_ABOVE], axis)
             mn = jax.lax.pmin(s[S_MIN], axis)
             mx = jax.lax.pmax(s[S_MAX], axis)
             h50 = jax.lax.psum(s[S_HIST:S_HIST + 50], axis)
             mean = s_sum / n_valid
-            var = jnp.maximum(s_sumsq / n_valid - mean * mean, 0.0)
+            # two-pass variance: centering on the global mean avoids the
+            # one-pass form's f32 cancellation (see kernels/pipeline.py)
+            mf = mask.astype(jnp.float32)
+            var = jax.lax.psum(
+                jnp.sum(jnp.square(idx[k] - mean) * mf), axis
+            ) / n_valid
             med = masked_median(
                 idx[k], n_valid, mask=mask, axis_name=axis, reduce_ndim=2
             )
