@@ -48,9 +48,12 @@ def apply_white_balance_planar(
 
     ``lo``/``hi`` broadcast as ``(..., C)``. Degenerate channels
     (hi <= lo) pass through as 0 (the reference divides by zero there;
-    we define the guard instead of emitting NaN). Exact reference op
-    ordering for bit parity (process-images.py:438):
-    ``(channel - p2) / (p98 - p2) * 255`` — all float32 under numpy>=2.
+    we define the guard instead of emitting NaN). Reference op ordering
+    preserved (process-images.py:438):
+    ``(channel - p2) / (p98 - p2) * 255``. Precision: the reference's
+    tuple-q percentiles are float64 and promote its rescale to float64;
+    this runs in float32, flipping the uint8 floor by +/-1 on <0.2%% of
+    pixels (tests/golden.py, PARITY.md).
     """
     x = img_pl.astype(jnp.float32)
     lo = lo[..., :, None, None].astype(jnp.float32)
