@@ -24,8 +24,10 @@ from rgnir_tpu.parallel.reduce import (
     masked_median,
 )
 from rgnir_tpu.parallel.mosaic import analyze_mosaic, MosaicStats
+from rgnir_tpu.parallel.halo import exchange_row_halos
 
 __all__ = [
+    "exchange_row_halos",
     "make_mesh",
     "local_mesh",
     "ordered_u32_from_f32",

@@ -235,6 +235,34 @@ class TestMeshSizes:
             )
 
 
+class TestHaloExchange:
+    def test_halos_match_global_slices(self, rng):
+        from jax.sharding import PartitionSpec as P
+        from rgnir_tpu.parallel.halo import exchange_row_halos
+
+        mesh = local_mesh("d")
+        n_dev = 8
+        x = rng.normal(size=(64, 32)).astype(np.float32)  # 8 rows/shard
+        halo = 3
+
+        def fn(shard):
+            return exchange_row_halos(shard, halo, "d")
+
+        out = jax.jit(jax.shard_map(
+            fn, mesh=mesh, in_specs=P("d"), out_specs=P("d"),
+            check_vma=False,
+        ))(jnp.asarray(x))
+        out = np.asarray(out)  # (8 * (8 + 2*halo), 32)
+        block = 64 // n_dev
+        ext = block + 2 * halo
+        for d in range(n_dev):
+            got = out[d * ext:(d + 1) * ext]
+            lo = d * block - halo
+            hi = (d + 1) * block + halo
+            want = x[np.clip(np.arange(lo, hi), 0, 63)]
+            np.testing.assert_array_equal(got, want, err_msg=f"shard {d}")
+
+
 class TestTiling:
     def test_roundtrip(self, rng):
         from rgnir_tpu.tiling import pad_to_multiple, tile_image, untile_image
