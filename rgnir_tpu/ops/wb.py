@@ -132,6 +132,21 @@ def white_balance(
     n = n_valid if mask is not None else h * w
     if mask is not None and n_valid is None:
         raise ValueError("n_valid (static) is required when mask is given")
-    hist = channel_histograms(img, mask=mask)
-    lo, hi = wb_bounds_from_histogram(hist, n=n, cfg=cfg)
+    if img.dtype == jnp.uint8:
+        hist = channel_histograms(img, mask=mask)
+        lo, hi = wb_bounds_from_histogram(hist, n=n, cfg=cfg)
+    else:
+        # General float inputs (beyond the reference's uint8 images):
+        # exact percentiles by radix-select instead of the 256-level
+        # histogram.
+        from rgnir_tpu.ops.select import exact_quantiles
+
+        pl = jnp.moveaxis(img, -1, -3)  # (..., C, H, W)
+        cmask = None
+        if mask is not None:
+            cmask = jnp.broadcast_to(mask[..., None, :, :], pl.shape)
+        qs = exact_quantiles(
+            pl, (cfg.p_low, cfg.p_high), n_valid=n, mask=cmask, reduce_ndim=2
+        )  # (..., C, 2)
+        lo, hi = qs[..., 0], qs[..., 1]
     return apply_white_balance(img, lo, hi, cfg=cfg)

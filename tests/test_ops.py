@@ -116,6 +116,18 @@ class TestWhiteBalance:
             single = np.asarray(white_balance(jnp.asarray(rgnir_batch[b])))
             np.testing.assert_array_equal(got[b], single)
 
+    def test_float_input_via_radix_quantiles(self, rng):
+        """Beyond the reference: float images use radix-select percentiles."""
+        f = rng.uniform(0, 1000, (40, 48, 3)).astype(np.float32)
+        got = np.asarray(white_balance(jnp.asarray(f)))
+        corrected = np.zeros_like(f)
+        for c in range(3):
+            ch = f[..., c]
+            p2, p98 = np.percentile(ch, (2, 98))
+            corrected[..., c] = np.clip((ch - p2) / (p98 - p2) * 255, 0, 255)
+        want = corrected.astype(np.uint8)
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
     def test_gray_world_equalizes_means(self, rgnir_image):
         from rgnir_tpu.ops.wb import gray_world_balance
 
