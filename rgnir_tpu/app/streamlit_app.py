@@ -43,7 +43,12 @@ def get_store():
         load_dotenv()
     except ImportError:
         pass
-    uri = os.environ.get("MONGODB_URI") or st.secrets.get("MONGODB_URI", None)
+    uri = os.environ.get("MONGODB_URI")
+    if not uri:
+        try:  # st.secrets raises when no secrets.toml exists
+            uri = st.secrets.get("MONGODB_URI", None)
+        except FileNotFoundError:
+            uri = None
     if uri and MongoImageStore is not None:
         return MongoImageStore(uri)
     return FsImageStore(os.environ.get("RGNIR_STORE_ROOT", "./rgnir_store"))
