@@ -69,12 +69,24 @@ def analyze_mosaic(
     ``impl``: "jnp" (default, compiles on every backend) or "kernel"
     (Pallas fused kernels inside the shard — the multi-chip TPU
     production path; interpret-mode on CPU). Both are parity-tested.
+
+    A 2-D mesh (e.g. axes ``("dr", "dc")``) shards rows AND columns —
+    the right layout for wide gigapixel strips; reductions psum over
+    both axes (jnp impl only).
     """
     if mesh is None:
         mesh = local_mesh()
+    kinds = tuple(IndexKind.parse(k) for k in kinds)
+    if len(mesh.axis_names) == 2:
+        if impl == "kernel":
+            raise NotImplementedError(
+                "kernel shard body currently supports 1-D meshes"
+            )
+        return _analyze_mosaic_2d(
+            mosaic, kinds, mesh, wb_cfg, idx_cfg, with_renders
+        )
     axis = mesh.axis_names[0]
     n_dev = int(mesh.devices.size)
-    kinds = tuple(IndexKind.parse(k) for k in kinds)
 
     h, w = int(mosaic.shape[0]), int(mosaic.shape[1])
     n_valid = h * w
@@ -223,6 +235,80 @@ def _analyze_mosaic_kernel(
     fn = jax.shard_map(
         shard_fn, mesh=mesh, in_specs=P(axis),
         out_specs=(P(axis), P(axis), P(axis), P()),
+        check_vma=False,
+    )
+    wb, indices, renders, stats = jax.jit(fn)(mosaic)
+    return MosaicResult(wb=wb, indices=indices, renders=renders, stats=stats)
+
+
+def _analyze_mosaic_2d(mosaic, kinds, mesh, wb_cfg, idx_cfg, with_renders):
+    """Row x column sharding over a 2-D mesh; every reduction psums over
+    BOTH axes, so global stats remain exact. The pixel-domain analogue
+    of 2-D tensor sharding for wide survey strips."""
+    ar, ac = mesh.axis_names
+    dr, dc = (int(s) for s in mesh.devices.shape)
+    h, w = int(mosaic.shape[0]), int(mosaic.shape[1])
+    n_valid = h * w
+    hp, wp = _ceil_to(h, dr), _ceil_to(w, dc)
+    if (hp, wp) != (h, w):
+        mosaic = jnp.pad(mosaic, ((0, hp - h), (0, wp - w), (0, 0)))
+    bh, bw = hp // dr, wp // dc
+    axes = (ar, ac)
+
+    def shard_fn(tile: jax.Array):
+        row0 = jax.lax.axis_index(ar) * bh
+        col0 = jax.lax.axis_index(ac) * bw
+        rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
+        cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
+        mask = (rows < h) & (cols < w)
+
+        pl = jnp.moveaxis(tile, -1, -3)
+        hist = jax.lax.psum(planar_histograms(pl, mask=mask), axes)
+        lo, hi = wb_bounds_from_histogram(hist, n=n_valid, cfg=wb_cfg)
+        wb_pl = apply_white_balance_planar(pl, lo, hi, cfg=wb_cfg)
+        wb = jnp.moveaxis(wb_pl, -3, -1)
+
+        indices: Dict[str, jax.Array] = {}
+        renders: Dict[str, jax.Array] = {}
+        stats: Dict[str, IndexStats] = {}
+        for kind in kinds:
+            ia, ib = BAND_INDICES[kind]
+            idx = index_from_bands(wb_pl[ia], wb_pl[ib], cfg=idx_cfg)
+            indices[kind.value] = idx
+            mf = mask.astype(jnp.float32)
+            mean = jax.lax.psum(jnp.sum(idx * mf), axes) / n_valid
+            s2 = jax.lax.psum(jnp.sum(jnp.square(idx - mean) * mf), axes)
+            mn = jax.lax.pmin(jnp.min(jnp.where(mask, idx, jnp.inf)), axes)
+            mx = jax.lax.pmax(jnp.max(jnp.where(mask, idx, -jnp.inf)), axes)
+            above = jax.lax.psum(
+                jnp.sum(((idx > kind.coverage_threshold) & mask)
+                        .astype(jnp.int32)),
+                axes,
+            )
+            med = masked_median(
+                idx, n_valid, mask=mask, axis_name=axes, reduce_ndim=2
+            )
+            h50 = jax.lax.psum(
+                histogram_fixed_bins(
+                    idx, idx_cfg.hist_bins, idx_cfg.clip_lo,
+                    idx_cfg.clip_hi, mask=mask,
+                ),
+                axes,
+            )
+            stats[kind.value] = IndexStats(
+                mean=mean, median=med, std=jnp.sqrt(s2 / n_valid),
+                min=mn, max=mx,
+                coverage_pct=above.astype(jnp.float32) / n_valid * 100.0,
+                histogram=h50, n=jnp.int32(n_valid),
+            )
+            if with_renders:
+                renders[kind.value] = render_colormap(idx, kind)
+        return wb, indices, renders, stats
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=P(ar, ac),
+        out_specs=(P(ar, ac), P(ar, ac), P(ar, ac), P()),
         check_vma=False,
     )
     wb, indices, renders, stats = jax.jit(fn)(mosaic)

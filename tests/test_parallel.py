@@ -219,6 +219,30 @@ class TestMeshSizes:
             np.asarray(ref.stats["NDVI"].histogram),
         )
 
+    def test_2d_mesh_matches_single_device(self, mosaic):
+        """Row x column sharding (2-D mesh) must agree with 1-device."""
+        mesh2d = jax.make_mesh((4, 2), ("dr", "dc"))
+        got = analyze_mosaic(mosaic, kinds=("NDVI",), mesh=mesh2d)
+        ref = analyze_mosaic(
+            mosaic, kinds=("NDVI",), mesh=local_mesh("d", 1)
+        )
+        h, w = mosaic.shape[:2]
+        np.testing.assert_array_equal(
+            np.asarray(got.wb)[:h, :w], np.asarray(ref.wb)[:h]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.indices["NDVI"])[:h, :w],
+            np.asarray(ref.indices["NDVI"])[:h],
+        )
+        for f in ("mean", "median", "std", "min", "max", "coverage_pct"):
+            assert float(getattr(got.stats["NDVI"], f)) == pytest.approx(
+                float(getattr(ref.stats["NDVI"], f)), abs=1e-6
+            ), f
+        np.testing.assert_array_equal(
+            np.asarray(got.stats["NDVI"].histogram),
+            np.asarray(ref.stats["NDVI"].histogram),
+        )
+
     def test_kernel_impl_three_kinds(self, mosaic):
         res = analyze_mosaic(
             mosaic, kinds=("NDVI", "GNDVI", "NDWI"),
