@@ -110,3 +110,22 @@ class TestVizSmoke:
         assert render_histogram_figure(
             np.arange(50), "NDVI"
         ).size[0] > 0
+
+
+class TestProfiling:
+    def test_stage_timer(self):
+        import time
+
+        from rgnir_tpu.utils.profiling import StageTimer
+
+        t = StageTimer()
+        with t.stage("decode", pixels=1_000_000):
+            time.sleep(0.01)
+        with t.stage("decode", pixels=1_000_000):
+            time.sleep(0.01)
+        with t.stage("device"):
+            pass
+        rep = t.report()
+        assert rep["decode"]["seconds"] >= 0.02
+        assert rep["decode"]["mpix_per_s"] > 0
+        assert "mpix_per_s" not in rep["device"]
