@@ -25,7 +25,7 @@ from PIL import Image
 from rgnir_tpu.config import ALL_INDICES, IndexKind, MAX_ANALYSIS_DIM
 from rgnir_tpu.ops.resize import preprocess_large_image
 from rgnir_tpu.ops.stats import to_analyze_index_dict
-from rgnir_tpu.pipeline.fused import analyze_image_jit
+from rgnir_tpu.pipeline.dispatch import analyze_image_auto
 from rgnir_tpu.viz.figures import render_comparison_figure
 
 
@@ -69,7 +69,7 @@ def comparison_analysis(
         groups.setdefault(arr.shape, []).append(i)
     for shape, idxs in groups.items():
         batch = jnp.asarray(np.stack([arrays[i] for i in idxs]))
-        res = analyze_image_jit(
+        res = analyze_image_auto(
             batch, kinds=tuple(k.value for k in kinds), with_renders=False
         )
         wb_np = np.asarray(res.wb)

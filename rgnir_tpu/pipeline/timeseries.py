@@ -27,7 +27,7 @@ from PIL import Image
 from rgnir_tpu.config import IndexKind, MAX_ANALYSIS_DIM
 from rgnir_tpu.ops.resize import preprocess_large_image
 from rgnir_tpu.pipeline.change import change_detection
-from rgnir_tpu.pipeline.fused import analyze_image_jit
+from rgnir_tpu.pipeline.dispatch import analyze_image_auto
 from rgnir_tpu.viz.figures import render_time_series_figure
 
 
@@ -73,7 +73,7 @@ def time_series_analysis(
         groups.setdefault(arr.shape, []).append(i)
     for shape, idxs in groups.items():
         batch = jnp.asarray(np.stack([arrays[i] for i in idxs]))
-        res = analyze_image_jit(batch, kinds=(kind.value,), with_renders=False)
+        res = analyze_image_auto(batch, kinds=(kind.value,), with_renders=False)
         st = res.stats[kind.value]
         wb_np = np.asarray(res.wb)
         for pos, i in enumerate(idxs):
