@@ -79,8 +79,8 @@ def analyze_mosaic(
     kinds = tuple(IndexKind.parse(k) for k in kinds)
     if len(mesh.axis_names) == 2:
         if impl == "kernel":
-            raise NotImplementedError(
-                "kernel shard body currently supports 1-D meshes"
+            return _analyze_mosaic_kernel_2d(
+                mosaic, kinds, mesh, wb_cfg, idx_cfg, with_renders
             )
         return _analyze_mosaic_2d(
             mosaic, kinds, mesh, wb_cfg, idx_cfg, with_renders
@@ -303,6 +303,96 @@ def _analyze_mosaic_2d(mosaic, kinds, mesh, wb_cfg, idx_cfg, with_renders):
             )
             if with_renders:
                 renders[kind.value] = render_colormap(idx, kind)
+        return wb, indices, renders, stats
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=P(ar, ac),
+        out_specs=(P(ar, ac), P(ar, ac), P(ar, ac), P()),
+        check_vma=False,
+    )
+    wb, indices, renders, stats = jax.jit(fn)(mosaic)
+    return MosaicResult(wb=wb, indices=indices, renders=renders, stats=stats)
+
+
+def _analyze_mosaic_kernel_2d(mosaic, kinds, mesh, wb_cfg, idx_cfg,
+                              with_renders):
+    """Pallas shard body for 2-D meshes via analytic padding correction.
+
+    The kernels' positional prefix masks cannot express column padding,
+    so shards run UNMASKED and the padding's exactly-known contribution
+    is subtracted afterwards: pad pixels are zeros, the white-balance
+    low bound of uint8 data is >= 0, hence wb(pad) == 0 exactly and
+    index(pad) == 0 exactly. Therefore:
+      - channel histograms: pad inflates bin 0 only -> subtract,
+      - index sum/sumsq/coverage: zero contribution (0 > thresholds is
+        false for both 0.2 and 0.0) -> already exact,
+      - 50-bin histogram: pad lands in bin 25 ([0, 0.04)) -> subtract,
+      - min/max/median: not linear, computed by masked jnp reductions
+        and the masked distributed radix-select instead.
+    Bit-identical to the jnp 2-D body by test.
+    """
+    from rgnir_tpu.kernels.fused import (
+        S_ABOVE, S_HIST, S_SUM, fused_analyze_pallas,
+    )
+    from rgnir_tpu.kernels.hist import planar_histograms_pallas
+    from rgnir_tpu.parallel.reduce import masked_median
+
+    ar, ac = mesh.axis_names
+    dr, dc = (int(s) for s in mesh.devices.shape)
+    h, w = int(mosaic.shape[0]), int(mosaic.shape[1])
+    n_valid = h * w
+    hp, wp = _ceil_to(h, dr), _ceil_to(w, dc)
+    if (hp, wp) != (h, w):
+        mosaic = jnp.pad(mosaic, ((0, hp - h), (0, wp - w), (0, 0)))
+    bh, bw = hp // dr, wp // dc
+    axes = (ar, ac)
+    pad_total = hp * wp - n_valid
+
+    def shard_fn(tile: jax.Array):
+        row0 = jax.lax.axis_index(ar) * bh
+        col0 = jax.lax.axis_index(ac) * bw
+        rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
+        cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
+        mask = (rows < h) & (cols < w)
+
+        pl = jnp.moveaxis(tile, -1, -3)
+        hist = jax.lax.psum(planar_histograms_pallas(pl), axes)
+        hist = hist.at[:, 0].add(-pad_total)  # pad zeros -> bin 0
+        lo, hi = wb_bounds_from_histogram(hist, n=n_valid, cfg=wb_cfg)
+        wb_pl, idx, rgb, partials = fused_analyze_pallas(pl, lo, hi, kinds)
+        wb = jnp.moveaxis(wb_pl, -3, -1)
+
+        indices: Dict[str, jax.Array] = {}
+        renders: Dict[str, jax.Array] = {}
+        stats: Dict[str, IndexStats] = {}
+        for k, kind in enumerate(kinds):
+            s = partials[k]
+            mean = jax.lax.psum(s[S_SUM], axes) / n_valid  # pad adds 0
+            above = jax.lax.psum(s[S_ABOVE], axes)         # 0 > thr false
+            h50 = jax.lax.psum(s[S_HIST:S_HIST + 50], axes)
+            h50 = h50.at[25].add(-pad_total)  # index(pad)=0 -> bin 25
+            mf = mask.astype(jnp.float32)
+            var = jax.lax.psum(
+                jnp.sum(jnp.square(idx[k] - mean) * mf), axes
+            ) / n_valid
+            mn = jax.lax.pmin(
+                jnp.min(jnp.where(mask, idx[k], jnp.inf)), axes
+            )
+            mx = jax.lax.pmax(
+                jnp.max(jnp.where(mask, idx[k], -jnp.inf)), axes
+            )
+            med = masked_median(
+                idx[k], n_valid, mask=mask, axis_name=axes, reduce_ndim=2
+            )
+            indices[kind.value] = idx[k]
+            if with_renders:
+                renders[kind.value] = jnp.moveaxis(rgb[k], -3, -1)
+            stats[kind.value] = IndexStats(
+                mean=mean, median=med, std=jnp.sqrt(var), min=mn, max=mx,
+                coverage_pct=above / n_valid * 100.0,
+                histogram=h50.astype(jnp.int32), n=jnp.int32(n_valid),
+            )
         return wb, indices, renders, stats
 
     fn = jax.shard_map(

@@ -243,6 +243,45 @@ class TestMeshSizes:
             np.asarray(ref.stats["NDVI"].histogram),
         )
 
+    def test_2d_mesh_kernel_impl(self, mosaic):
+        """Pallas shard body on a 2-D mesh (analytic padding correction)
+        must agree with the jnp 2-D body."""
+        mesh2d = jax.make_mesh((4, 2), ("dr", "dc"))
+        got = analyze_mosaic(
+            mosaic, kinds=("NDVI", "NDWI"), mesh=mesh2d, impl="kernel",
+            with_renders=True,
+        )
+        ref = analyze_mosaic(
+            mosaic, kinds=("NDVI", "NDWI"), mesh=mesh2d, with_renders=True
+        )
+        h, w = mosaic.shape[:2]
+        np.testing.assert_array_equal(
+            np.asarray(got.wb)[:h, :w], np.asarray(ref.wb)[:h, :w]
+        )
+        for kind in ("NDVI", "NDWI"):
+            np.testing.assert_array_equal(
+                np.asarray(got.indices[kind])[:h, :w],
+                np.asarray(ref.indices[kind])[:h, :w],
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got.renders[kind])[:h, :w],
+                np.asarray(ref.renders[kind])[:h, :w],
+            )
+            sa, sb = got.stats[kind], ref.stats[kind]
+            assert float(sa.median) == float(sb.median), kind
+            assert float(sa.min) == float(sb.min), kind
+            assert float(sa.max) == float(sb.max), kind
+            assert float(sa.coverage_pct) == pytest.approx(
+                float(sb.coverage_pct), abs=1e-6
+            ), kind
+            assert float(sa.mean) == pytest.approx(
+                float(sb.mean), abs=1e-6
+            ), kind
+            np.testing.assert_array_equal(
+                np.asarray(sa.histogram), np.asarray(sb.histogram),
+                err_msg=kind,
+            )
+
     def test_kernel_impl_three_kinds(self, mosaic):
         res = analyze_mosaic(
             mosaic, kinds=("NDVI", "GNDVI", "NDWI"),
