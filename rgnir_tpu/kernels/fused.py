@@ -67,10 +67,15 @@ def _cdiv(a: int, b: int) -> int:
 
 def _fused_kernel(
     img_ref, bounds_ref, lut_ref, edges_ref, nvalid_ref,
-    wb_ref, idx_ref, rgb_ref, stats_ref,
-    *,
+    wb_ref, idx_ref, *out_rest,
     kinds: Tuple[IndexKind, ...],
+    with_renders: bool,
 ):
+    if with_renders:
+        rgb_ref, stats_ref = out_rest
+    else:
+        (stats_ref,) = out_rest
+        rgb_ref = None
     step = pl.program_id(0)
     c, br, wc = img_ref.shape
     n = br * wc
@@ -164,6 +169,8 @@ def _fused_kernel(
         add_rows.append(row)
 
         # --- colormap render (nibble one-hot MXU LUT) ------------------
+        if not with_renders:
+            continue
         i256 = jnp.minimum(
             jnp.floor((idx + 1.0) * jnp.float32(128.0)).astype(jnp.int32),
             255,
@@ -201,7 +208,8 @@ def _fused_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kinds", "block_r", "interpret")
+    jax.jit,
+    static_argnames=("kinds", "block_r", "interpret", "with_renders"),
 )
 def _fused_call(
     img_pl: jax.Array,
@@ -210,6 +218,7 @@ def _fused_call(
     block_r,
     interpret: bool,
     n_valid=None,
+    with_renders: bool = True,
 ):
     c, h, w = img_pl.shape
     k = len(kinds)
@@ -232,8 +241,10 @@ def _fused_call(
         ]
     )
     grid = (rows // block_r,)
-    kernel = functools.partial(_fused_kernel, kinds=kinds)
-    wb, idx, rgb, stats = pl.pallas_call(
+    kernel = functools.partial(
+        _fused_kernel, kinds=kinds, with_renders=with_renders
+    )
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -245,21 +256,28 @@ def _fused_call(
             pl.BlockSpec((64,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((c, block_r, _LANES), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, block_r, _LANES), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, c, block_r, _LANES), lambda i: (0, 0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+        out_specs=tuple(
+            [
+                pl.BlockSpec((c, block_r, _LANES), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, block_r, _LANES), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            + ([pl.BlockSpec((k, c, block_r, _LANES),
+                             lambda i: (0, 0, i, 0),
+                             memory_space=pltpu.VMEM)] if with_renders
+               else [])
+            + [pl.BlockSpec((k, 128), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)]
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((c, rows, _LANES), jnp.uint8),
-            jax.ShapeDtypeStruct((k, rows, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((k, c, rows, _LANES), jnp.uint8),
-            jax.ShapeDtypeStruct((k, 128), jnp.float32),
+        out_shape=tuple(
+            [
+                jax.ShapeDtypeStruct((c, rows, _LANES), jnp.uint8),
+                jax.ShapeDtypeStruct((k, rows, _LANES), jnp.float32),
+            ]
+            + ([jax.ShapeDtypeStruct((k, c, rows, _LANES), jnp.uint8)]
+               if with_renders else [])
+            + [jax.ShapeDtypeStruct((k, 128), jnp.float32)]
         ),
         interpret=interpret,
     )(
@@ -267,10 +285,16 @@ def _fused_call(
         jnp.asarray(_EDGES50_PAD),
         jnp.asarray(n_valid, jnp.int32).reshape(1),
     )
+    if with_renders:
+        wb, idx, rgb, stats = out
+    else:
+        wb, idx, stats = out
+        rgb = None
     # unflatten + drop tail padding (XLA-side reshapes, contiguous)
     wb = wb.reshape(c, -1)[:, :n].reshape(c, h, w)
     idx = idx.reshape(k, -1)[:, :n].reshape(k, h, w)
-    rgb = rgb.reshape(k, c, -1)[:, :, :n].reshape(k, c, h, w)
+    if rgb is not None:
+        rgb = rgb.reshape(k, c, -1)[:, :, :n].reshape(k, c, h, w)
     # Convert cumulative >=-edge counts into per-bin counts:
     # hist[i] = C[i] - C[i+1] for i < 49; hist[49] = C[49] (right-closed,
     # values above edge 50 are impossible for clipped indices).
@@ -290,6 +314,7 @@ def fused_analyze_pallas(
     block_r=None,
     interpret: Optional[bool] = None,
     n_valid=None,
+    with_renders: bool = True,
 ):
     """Fused WB+index+stats+render of a planar ``(3, H, W)`` uint8 image.
 
@@ -303,4 +328,7 @@ def fused_analyze_pallas(
         interpret = jax.default_backend() == "cpu"
     kinds = tuple(IndexKind.parse(kd) for kd in kinds)
     bounds = jnp.stack([lo.astype(jnp.float32), hi.astype(jnp.float32)])
-    return _fused_call(img_pl, bounds, kinds, block_r, interpret, n_valid)
+    return _fused_call(
+        img_pl, bounds, kinds, block_r, interpret, n_valid,
+        with_renders=with_renders,
+    )

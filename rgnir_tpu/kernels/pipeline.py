@@ -38,12 +38,15 @@ from rgnir_tpu.ops.wb import wb_bounds_from_histogram
 from rgnir_tpu.pipeline.fused import AnalyzeResult
 
 
-def _core(img_hwc: jax.Array, kinds: Tuple[IndexKind, ...], wb_cfg: WBConfig):
+def _core(img_hwc: jax.Array, kinds: Tuple[IndexKind, ...],
+          wb_cfg: WBConfig, with_renders: bool):
     h, w = img_hwc.shape[0], img_hwc.shape[1]
     pl_img = jnp.moveaxis(img_hwc, -1, -3)
     hist = planar_histograms_pallas(pl_img)
     lo, hi = wb_bounds_from_histogram(hist, n=h * w, cfg=wb_cfg)
-    return fused_analyze_pallas(pl_img, lo, hi, kinds)
+    return fused_analyze_pallas(
+        pl_img, lo, hi, kinds, with_renders=with_renders
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("kinds", "with_renders"))
@@ -66,12 +69,12 @@ def analyze_image_kernel(
 
     if batched:
         wb_pl, idx, rgb, stats = jax.vmap(
-            lambda x: _core(x, kinds, cfg)
+            lambda x: _core(x, kinds, cfg, with_renders)
         )(img)
         # leading batch: wb_pl (B,3,H,W), idx (B,K,H,W), stats (B,K,128)
         wb = jnp.moveaxis(wb_pl, -3, -1)
     else:
-        wb_pl, idx, rgb, stats = _core(img, kinds, cfg)
+        wb_pl, idx, rgb, stats = _core(img, kinds, cfg, with_renders)
         wb = jnp.moveaxis(wb_pl, -3, -1)
 
     # One radix-select launch covers every (batch, kind) median: the

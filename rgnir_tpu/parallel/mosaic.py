@@ -192,7 +192,7 @@ def _analyze_mosaic_kernel(
         hist = jax.lax.psum(hist, axis)
         lo, hi = wb_bounds_from_histogram(hist, n=n_valid, cfg=wb_cfg)
         wb_pl, idx, rgb, partials = fused_analyze_pallas(
-            pl, lo, hi, kinds, n_valid=n_live
+            pl, lo, hi, kinds, n_valid=n_live, with_renders=with_renders
         )
         wb = jnp.moveaxis(wb_pl, -3, -1)
 
@@ -360,7 +360,9 @@ def _analyze_mosaic_kernel_2d(mosaic, kinds, mesh, wb_cfg, idx_cfg,
         hist = jax.lax.psum(planar_histograms_pallas(pl), axes)
         hist = hist.at[:, 0].add(-pad_total)  # pad zeros -> bin 0
         lo, hi = wb_bounds_from_histogram(hist, n=n_valid, cfg=wb_cfg)
-        wb_pl, idx, rgb, partials = fused_analyze_pallas(pl, lo, hi, kinds)
+        wb_pl, idx, rgb, partials = fused_analyze_pallas(
+            pl, lo, hi, kinds, with_renders=with_renders
+        )
         wb = jnp.moveaxis(wb_pl, -3, -1)
 
         indices: Dict[str, jax.Array] = {}
