@@ -117,6 +117,19 @@ class TestExportZip:
         wb_back = np.asarray(Image.open(io.BytesIO(zf.read("white_balanced.png"))))
         np.testing.assert_array_equal(wb_back, wb)
 
+    def test_zip_figure_mode(self, rgnir_image):
+        """figures=True writes the reference's colorbar figures
+        (process-images.py:596)."""
+        from rgnir_tpu.pipeline.export import export_processed_zip
+
+        wb = golden.golden_white_balance(rgnir_image)
+        blob = export_processed_zip(wb, ("NDVI",), figures=True)
+        zf = zipfile.ZipFile(io.BytesIO(blob))
+        img = Image.open(io.BytesIO(zf.read("NDVI_visualization.png")))
+        # a 10x8in @100dpi tight-bbox figure is much larger than the
+        # 128x96 source map and includes the colorbar margin
+        assert img.size[0] > 500 and img.size[1] > 400
+
 
 class TestCompare:
     def test_comparison_stats(self, rng):
