@@ -129,3 +129,28 @@ class TestProfiling:
         assert rep["decode"]["seconds"] >= 0.02
         assert rep["decode"]["mpix_per_s"] > 0
         assert "mpix_per_s" not in rep["device"]
+
+
+class TestDebugging:
+    def test_check_finite(self, rng):
+        import jax.numpy as jnp
+        import pytest as _pytest
+
+        from rgnir_tpu.utils.debugging import check_finite, nonfinite_counts
+
+        good = {"a": jnp.ones((4, 4)), "n": jnp.arange(3)}  # ints ignored
+        check_finite(good)
+        bad = {"a": jnp.array([1.0, jnp.nan, jnp.inf])}
+        counts = nonfinite_counts(bad)
+        assert sum(counts.values()) == 2
+        with _pytest.raises(FloatingPointError, match="non-finite"):
+            check_finite(bad, "stats")
+
+    def test_pipeline_outputs_finite(self, rgnir_image):
+        import jax.numpy as jnp
+
+        from rgnir_tpu.pipeline.fused import analyze_image_jit
+        from rgnir_tpu.utils.debugging import check_finite
+
+        res = analyze_image_jit(jnp.asarray(rgnir_image))
+        check_finite(res, "analyze_image")
