@@ -57,9 +57,9 @@ def analyze_image_kernel(
 ) -> AnalyzeResult:
     """Kernel-backed fused analysis of ``(H, W, 3)`` or ``(B, H, W, 3)``.
 
-    Numerical note vs the jnp path: the variance uses the one-pass
-    E[x^2] - E[x]^2 form (partials accumulate across row blocks), which
-    agrees with the two-pass form to ~1e-6 for clipped index values.
+    Variance is two-pass (centered on the kernel's exact mean) — see
+    the inline note below; all other stats come straight from the
+    kernel partials, and medians from the batched radix-select kernel.
     """
     kinds = tuple(IndexKind.parse(k) for k in kinds)
     cfg = WBConfig()
