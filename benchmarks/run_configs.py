@@ -37,7 +37,12 @@ def _body(kinds, renders=True):
         img, acc = carry
         r = analyze_image_auto(img, kinds=kinds, with_renders=renders)
         first = kinds[0]
-        nxt = (img ^ r.renders[first]) if renders else img
+        # The carry must depend on the step's FULL compute, or XLA's
+        # while-loop invariant code motion hoists the whole pass out of
+        # the loop and the slope measures loop overhead. r.wb depends on
+        # the histogram/percentile/rescale chain; the render xor adds
+        # the colormap pass when enabled.
+        nxt = (r.wb ^ r.renders[first]) if renders else r.wb
         for k in kinds:
             acc = acc + r.stats[k].mean + r.stats[k].median
         return nxt, acc
@@ -64,43 +69,53 @@ def run_config(name, shape, kinds, renders=True, ns=(20, 120), reps=4):
     return rec
 
 
-def main() -> None:
-    quick = "--quick" in sys.argv
+def run_all(quick: bool = False):
+    """Run the five BASELINE configs; returns (records, derived-dict)."""
+    RESULTS.clear()
     ns = (10, 60) if quick else (20, 120)
+    reps = 3 if quick else 4
 
     # 1. single 512x512: WB + NDVI + stats (process-ndvi path w/ WB)
-    r1 = run_config(
+    run_config(
         "1_single_512_ndvi_stats", (512, 512, 3), ("NDVI",),
-        renders=False, ns=(50, 450) if not quick else (20, 120),
+        renders=False, ns=(20, 120) if quick else (50, 450), reps=reps,
     )
     # 2. batch of 32 frames, all 3 indices + renders
-    r2 = run_config(
+    run_config(
         "2_batch32_3idx_renders", (32, 512, 512, 3),
-        ("NDVI", "GNDVI", "NDWI"), ns=ns,
+        ("NDVI", "GNDVI", "NDWI"), ns=ns, reps=reps,
     )
     # 3. 4096^2 orthomosaic, fused WB+NDVI (no 512-tiling needed: the
     #    whole mosaic is one fused pass with globally exact percentiles)
     r3 = run_config(
         "3_mosaic_4096_fused", (4096, 4096, 3), ("NDVI",),
-        ns=(10, 110) if not quick else ns, reps=5,
+        ns=ns if quick else (10, 110), reps=reps + 1,
     )
     # 4. streaming 1080p, all 3 indices + per-frame stats
     r4 = run_config(
         "4_stream_1080p_3idx", (1080, 1920, 3),
-        ("NDVI", "GNDVI", "NDWI"), renders=False, ns=ns,
+        ("NDVI", "GNDVI", "NDWI"), renders=False, ns=ns, reps=reps,
     )
     fps = 1000.0 / r4["ms_per_step"]
     streams = int(fps // 30)
-    print(json.dumps({"config": "4_stream_1080p_3idx_derived",
-                      "fps_single_stream": round(fps, 1),
-                      "parallel_30fps_streams": streams}), flush=True)
+    derived = {"config": "4_stream_1080p_3idx_derived",
+               "fps_single_stream": round(fps, 1),
+               "parallel_30fps_streams": streams}
+    print(json.dumps(derived), flush=True)
     # 5. "gigapixel survey" scale proxy on one chip: 8192^2 (67 MPix)
     #    single fused pass; the multi-chip sharded path (psum'd exact
     #    histograms/medians) is validated on the CPU mesh + dryrun.
-    r5 = run_config(
+    run_config(
         "5_survey_8192_fused", (8192, 8192, 3), ("NDVI",),
-        renders=False, ns=(5, 55), reps=5,
+        renders=False, ns=(5, 30) if quick else (5, 55), reps=reps + 1,
     )
+    return list(RESULTS), derived
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    _, derived = run_all(quick=quick)
+    fps, streams = derived["fps_single_stream"], derived["parallel_30fps_streams"]
 
     lines = [
         "# BENCHMARKS — BASELINE.json configs on one TPU v5e chip",

@@ -13,6 +13,7 @@ from __future__ import annotations
 import dataclasses
 import queue
 import threading
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Callable, Iterator, List, Optional, Sequence, Tuple, Union
@@ -66,16 +67,33 @@ class BatchLoader:
         _SENTINEL = object()
 
         def produce() -> None:
+            # Sliding submission window: at most out_q.maxsize decodes
+            # in flight, each future dropped as soon as its result is
+            # enqueued — memory stays bounded by the prefetch depth no
+            # matter how large the directory is (out_q.put blocks when
+            # the consumer falls behind, which stalls new submissions).
+            window = out_q.maxsize
+            inflight: deque = deque()
+            path_iter = iter(enumerate(self.paths))
             with ThreadPoolExecutor(cfg.decode_workers) as pool:
-                futures = [
-                    (i, p, pool.submit(self.decode, p))
-                    for i, p in enumerate(self.paths)
-                ]
-                for i, p, fut in futures:
+                def submit_next() -> bool:
+                    try:
+                        i, p = next(path_iter)
+                    except StopIteration:
+                        return False
+                    inflight.append((i, p, pool.submit(self.decode, p)))
+                    return True
+
+                for _ in range(window):
+                    if not submit_next():
+                        break
+                while inflight:
+                    i, p, fut = inflight.popleft()
                     try:
                         out_q.put((i, p, fut.result(), None))
                     except Exception as e:  # noqa: BLE001 - continue-on-error
                         out_q.put((i, p, None, e))
+                    submit_next()
             out_q.put(_SENTINEL)
 
         producer = threading.Thread(target=produce, daemon=True)

@@ -89,6 +89,7 @@ def batch_process(
 
     failed: List[tuple] = []
     processed = 0
+    out_to_input: dict = {}
     loader = BatchLoader(todo, cfg=loader_cfg)
     writer = AsyncWriter(loader_cfg.encode_workers)
     try:
@@ -134,6 +135,8 @@ def batch_process(
                     else:
                         writer.submit_array(out, per_kind_np[kind.value][j])
                     outputs.append(out)
+                for out in outputs:
+                    out_to_input[out] = path
                 manifest.mark(path, "done", outputs=outputs)
                 processed += 1
                 if progress is not None:
@@ -146,6 +149,16 @@ def batch_process(
             failed.append((failure.path, failure.error))
     finally:
         write_errors = writer.close()
+        # Async write failures surface only at close(); re-mark their
+        # source inputs as failed so a resumed run retries them instead
+        # of trusting the optimistic "done" written at submit time.
+        refail: dict = {}
+        for out, err in write_errors:
+            src = out_to_input.get(out)
+            if src is not None and src not in refail:
+                refail[src] = err
+        for src, err in refail.items():
+            manifest.mark(src, "failed", error=f"write failed: {err}")
         manifest.close()
     for path, err in write_errors:
         logger.error("Write failed %s: %s", path, err)

@@ -224,9 +224,15 @@ class ImageStore(abc.ABC):
             page, _ = self.list_images(page=1, per_page=100)
             if not page:
                 return removed
+            pass_removed = 0
             for rec in page:
                 if self.remove_image(rec.image_id):
                     removed += 1
+                    pass_removed += 1
+            if pass_removed == 0:
+                # Nothing on the page could be removed — bail rather
+                # than spin forever on the same stuck listing.
+                return removed
 
     def load_array(self, image_id: str) -> Tuple[ImageRecord, np.ndarray]:
         """Metadata + HWC uint8 array (the 'array' field of

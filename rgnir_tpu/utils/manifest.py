@@ -30,8 +30,13 @@ class Manifest:
                     rec = json.loads(line)
                 except json.JSONDecodeError:
                     continue  # torn tail write from a crash
+                # Latest record wins: a "failed" written after a "done"
+                # (e.g. an async write error surfaced at close) makes
+                # the input eligible for retry on resume.
                 if rec.get("status") == "done":
                     self._done[rec["input"]] = rec
+                else:
+                    self._done.pop(rec.get("input"), None)
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self._fh = open(self.path, "a")
 
@@ -60,6 +65,8 @@ class Manifest:
             except OSError:
                 pass
             self._done[str(p)] = rec
+        else:
+            self._done.pop(str(p), None)
         if error:
             rec["error"] = error
         if outputs:

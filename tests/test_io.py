@@ -63,6 +63,56 @@ class TestBatchLoader:
         assert len(loader.failures) == 1
         assert loader.failures[0].path == bad
 
+    def test_bounded_inflight_decodes(self, rng):
+        """Decodes are submitted in a sliding window, not all up front:
+        with an unconsumed iterator, started decodes stay bounded by
+        the prefetch depth regardless of directory size."""
+        import threading
+        import time
+
+        n = 40
+        started = []
+        lock = threading.Lock()
+
+        def decode(path):
+            with lock:
+                started.append(path)
+            return np.zeros((4, 4, 3), dtype=np.uint8)
+
+        cfg = LoaderConfig(batch_size=2, prefetch_batches=2,
+                           decode_workers=4)
+        loader = BatchLoader([f"img_{i}.png" for i in range(n)],
+                             cfg=cfg, decode=decode)
+        it = iter(loader)
+        first = next(it)  # starts the producer, consumes one batch
+        time.sleep(0.5)   # give the producer time to run unbounded if buggy
+        window = max(2, cfg.prefetch_batches) * cfg.batch_size  # queue cap
+        with lock:
+            n_started = len(started)
+        # consumed batch + queue capacity + in-flight window (+1 for the
+        # result blocked on the full queue); far below n=40.
+        assert n_started <= len(first.paths) + 2 * window + 1, n_started
+        rest = list(it)
+        assert len(first.paths) + sum(len(b.paths) for b in rest) == n
+
+
+class TestManifest:
+    def test_failed_overrides_done(self, tmp_path):
+        from rgnir_tpu.utils.manifest import Manifest
+
+        src = tmp_path / "a.png"
+        src.write_bytes(b"x")
+        m = Manifest(tmp_path / "m.jsonl")
+        m.mark(src, "done")
+        assert m.is_done(src)
+        m.mark(src, "failed", error="write failed")
+        assert not m.is_done(src)
+        m.close()
+        # Reload from disk: the later failed record still wins.
+        m2 = Manifest(tmp_path / "m.jsonl")
+        assert not m2.is_done(src)
+        m2.close()
+
 
 class TestWriter:
     def test_async_write_and_errors(self, tmp_path, rng):

@@ -75,6 +75,32 @@ class TestBatchProcess:
         assert s2["processed"] == 0
         assert s2["skipped"] == 6
 
+    def test_write_failure_retried_on_resume(self, input_dir, tmp_path,
+                                             monkeypatch):
+        """An async encode/write failure (surfaced only at writer.close)
+        must not leave its input marked done — resume retries it."""
+        import rgnir_tpu.io.writer as writer_mod
+        from rgnir_tpu.pipeline.batch import batch_process
+
+        real = writer_mod._write_array
+
+        def flaky(path, array):
+            if path.name == "frame_2_ndvi.png":
+                raise OSError("disk full (injected)")
+            return real(path, array)
+
+        monkeypatch.setattr(writer_mod, "_write_array", flaky)
+        out = tmp_path / "out"
+        s1 = batch_process(input_dir, out, indices=("NDVI",))
+        assert any(p.name == "frame_2_ndvi.png" for p, _ in s1["failed"])
+        assert not (out / "NDVI" / "frame_2_ndvi.png").exists()
+        # Resume with a healthy writer: only frame_2 is reprocessed.
+        monkeypatch.setattr(writer_mod, "_write_array", real)
+        s2 = batch_process(input_dir, out, indices=("NDVI",))
+        assert s2["processed"] == 1
+        assert s2["skipped"] == 5
+        assert (out / "NDVI" / "frame_2_ndvi.png").exists()
+
 
 class TestNdviReport:
     def test_report_outputs(self, tmp_path, rgnir_image):
