@@ -8,9 +8,11 @@ health check on connect. Collections: ``images`` (documents with
 ``metadata`` subdoc + ``image_data`` binary, process-images.py:255-264)
 and ``monitoring_sites`` (process-images.py:303-332).
 
-This backend cannot be exercised in the build environment (pymongo not
-installed); it shares all upload/validation logic with the filesystem
-backend via rgnir_tpu.store.base, which is fully tested.
+Exercised two ways: the shared upload/validation logic through
+rgnir_tpu.store.base, and the full backend (error taxonomy, aggregation
+dedupe, two-phase fetch, projections) through the vendored
+pymongo-compatible fake (rgnir_tpu.testing.fake_mongo) in
+tests/test_store.py — no MongoDB server required.
 """
 
 from __future__ import annotations
