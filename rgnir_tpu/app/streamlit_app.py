@@ -14,10 +14,14 @@ presents results. Storage defaults to the filesystem backend
 (RGNIR_STORE_ROOT env) and uses MongoDB when MONGODB_URI is set —
 matching the reference's env-based config (process-images.py:21,29-32).
 
-This module is import-gated: the build/test environment has no
-streamlit; run it where streamlit is installed:
+Run it where streamlit is installed:
 
     streamlit run rgnir_tpu/app/streamlit_app.py
+
+Without streamlit, every flow is still exercised headlessly in
+tests/test_app.py via rgnir_tpu.testing.fake_streamlit's AppHarness
+(upload -> gallery -> compare -> ZIP, store management, sites +
+time-series + change detection).
 """
 
 from __future__ import annotations
@@ -181,19 +185,38 @@ def comparison_section(store, selected: list) -> None:
 
 def time_series_tab(store) -> None:
     st.header("Time Series Monitoring")
-    with st.form("create_site"):
-        name = st.text_input("Site name")
-        description = st.text_area("Description")
-        lat = st.number_input("Latitude", min_value=-90.0, max_value=90.0)
-        lng = st.number_input("Longitude", min_value=-180.0, max_value=180.0)
-        if st.form_submit_button("Create site") and name:
-            try:
-                store.create_site(
-                    name, description, {"lat": lat, "lng": lng}
+    with st.expander("Create New Monitoring Site"):
+        name = st.text_input("Site Name")
+        description = st.text_area("Description (optional)")
+        # Coordinates are an explicit opt-in; sites store None otherwise
+        # (process-images.py:1008-1023).
+        include_coords = st.checkbox("Include Coordinates")
+        lat, lng = None, None
+        if include_coords:
+            col_lat, col_lng = st.columns(2)
+            with col_lat:
+                lat = st.number_input(
+                    "Latitude", min_value=-90.0, max_value=90.0,
+                    format="%.6f",
                 )
-                st.success(f"Created site {name}")
-            except Exception as e:  # noqa: BLE001
-                st.error(str(e))
+            with col_lng:
+                lng = st.number_input(
+                    "Longitude", min_value=-180.0, max_value=180.0,
+                    format="%.6f",
+                )
+        if st.button("Create Site"):
+            if not name:
+                st.error("Site name is required")
+            else:
+                coordinates = (
+                    {"lat": lat, "lng": lng} if include_coords else None
+                )
+                try:
+                    store.create_site(name, description, coordinates)
+                    st.success(f"Site '{name}' created successfully!")
+                    st.rerun()
+                except Exception as e:  # noqa: BLE001
+                    st.error(str(e))
 
     sites = store.list_sites()
     if not sites:
