@@ -86,10 +86,25 @@ def auto_block_r(n_pixels: int, target_steps: int = 64, cap: int = 64) -> int:
 
 
 def flatten_to_rows(x: jax.Array, block_r: int, fill: int = 0):
-    """(..., H, W) -> (..., R, 1024) row-major flat with tail padding."""
+    """(..., H, W) -> (..., R, 1024) row-major flat with tail padding.
+
+    Raises for images whose padded pixel count exceeds int32 range: the
+    kernels' positional padding masks (``iota*wc + iota + step*n``) are
+    int32 (Mosaic has no i64 vectors), so beyond 2^31-1 pixels the mask
+    would silently wrap and corrupt the stats. Oversize mosaics belong
+    on the sharded path (rgnir_tpu.parallel.analyze_mosaic), where each
+    shard's positions are shard-local.
+    """
     *lead, h, w = x.shape
     n = h * w
     rows = _ceil_to(_cdiv(n, _LANES), block_r)
+    if rows * _LANES > 2**31 - 1:
+        raise ValueError(
+            f"image has {n} pixels ({rows * _LANES} padded) — beyond the "
+            "int32 positional-mask range of the single-pass kernels "
+            "(2^31-1). Shard it across devices with "
+            "rgnir_tpu.parallel.analyze_mosaic instead."
+        )
     pad = rows * _LANES - n
     flat = x.reshape(tuple(lead) + (n,))
     if pad:

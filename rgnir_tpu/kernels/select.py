@@ -146,6 +146,12 @@ def _pack_keys(vals_flat: jax.Array, block_r):
     """(B, N) f32 -> (B, R, 1024) uint32 keys padded with the max key."""
     b, n = vals_flat.shape
     rows = _ceil_to(_cdiv(n, 1024), block_r)
+    if rows * 1024 > 2**31 - 1:
+        raise ValueError(
+            f"{n} elements ({rows * 1024} padded) exceed the int32 "
+            "positional range of the radix-select kernel (2^31-1); use "
+            "the sharded path (rgnir_tpu.parallel.analyze_mosaic)."
+        )
     pad = rows * 1024 - n
     keys = ordered_u32_from_f32(vals_flat)
     keys = jnp.pad(

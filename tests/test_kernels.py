@@ -124,3 +124,46 @@ class TestFusedKernel:
         assert np.abs(got_wb.astype(int) - ref_wb.astype(int)).max() <= 1
         s = np.asarray(stats[0])
         assert s[S_HIST:S_HIST + 50].sum() == 41 * 77  # padding masked
+
+
+class TestInt32PositionGuard:
+    """Oversize single images must fail loudly, not wrap int32 masks
+    (kernels flatten positions as iota + step*n in int32)."""
+
+    def test_fused_rejects_beyond_2gpix(self):
+        from rgnir_tpu.kernels.fused import fused_analyze_pallas
+
+        side = 46_342  # side^2 > 2^31 - 1
+        img = jax.ShapeDtypeStruct((3, side, side), jnp.uint8)
+        lo = jax.ShapeDtypeStruct((3,), jnp.float32)
+        hi = jax.ShapeDtypeStruct((3,), jnp.float32)
+        with pytest.raises(ValueError, match="analyze_mosaic"):
+            jax.eval_shape(
+                lambda im, a, b: fused_analyze_pallas(im, a, b, ("NDVI",)),
+                img, lo, hi,
+            )
+
+    def test_hist_rejects_beyond_2gpix(self):
+        from rgnir_tpu.kernels.hist import planar_histograms_pallas
+
+        side = 46_342
+        img = jax.ShapeDtypeStruct((3, side, side), jnp.uint8)
+        with pytest.raises(ValueError, match="analyze_mosaic"):
+            jax.eval_shape(planar_histograms_pallas, img)
+
+    def test_select_rejects_beyond_2gpix(self):
+        from rgnir_tpu.kernels.select import radix_order_statistic_pallas
+
+        vals = jax.ShapeDtypeStruct((46_342 * 46_342,), jnp.float32)
+        rank = jax.ShapeDtypeStruct((), jnp.int32)
+        with pytest.raises(ValueError, match="analyze_mosaic"):
+            jax.eval_shape(radix_order_statistic_pallas, vals, rank)
+
+    def test_just_below_bound_accepted(self):
+        """A shape under the limit traces fine (shape-only check)."""
+        from rgnir_tpu.kernels.hist import flatten_to_rows
+
+        n_rows = 2_097_144  # multiple of 8; padded total < 2^31-1
+        x = jax.ShapeDtypeStruct((3, n_rows, 1024), jnp.uint8)
+        out = jax.eval_shape(lambda a: flatten_to_rows(a, 8), x)
+        assert out.shape[-1] == 1024
