@@ -148,6 +148,60 @@ def adjacent_order_statistics(
     return f32_from_ordered_u32(key_lo), f32_from_ordered_u32(key_hi)
 
 
+def _digit16_histograms(
+    digit: jax.Array, actives: jax.Array, chunk: int = 8192
+) -> jax.Array:
+    """k masked 65536-bin histograms in ONE pass over the data.
+
+    ``digit``: (n,) int32 in [0, 65536); ``actives``: (k, n) bool.
+    Chunked ``lax.scan``: per chunk, the two byte one-hots ((256, c)
+    each) are contracted on the MXU into a (256, 256) joint count —
+    the 16-bit generalization of the nibble tensor-product histogram.
+    Per-chunk counts are exact in f32 (< 2^24) and accumulate in int32,
+    so totals are exact up to 2^31-1 elements. Returns (k, 65536) int32.
+    """
+    k, n = actives.shape
+    pad = (-n) % chunk
+    if pad:
+        digit = jnp.pad(digit, (0, pad))
+        actives = jnp.pad(actives, ((0, 0), (0, pad)))
+    nchunks = (n + pad) // chunk
+    digit = digit.reshape(nchunks, chunk)
+    actives = jnp.moveaxis(
+        actives.reshape(k, nchunks, chunk), 1, 0
+    )  # (nchunks, k, chunk)
+    col = jnp.arange(256, dtype=jnp.int32)[:, None]
+
+    def body(acc, args):
+        d, a = args  # (chunk,), (k, chunk)
+        oh_lo = ((d & 255)[None, :] == col).astype(jnp.bfloat16)  # (256, c)
+        oh_hi = ((d >> 8)[None, :] == col).astype(jnp.bfloat16)   # (256, c)
+        ohq = oh_hi[None] * a[:, None, :].astype(jnp.bfloat16)    # (k,256,c)
+        part = jnp.einsum(
+            "qic,jc->qij", ohq, oh_lo,
+            preferred_element_type=jnp.float32,
+        )
+        return acc + part.reshape(k, 65536).astype(jnp.int32), None
+
+    acc0 = jnp.zeros((k, 65536), jnp.int32)
+    out, _ = jax.lax.scan(body, acc0, (digit, actives))
+    return out
+
+
+def _rank_in_cdf(cdf: jax.Array, ranks: jax.Array):
+    """bin index, count below it, and in-bin count for each rank.
+
+    ``cdf``: (..., B) inclusive cumulative counts; ``ranks``: (...,).
+    """
+    b = jnp.sum((cdf <= ranks[..., None]).astype(jnp.int32), axis=-1)
+    below = jnp.take_along_axis(
+        cdf, jnp.maximum(b - 1, 0)[..., None], axis=-1
+    )[..., 0]
+    below = jnp.where(b > 0, below, 0)
+    in_bin = jnp.take_along_axis(cdf, b[..., None], axis=-1)[..., 0] - below
+    return b, below, in_bin
+
+
 def exact_quantiles(
     vals: jax.Array,
     qs,
@@ -159,12 +213,22 @@ def exact_quantiles(
     """General exact quantiles of arbitrary float32 data, sort-free.
 
     np.percentile (linear, array-q float64-gamma) semantics: for each
-    static q the rank split ``k = floor(q/100*(n-1))``, gamma is
-    computed at trace time in exact float64; the two adjacent order
-    statistics come from ONE radix-select + one masked-min per q
-    (adjacent-rank fast path), and the lerp runs in f32 (<= 1 ulp of
+    static q the rank split ``k = floor(q/100*(n-1))``, gamma computed
+    at trace time in exact float64, and the lerp in f32 (<= 1 ulp of
     numpy). Generalizes the uint8-histogram percentiles of
-    ops.histogram to any float32 data, including sharded (psum rounds).
+    ops.histogram to any float32 data, including sharded (psum'd
+    histograms / pmin).
+
+    THREE data passes total, independent of ``len(qs)`` (vs one 4-round
+    radix select per quantile):
+
+    1. shared 65536-bin histogram of the keys' high 16 bits — locates
+       every quantile's high bin and residual rank at once;
+    2. per-quantile 65536-bin histograms of the low 16 bits restricted
+       to each quantile's high bin — all quantiles in one pass
+       (:func:`_digit16_histograms`) — fully resolving each key;
+    3. per-quantile masked min of keys strictly greater (the a[rank+1]
+       interpolation neighbour), all quantiles in one pass.
 
     Returns ``batch_shape + (len(qs),)`` float32.
     """
@@ -177,30 +241,58 @@ def exact_quantiles(
         mask = mask.reshape(batch + (-1,))
     active = jnp.ones(keys.shape, bool) if mask is None else mask.astype(bool)
 
-    outs = []
+    ranks_list, gammas = [], []
     for q in qs:
         vi = (float(q) / 100.0) * (n_valid - 1)
         k = int(_np.floor(vi))
-        d = vi - k
-        rank = jnp.broadcast_to(jnp.int32(k), batch)
-        key_lo, eq_minus_rank = _radix_select(keys, rank, active, axis_name)
-        lo = f32_from_ordered_u32(key_lo)
-        if d == 0.0:
-            outs.append(lo)
-            continue
-        gt = active & (keys > key_lo[..., None])
-        candidates = jnp.where(gt, keys, jnp.uint32(0xFFFFFFFF))
-        nxt = jnp.min(candidates, axis=-1)
+        ranks_list.append(k)
+        gammas.append(vi - k)
+    ranks0 = jnp.asarray(ranks_list, jnp.int32)          # (Q,)
+    t = jnp.asarray(gammas, jnp.float32)                 # (Q,)
+    exact_hit = jnp.asarray([g == 0.0 for g in gammas])  # (Q,) bool
+
+    def single(keys1: jax.Array, active1: jax.Array) -> jax.Array:
+        hi16 = (keys1 >> jnp.uint32(16)).astype(jnp.int32)
+        lo16 = (keys1 & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        # pass 1: shared high-16 histogram
+        h1 = _digit16_histograms(hi16, active1[None, :])[0]
+        if axis_name is not None:
+            h1 = jax.lax.psum(h1, axis_name)
+        b1, below1, _ = _rank_in_cdf(
+            jnp.cumsum(h1)[None, :].repeat(ranks0.shape[0], 0), ranks0
+        )
+        rank1 = ranks0 - below1
+        # pass 2: per-quantile low-16 histograms inside each high bin
+        act_q = active1[None, :] & (hi16[None, :] == b1[:, None])
+        h2 = _digit16_histograms(lo16, act_q)            # (Q, 65536)
+        if axis_name is not None:
+            h2 = jax.lax.psum(h2, axis_name)
+        b2, below2, in_bin = _rank_in_cdf(jnp.cumsum(h2, axis=-1), rank1)
+        rank2 = rank1 - below2
+        eq_minus_rank = in_bin - rank2
+        key_lo = (
+            b1.astype(jnp.uint32) << jnp.uint32(16)
+        ) | b2.astype(jnp.uint32)                        # (Q,)
+        # pass 3: min key strictly greater (for the lerp neighbour)
+        gt = active1[None, :] & (keys1[None, :] > key_lo[:, None])
+        nxt = jnp.min(
+            jnp.where(gt, keys1[None, :], jnp.uint32(0xFFFFFFFF)), axis=-1
+        )
         if axis_name is not None:
             nxt = jax.lax.pmin(nxt, axis_name)
         key_hi = jnp.where(eq_minus_rank >= 2, key_lo, nxt)
+        lo = f32_from_ordered_u32(key_lo)
         hi = f32_from_ordered_u32(key_hi)
-        t = jnp.float32(d)
         diff = hi - lo
-        outs.append(
-            jnp.where(t >= 0.5, hi - diff * (1.0 - t), lo + diff * t)
-        )
-    return jnp.stack(outs, axis=-1)
+        lerp = jnp.where(t >= 0.5, hi - diff * (1.0 - t), lo + diff * t)
+        # gamma == 0: the answer is a[rank] exactly (and the sentinel
+        # successor key may be NaN when rank == n-1) — bypass the lerp.
+        return jnp.where(exact_hit, lo, lerp)
+
+    fn = single
+    for _ in batch:
+        fn = jax.vmap(fn)
+    return fn(keys, active)
 
 
 def masked_median(

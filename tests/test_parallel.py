@@ -87,6 +87,41 @@ class TestRadixSelect:
             want = np.percentile(x[b][mask[b]], [25.0, 75.0])
             np.testing.assert_allclose(got[b], want, rtol=3e-7, atol=1e-7)
 
+    def test_exact_quantiles_nine_deciles(self, rng):
+        """All nine deciles in the fixed 3-pass scheme == numpy exactly
+        (integer-valued data makes f64/f32 lerps bit-identical)."""
+        from rgnir_tpu.ops.select import exact_quantiles
+
+        x = rng.integers(-500, 500, size=12_345).astype(np.float32)
+        qs = tuple(float(q) for q in range(10, 100, 10))
+        got = np.asarray(exact_quantiles(jnp.asarray(x), qs, n_valid=x.size))
+        want = np.percentile(x, list(qs))
+        np.testing.assert_allclose(got, want, rtol=3e-7, atol=1e-7)
+
+    def test_exact_quantiles_distributed(self, rng):
+        """Sharded deciles (psum'd histograms + pmin) == single-device."""
+        from functools import partial
+
+        from jax.sharding import PartitionSpec as P
+
+        from rgnir_tpu.ops.select import exact_quantiles
+        from rgnir_tpu.parallel.mesh import make_mesh
+
+        x = rng.normal(size=4096).astype(np.float32)
+        qs = (10.0, 50.0, 90.0)
+        mesh = make_mesh((8,), ("d",))
+
+        @partial(
+            jax.shard_map, mesh=mesh, in_specs=P("d"), out_specs=P(),
+            check_vma=False,
+        )
+        def sharded(v):
+            return exact_quantiles(v, qs, n_valid=4096, axis_name="d")
+
+        got = np.asarray(sharded(jnp.asarray(x)))
+        want = np.percentile(x, list(qs))
+        np.testing.assert_allclose(got, want, rtol=3e-7, atol=1e-7)
+
     @pytest.mark.parametrize("n", [999, 1000])
     def test_median_numpy_parity(self, rng, n):
         x = rng.normal(size=n).astype(np.float32)
