@@ -25,8 +25,16 @@ from rgnir_tpu.parallel.reduce import (
 )
 from rgnir_tpu.parallel.mosaic import analyze_mosaic, MosaicStats
 from rgnir_tpu.parallel.halo import exchange_row_halos
+from rgnir_tpu.parallel.change import (
+    change_detection_mosaic,
+    ShardedChangeResult,
+    DiffStats,
+)
 
 __all__ = [
+    "change_detection_mosaic",
+    "ShardedChangeResult",
+    "DiffStats",
     "exchange_row_halos",
     "make_mesh",
     "local_mesh",

@@ -379,3 +379,123 @@ class TestTiling:
         m = np.asarray(valid_mask((8, 8), (5, 6)))
         assert m.sum() == 30
         assert m[:5, :6].all() and not m[5:].any() and not m[:, 6:].any()
+
+
+class TestShardedChangeDetection:
+    """Full-res sharded change detection (halo-exchange warp) — the
+    capability the reference caps at 1024 px (process-images.py:530-536)."""
+
+    def _pair(self, rng, h, w, roll):
+        # Smooth-ish content so phase correlation locks on cleanly.
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        base = (
+            120
+            + 60 * np.sin(xx / 7.0)
+            + 50 * np.cos(yy / 11.0)
+            + rng.normal(0, 6, (h, w))
+        )
+        img = np.stack([base, base * 0.8 + 20, base * 1.1], axis=-1)
+        early = np.clip(img, 0, 255).astype(np.uint8)
+        late = np.roll(early, roll, axis=(0, 1))
+        return early, late
+
+    def test_sharded_matches_single_device(self, rng):
+        from rgnir_tpu.parallel.change import change_detection_mosaic
+        from rgnir_tpu.parallel.mesh import make_mesh
+
+        h, w = 137, 96
+        early, late = self._pair(rng, h, w, roll=(4, -3))
+        hp = -(-h // 8) * 8
+        kwargs = dict(halo=16, proxy_stride=1, pad_to=hp)
+        r8 = change_detection_mosaic(
+            jnp.asarray(early), jnp.asarray(late), "NDVI",
+            mesh=make_mesh((8,), ("d",)), **kwargs,
+        )
+        r1 = change_detection_mosaic(
+            jnp.asarray(early), jnp.asarray(late), "NDVI",
+            mesh=make_mesh((1,), ("d",)), **kwargs,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r8.shift), np.asarray(r1.shift)
+        )
+        for fld in ("early_index", "late_index", "diff"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(r8, fld))[:h],
+                np.asarray(getattr(r1, fld))[:h],
+            )
+        assert float(r8.stats.median) == float(r1.stats.median)
+        np.testing.assert_allclose(
+            float(r8.stats.mean), float(r1.stats.mean), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            float(r8.stats.std), float(r1.stats.std), atol=1e-6
+        )
+        assert float(r8.stats.min) == float(r1.stats.min)
+        assert float(r8.stats.max) == float(r1.stats.max)
+
+    def test_shift_recovered_and_diff_small(self, rng):
+        from rgnir_tpu.parallel.change import change_detection_mosaic
+        from rgnir_tpu.parallel.mesh import make_mesh
+
+        h, w = 160, 120
+        roll = (6, -5)
+        early, late = self._pair(rng, h, w, roll=roll)
+        res = change_detection_mosaic(
+            jnp.asarray(early), jnp.asarray(late), "NDVI",
+            mesh=make_mesh((8,), ("d",)), halo=16, proxy_stride=1,
+        )
+        # Aligning the rolled image back: shift == -roll.
+        shift = np.asarray(res.shift)
+        assert shift[0] == -roll[0] and shift[1] == -roll[1]
+        # Away from the wrap seam the aligned diff vanishes.
+        diff = np.asarray(res.diff)[:h]
+        interior = diff[12:-12, 12:-12]
+        assert np.abs(interior).max() < 1e-6
+        assert abs(float(res.stats.median)) < 1e-6
+
+    def test_strided_proxy_parity(self, rng):
+        """stride-2 proxy: sharded == single-device, same auto stride."""
+        from rgnir_tpu.parallel.change import (
+            _pick_proxy_stride, change_detection_mosaic,
+        )
+        from rgnir_tpu.parallel.mesh import make_mesh
+
+        h, w = 1152, 96
+        assert _pick_proxy_stride(h, 1152 // 8) == 2
+        early, late = self._pair(rng, h, w, roll=(9, 4))
+        kwargs = dict(halo=24, proxy_stride=2, pad_to=h)
+        r8 = change_detection_mosaic(
+            jnp.asarray(early), jnp.asarray(late), "NDWI",
+            mesh=make_mesh((8,), ("d",)), **kwargs,
+        )
+        r1 = change_detection_mosaic(
+            jnp.asarray(early), jnp.asarray(late), "NDWI",
+            mesh=make_mesh((1,), ("d",)), **kwargs,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r8.shift), np.asarray(r1.shift)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r8.diff), np.asarray(r1.diff)
+        )
+
+    def test_haloed_warp_matches_unsharded(self, rng):
+        """bilinear_shift_rows_haloed on a middle block == the matching
+        rows of bilinear_shift_2d on the full image."""
+        from rgnir_tpu.parallel.change import bilinear_shift_rows_haloed
+        from rgnir_tpu.register.warp import bilinear_shift_2d
+
+        h, w, halo, bh, row0 = 64, 40, 8, 16, 24
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        full = np.asarray(
+            bilinear_shift_2d(jnp.asarray(img), jnp.float32(3.3),
+                              jnp.float32(-2.7))
+        )
+        ext = jnp.asarray(img[row0 - halo: row0 + bh + halo])
+        got = np.asarray(
+            bilinear_shift_rows_haloed(
+                ext, jnp.float32(3.3), jnp.float32(-2.7),
+                jnp.int32(row0), h, halo,
+            )
+        )
+        np.testing.assert_array_equal(got, full[row0: row0 + bh])
