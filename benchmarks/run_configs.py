@@ -109,7 +109,47 @@ def run_all(quick: bool = False):
         "5_survey_8192_fused", (8192, 8192, 3), ("NDVI",),
         renders=False, ns=(5, 30) if quick else (5, 55), reps=reps + 1,
     )
+    # 6. the PRODUCTION multi-chip path on real silicon: the Pallas
+    #    shard body inside shard_map on a 1-device TPU mesh (the only
+    #    chip attached here) — proves the sharded kernel path compiles
+    #    and runs fast outside CPU interpret mode.
+    run_sharded_config(
+        "6_mosaic_4096_shardmap_kernel", (4096, 4096, 3), ("NDVI",),
+        ns=ns if quick else (10, 110), reps=reps,
+    )
     return list(RESULTS), derived
+
+
+def run_sharded_config(name, shape, kinds, ns=(10, 60), reps=3):
+    """Time analyze_mosaic(impl='kernel') through shard_map on a
+    1-device mesh of the attached chip (real Mosaic lowering, psum'd
+    stats, radix-select median — the multi-chip production path)."""
+    from rgnir_tpu.parallel import analyze_mosaic
+    from rgnir_tpu.parallel.mesh import local_mesh
+
+    mesh = local_mesh()
+    rng = np.random.default_rng(0)
+    img = jax.device_put(
+        jnp.asarray(rng.integers(0, 256, shape, dtype=np.uint8))
+    )
+
+    def body(i, carry):
+        img, acc = carry
+        res = analyze_mosaic(img, kinds=kinds, mesh=mesh, impl="kernel")
+        acc = acc + res.stats[kinds[0]].mean + res.stats[kinds[0]].median
+        return res.wb, acc
+
+    ms = chain_time(body, (img, jnp.zeros(())), ns=ns, reps=reps)
+    mpix = np.prod(shape[:-1]) / 1e6
+    rec = {
+        "config": name,
+        "ms_per_step": round(ms, 3),
+        "mpix_per_step": round(float(mpix), 2),
+        "mpix_per_s": round(float(mpix / ms * 1e3), 1),
+    }
+    RESULTS.append(rec)
+    print(json.dumps(rec), flush=True)
+    return rec
 
 
 def main() -> None:
@@ -133,6 +173,8 @@ def main() -> None:
         "3_mosaic_4096_fused": "4096² mosaic, fused WB+NDVI (global exact percentiles)",
         "4_stream_1080p_3idx": "1080p frame, 3 indices + stats",
         "5_survey_8192_fused": "8192² survey mosaic, fused WB+NDVI",
+        "6_mosaic_4096_shardmap_kernel":
+            "4096² via shard_map Pallas shard body (1-device TPU mesh)",
     }
     for i, rec in enumerate(RESULTS, 1):
         lines.append(
