@@ -1,0 +1,154 @@
+"""Histogram-kernel variant experiments (throughput on the real chip).
+
+The component profile showed the 256-bin histogram kernel costing ~44%
+of config 2; this sweeps implementation variants and block sizes to
+find the fast shape. Throwaway-ish: keep results in BENCHMARKS.md.
+
+Usage: python benchmarks/exp_hist.py
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_ROOT))
+sys.path.insert(0, str(_ROOT / "tools"))
+from tpu_microbench import chain_time  # noqa: E402
+
+from rgnir_tpu.kernels.hist import (  # noqa: E402
+    _LANES, flatten_to_rows, planar_histograms_pallas,
+)
+
+BATCH, SIZE = 32, 512
+N = SIZE * SIZE
+
+
+def _kernel_variant(img_ref, nvalid_ref, out_ref, *, variant: str):
+    step = pl.program_id(0)
+    c, br, wc = img_ref.shape
+    n = br * wc
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    pos = (
+        jax.lax.broadcasted_iota(jnp.int32, (br, wc), 0) * wc
+        + jax.lax.broadcasted_iota(jnp.int32, (br, wc), 1)
+        + step * n
+    )
+    valid = pos < nvalid_ref[0]
+    nib_col = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+
+    for ch in range(c):
+        v = img_ref[ch].astype(jnp.int32)
+        if variant in ("mask256", "mask256_bf16"):
+            # invalid pixels get value 256: hi nibble 16 matches nothing
+            v = jnp.where(valid, v, 256)
+            vrow = v.reshape(1, n)
+            hi_eq = (vrow >> 4) == nib_col
+            lo_eq = (vrow & 15) == nib_col
+        else:
+            vrow = v.reshape(1, n)
+            mrow = valid.reshape(1, n)
+            hi_eq = mrow & ((vrow >> 4) == nib_col)
+            lo_eq = (vrow & 15) == nib_col
+        if variant.endswith("bf16"):
+            oh_hi = jnp.where(hi_eq, jnp.bfloat16(1), jnp.bfloat16(0))
+            oh_lo = jnp.where(lo_eq, jnp.bfloat16(1), jnp.bfloat16(0))
+        else:
+            oh_hi = jnp.where(hi_eq, jnp.float32(1), jnp.float32(0))
+            oh_lo = jnp.where(lo_eq, jnp.float32(1), jnp.float32(0))
+        h2 = jax.lax.dot_general(
+            oh_hi, oh_lo,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[ch] += h2
+
+
+@functools.partial(jax.jit, static_argnames=("block_r", "variant"))
+def hist_variant(img_pl, block_r: int, variant: str):
+    c, h, w = img_pl.shape
+    flat = flatten_to_rows(img_pl, block_r)
+    rows = flat.shape[-2]
+    out = pl.pallas_call(
+        functools.partial(_kernel_variant, variant=variant),
+        grid=(rows // block_r,),
+        in_specs=[
+            pl.BlockSpec((c, block_r, _LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((c, 16, 16), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, 16, 16), jnp.float32),
+        interpret=False,
+    )(flat, jnp.asarray(h * w, jnp.int32).reshape(1))
+    return out.reshape(c, 256).astype(jnp.int32)
+
+
+def main() -> None:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/rgnir_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    rng = np.random.default_rng(0)
+    imgs = jax.device_put(jnp.asarray(
+        rng.integers(0, 256, (BATCH, SIZE, SIZE, 3), dtype=np.uint8)
+    ))
+    mpix = BATCH * N / 1e6
+
+    def body_for(fn):
+        def body(i, c):
+            pl_img = jnp.moveaxis(c, -1, -3)
+            hist = jax.vmap(fn)(pl_img)
+            return (c ^ hist[:, 0, 0].astype(jnp.uint8)[..., None, None, None])
+        return body
+
+    # correctness gate for every variant vs the production kernel
+    ref = jax.vmap(planar_histograms_pallas)(jnp.moveaxis(imgs, -1, -3))
+
+    def check(fn, tag):
+        got = jax.vmap(fn)(jnp.moveaxis(imgs, -1, -3))
+        ok = bool(jnp.array_equal(got, ref))
+        if not ok:
+            print(json.dumps({"variant": tag, "CORRECTNESS": "FAIL"}),
+                  flush=True)
+        return ok
+
+    print(json.dumps({"baseline_auto": chain_time(
+        body_for(planar_histograms_pallas), imgs, ns=(10, 60), reps=3
+    )}), flush=True)
+
+    for variant in ("base", "base_bf16", "mask256", "mask256_bf16"):
+        for block_r in (16, 32, 64, 128):
+            fn = functools.partial(
+                hist_variant, block_r=block_r, variant=variant
+            )
+            tag = f"{variant}/br{block_r}"
+            try:
+                if not check(fn, tag):
+                    continue
+                ms = chain_time(body_for(fn), imgs, ns=(10, 60), reps=3)
+                print(json.dumps({
+                    "variant": tag, "ms": round(ms, 3),
+                    "mpix_per_s": round(mpix / ms * 1e3, 1),
+                }), flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"variant": tag,
+                                  "error": f"{type(e).__name__}: {e}"[:200]}),
+                      flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -128,12 +128,17 @@ def _fused_kernel(
         idx_ref[k] = idx
 
         # --- stats partials (gathered into one (nk, 128) update) -------
+        # Masked-value form: padding pixels become -2.0, below every
+        # histogram edge and both coverage thresholds, so the ge matrix
+        # and coverage count need no broadcast AND (one select on
+        # (br, wc) instead — the 5-7x trick of benchmarks/exp_hist.py).
+        idx_m = jnp.where(valid, idx, jnp.float32(-2.0))
         s_sum = jnp.sum(idx * validf)
         s_sumsq = jnp.sum(idx * idx * validf)
         min_scalars.append(jnp.min(jnp.where(valid, idx, jnp.inf)))
-        max_scalars.append(jnp.max(jnp.where(valid, idx, -jnp.inf)))
+        max_scalars.append(jnp.max(idx_m))
         thr = jnp.float32(kind.coverage_threshold)
-        s_above = jnp.sum(((idx > thr) & valid).astype(jnp.float32))
+        s_above = jnp.sum((idx_m > thr).astype(jnp.float32))
 
         # 50-bin histogram: cumulative counts C[i] = #(v >= edge_i)
         # against the exact f32 edges — one ge matrix, one MXU dot; the
@@ -143,10 +148,9 @@ def _fused_kernel(
             + [jnp.full((13, 1), jnp.inf, jnp.float32)],
             axis=0,
         )  # (64, 1)
-        idx_row = idx.reshape(1, n)
-        mask_row = valid.reshape(1, n)
+        idx_row = idx_m.reshape(1, n)  # padding = -2.0 < every edge
         ge = jnp.where(
-            mask_row & (idx_row >= edges_col),
+            idx_row >= edges_col,
             jnp.float32(1), jnp.float32(0),
         ).astype(jnp.bfloat16)  # (64, n); 0/1 exact in bf16
         cum = jax.lax.dot_general(

@@ -67,11 +67,14 @@ def _byte_hist_kernel(
         active = in_bounds
 
     byte = (keys >> jnp.uint32(shift)).astype(jnp.int32) & 255
+    # Fold the active mask into the VALUE (inactive -> 256, high nibble
+    # 16 matches nothing): one select replaces a broadcast AND across
+    # the 16 one-hot rows — measured 5-7x faster (benchmarks/exp_hist.py).
+    byte = jnp.where(active, byte, 256)
     brow = byte.reshape(1, n)
-    arow = active.reshape(1, n)
     nib_col = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
     oh_hi = jnp.where(
-        arow & ((brow >> 4) == nib_col), jnp.float32(1), jnp.float32(0)
+        (brow >> 4) == nib_col, jnp.float32(1), jnp.float32(0)
     )
     oh_lo = jnp.where((brow & 15) == nib_col, jnp.float32(1), jnp.float32(0))
     out_ref[0] += jax.lax.dot_general(
