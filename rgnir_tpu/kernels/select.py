@@ -3,11 +3,12 @@
 The jnp radix-select (rgnir_tpu.ops.select) is algorithmically right but
 XLA materializes the 16-wide nibble one-hots in HBM — ~256 MB of
 traffic per round for an 8 MPix batch. This kernel keeps them in VMEM:
-each round reads the 4-byte keys once, masks actives by comparing the
-high bits against the current per-batch prefix (SMEM scalars), and
-contracts nibble one-hots on the MXU into a (16,16) histogram per batch
-element. Batch rides the leading grid dimension (vmap over pallas_call
-trips Mosaic layout checks in this jax version).
+each round reads the float32 values once, builds the order-preserving
+uint32 key in-register (no separate key-materialization pass), masks
+actives by comparing the high bits against the current per-batch prefix
+(SMEM scalars), and contracts nibble one-hots on the MXU into a (16,16)
+histogram per batch element. Batch rides the leading grid dimension
+(vmap over pallas_call trips Mosaic layout checks in this jax version).
 
 The round loop (4 rounds; cdf scan + byte pick on 256 values) stays in
 jnp — it is O(256) work. Parity: bit-exact with ops.select
@@ -25,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rgnir_tpu.kernels.hist import auto_block_r
-from rgnir_tpu.ops.select import f32_from_ordered_u32, ordered_u32_from_f32
+from rgnir_tpu.ops.select import f32_from_ordered_u32
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -37,22 +38,28 @@ def _ceil_to(a: int, b: int) -> int:
 
 
 def _byte_hist_kernel(
-    keys_ref, prefix_ref, out_ref, *, shift: int, n_valid: int, block_r: int
+    vals_ref, prefix_ref, out_ref, *, shift: int, n_valid: int, block_r: int
 ):
-    """Grid: (B, num_row_blocks). keys_ref: (1, block_r, 1024) uint32 of
-    one batch element (row-major flattened keys, padded with
-    0xFFFFFFFF; width 1024 mirrors the fused kernel's proven
-    reshape-to-(1,n) layout). out_ref: (1, 16, 16) f32 accumulated."""
+    """Grid: (B, num_row_blocks). vals_ref: (1, block_r, 1024) float32 of
+    one batch element (row-major flattened values; width 1024 mirrors
+    the fused kernel's proven reshape-to-(1,n) layout). The
+    order-preserving uint32 key is built HERE (~4 VPU ops) rather than
+    materialized by a separate XLA pass — saves one full read+write of
+    the data before the rounds. Padding is masked positionally, so the
+    pad fill value is irrelevant. out_ref: (1, 16, 16) f32 accumulated."""
     bi = pl.program_id(0)
     step = pl.program_id(1)
-    _, br, wc = keys_ref.shape
+    _, br, wc = vals_ref.shape
     n = br * wc
 
     @pl.when(step == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    keys = keys_ref[0]
+    bits = jax.lax.bitcast_convert_type(vals_ref[0], jnp.uint32)
+    keys = jnp.where(
+        bits >> 31 == 1, ~bits, bits | jnp.uint32(0x80000000)
+    )
     prefix = prefix_ref[bi]  # whole (B,) SMEM array, indexed by batch
     pos = (
         jax.lax.broadcasted_iota(jnp.int32, (br, wc), 0) * wc
@@ -88,14 +95,14 @@ def _byte_hist_kernel(
     jax.jit, static_argnames=("shift", "n_valid", "block_r", "interpret")
 )
 def _byte_hist(
-    keys: jax.Array,    # (B, R, 128) uint32
+    vals: jax.Array,    # (B, R, 1024) float32
     prefix: jax.Array,  # (B,) uint32
     shift: int,
     n_valid: int,
     block_r: int,
     interpret: bool,
 ) -> jax.Array:
-    b, r, _ = keys.shape
+    b, r, _ = vals.shape
     grid = (b, _cdiv(r, block_r))
     out = pl.pallas_call(
         functools.partial(
@@ -112,24 +119,24 @@ def _byte_hist(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 16, 16), jnp.float32),
         interpret=interpret,
-    )(keys, prefix)
+    )(vals, prefix)
     return out.reshape(b, 256).astype(jnp.int32)
 
 
 def _select_batched(
-    keys: jax.Array,  # (B, R, 128) uint32, padded with 0xFFFFFFFF
+    vals: jax.Array,  # (B, R, 1024) float32, padding masked by n_valid
     rank: jax.Array,  # (B,) int32
     n_valid: int,
     block_r: int,
     interpret: bool,
 ):
     """4 radix rounds; returns (key (B,), eq_minus_rank (B,))."""
-    b = keys.shape[0]
+    b = vals.shape[0]
     prefix = jnp.zeros((b,), jnp.uint32)
     rk = jnp.asarray(rank, jnp.int32)
     eq_minus_rank = None
     for shift in (24, 16, 8, 0):
-        hist = _byte_hist(keys, prefix, shift, n_valid, block_r, interpret)
+        hist = _byte_hist(vals, prefix, shift, n_valid, block_r, interpret)
         cdf = jnp.cumsum(hist, axis=-1)  # (B, 256)
         sel = jnp.sum((cdf <= rk[:, None]).astype(jnp.int32), axis=-1)
         below = jnp.take_along_axis(
@@ -145,8 +152,9 @@ def _select_batched(
     return prefix, eq_minus_rank
 
 
-def _pack_keys(vals_flat: jax.Array, block_r):
-    """(B, N) f32 -> (B, R, 1024) uint32 keys padded with the max key."""
+def _pack_rows(vals_flat: jax.Array, block_r):
+    """(B, N) f32 -> (B, R, 1024) row-flattened values (zero tail pad;
+    the kernel masks padding positionally, so the fill never counts)."""
     b, n = vals_flat.shape
     rows = _ceil_to(_cdiv(n, 1024), block_r)
     if rows * 1024 > 2**31 - 1:
@@ -156,11 +164,8 @@ def _pack_keys(vals_flat: jax.Array, block_r):
             "the sharded path (rgnir_tpu.parallel.analyze_mosaic)."
         )
     pad = rows * 1024 - n
-    keys = ordered_u32_from_f32(vals_flat)
-    keys = jnp.pad(
-        keys, ((0, 0), (0, pad)), constant_values=jnp.uint32(0xFFFFFFFF)
-    )
-    return keys.reshape(b, rows, 1024)
+    vals = jnp.pad(vals_flat, ((0, 0), (0, pad)))
+    return vals.reshape(b, rows, 1024)
 
 
 def radix_order_statistic_pallas(
@@ -181,10 +186,10 @@ def radix_order_statistic_pallas(
         n *= d
     if block_r is None:
         block_r = auto_block_r(n)
-    flat = vals.reshape((-1, n))
-    keys = _pack_keys(flat, block_r)
+    flat = vals.reshape((-1, n)).astype(jnp.float32)
+    rows = _pack_rows(flat, block_r)
     rank_b = jnp.broadcast_to(jnp.asarray(rank, jnp.int32), batch).reshape(-1)
-    key, _ = _select_batched(keys, rank_b, n, block_r, interpret)
+    key, _ = _select_batched(rows, rank_b, n, block_r, interpret)
     return f32_from_ordered_u32(key).reshape(batch)
 
 
@@ -198,8 +203,9 @@ def masked_median_pallas(
     """Exact median (numpy even-n semantics) via the kernel radix-select.
 
     Even n uses the adjacent-rank fast path: one 4-round select plus a
-    single masked min over the keys (padding keys are 0xFFFFFFFF and
-    never the minimum unless the median itself is a NaN-class key).
+    single min over values strictly greater than the selected one
+    (float order == key order on non-NaN data), taken over the unpadded
+    input so no key array is ever materialized.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -210,20 +216,21 @@ def masked_median_pallas(
     assert n == n_valid, (n, n_valid)
     if block_r is None:
         block_r = auto_block_r(n)
-    flat = vals.reshape((-1, n))
-    keys = _pack_keys(flat, block_r)
-    b = keys.shape[0]
+    flat = vals.reshape((-1, n)).astype(jnp.float32)
+    rows = _pack_rows(flat, block_r)
+    b = rows.shape[0]
     rank = jnp.full((b,), (n_valid - 1) // 2, jnp.int32)
     key_lo, eq_minus_rank = _select_batched(
-        keys, rank, n_valid, block_r, interpret
+        rows, rank, n_valid, block_r, interpret
     )
     lo = f32_from_ordered_u32(key_lo)
     if n_valid % 2 == 1:
         return lo.reshape(batch)
-    candidates = jnp.where(
-        keys > key_lo[:, None, None], keys, jnp.uint32(0xFFFFFFFF)
+    # Successor in float domain (key order == float order on non-NaN
+    # data): min of values strictly greater than lo over the UNPADDED
+    # flat array — no key materialization needed.
+    nxt = jnp.min(
+        jnp.where(flat > lo[:, None], flat, jnp.inf), axis=1
     )
-    nxt = jnp.min(candidates, axis=(1, 2))
-    key_hi = jnp.where(eq_minus_rank >= 2, key_lo, nxt)
-    hi = f32_from_ordered_u32(key_hi)
+    hi = jnp.where(eq_minus_rank >= 2, lo, nxt)
     return ((lo + hi) * 0.5).reshape(batch)
