@@ -121,6 +121,77 @@ def cmd_compare(args) -> int:
     return 0
 
 
+def cmd_change(args) -> int:
+    """Change detection between two dates (the UI's first-vs-last flow,
+    process-images.py:885-989), from the command line. ``--full-res``
+    uses the sharded halo-exchange path instead of the reference's
+    <=1024 px downscale."""
+    import numpy as np
+
+    from rgnir_tpu.io.decode import decode_file
+
+    kind = (args.index or "NDVI").upper()
+    early = decode_file(args.early)
+    late = decode_file(args.late)
+    if args.full_res:
+        import jax.numpy as jnp
+
+        from rgnir_tpu.parallel.change import change_detection_mosaic
+
+        res = change_detection_mosaic(
+            jnp.asarray(early), jnp.asarray(late), kind,
+            upsample_factor=args.upsample,
+        )
+        h = early.shape[0]
+        summary = {
+            "shift": [float(s) for s in np.asarray(res.shift)],
+            "diff_mean": float(res.stats.mean),
+            "diff_std": float(res.stats.std),
+            "diff_min": float(res.stats.min),
+            "diff_max": float(res.stats.max),
+            "diff_median": float(res.stats.median),
+        }
+        print(json.dumps(summary, indent=2))
+        if args.out:
+            from rgnir_tpu.viz.figures import render_change_figure
+
+            outdir = Path(args.out)
+            outdir.mkdir(parents=True, exist_ok=True)
+            fig = render_change_figure(
+                np.asarray(res.early_index)[:h],
+                np.asarray(res.late_index)[:h],
+                np.asarray(res.diff)[:h], kind,
+                Path(args.early).stem, Path(args.late).stem,
+            )
+            fig.save(outdir / f"change_{kind.lower()}.png")
+        return 0
+
+    from rgnir_tpu.ops.wb import white_balance
+    from rgnir_tpu.pipeline.change import change_detection
+
+    import jax.numpy as jnp
+
+    early_wb = np.asarray(white_balance(jnp.asarray(early)))
+    late_wb = np.asarray(white_balance(jnp.asarray(late)))
+    res = change_detection(
+        early_wb, late_wb, kind,
+        early_label=Path(args.early).stem, late_label=Path(args.late).stem,
+        with_figure=bool(args.out), upsample_factor=args.upsample,
+    )
+    summary = {
+        "shift": [float(s) for s in res["shift"]],
+        "diff_mean": float(res["diff"].mean()),
+        "diff_min": float(res["diff"].min()),
+        "diff_max": float(res["diff"].max()),
+    }
+    print(json.dumps(summary, indent=2))
+    if args.out:
+        outdir = Path(args.out)
+        outdir.mkdir(parents=True, exist_ok=True)
+        res["figure"].save(outdir / f"change_{kind.lower()}.png")
+    return 0
+
+
 def cmd_mosaic(args) -> int:
     import numpy as np
 
@@ -282,6 +353,19 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--indices", default="")
     c.add_argument("--out", default="")
     c.set_defaults(fn=cmd_compare)
+
+    d = sub.add_parser(
+        "change", help="change detection between two images"
+    )
+    d.add_argument("early")
+    d.add_argument("late")
+    d.add_argument("--index", default="NDVI")
+    d.add_argument("--out", default="")
+    d.add_argument("--upsample", type=int, default=1,
+                   help="subpixel registration factor")
+    d.add_argument("--full-res", action="store_true",
+                   help="sharded full-resolution alignment (no 1024 cap)")
+    d.set_defaults(fn=cmd_change)
 
     m = sub.add_parser("mosaic", help="sharded whole-mosaic analysis")
     m.add_argument("image")

@@ -69,6 +69,31 @@ class TestCli:
         out = json.loads(capsys.readouterr().out)
         assert "Mean NDVI" in out["NDVI"]
 
+    def test_change(self, tmp_path, rgnir_image, capsys):
+        early = tmp_path / "early.png"
+        late = tmp_path / "late.png"
+        _write_png(early, rgnir_image)
+        _write_png(late, np.roll(rgnir_image, (2, -1), axis=(0, 1)))
+        rc = main(["change", str(early), str(late), "--index", "NDVI",
+                   "--out", str(tmp_path / "chg")])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert len(out["shift"]) >= 2
+        assert (tmp_path / "chg" / "change_ndvi.png").exists()
+
+    def test_change_full_res(self, tmp_path, rgnir_image, capsys):
+        early = tmp_path / "early.png"
+        late = tmp_path / "late.png"
+        _write_png(early, rgnir_image)
+        _write_png(late, np.roll(rgnir_image, (2, -1), axis=(0, 1)))
+        rc = main(["change", str(early), str(late), "--full-res",
+                   "--out", str(tmp_path / "chg2")])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["shift"] == [-2.0, 1.0]  # exact roll recovery
+        assert "diff_median" in out
+        assert (tmp_path / "chg2" / "change_ndvi.png").exists()
+
     def test_store_and_sites_roundtrip(self, tmp_path, image_file, capsys):
         root = str(tmp_path / "storedir")
         assert main(["store", "upload", str(image_file), "--root", root]) == 0
