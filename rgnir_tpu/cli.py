@@ -228,8 +228,13 @@ def _open_store(args):
 
     if getattr(args, "mongo", None):
         if MongoImageStore is None:
-            print("pymongo is not installed", file=sys.stderr)
-            raise SystemExit(2)
+            # pymongo may have become importable after the package
+            # first loaded (e.g. rgnir_tpu.testing.fake_mongo.install).
+            try:
+                from rgnir_tpu.store.mongo import MongoImageStore
+            except ImportError:
+                print("pymongo is not installed", file=sys.stderr)
+                raise SystemExit(2) from None
         return MongoImageStore(args.mongo)
     return FsImageStore(args.root)
 

@@ -114,6 +114,24 @@ class TestCli:
         assert "Plot 7" in capsys.readouterr().out
 
 
+class TestCliMongo:
+    def test_store_upload_list_with_fake_mongo(self, image_file, capsys):
+        """--mongo routes through the real MongoImageStore code (driven
+        by the vendored pymongo fake)."""
+        from rgnir_tpu.testing import fake_mongo
+
+        fake_mongo.install()
+        fake_mongo.reset()
+        rc = main(["store", "upload", str(image_file),
+                   "--mongo", "mongodb://fake-cli"])
+        assert rc == 0
+        assert "stored field.png" in capsys.readouterr().out
+        rc = main(["store", "list", "--mongo", "mongodb://fake-cli"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "total: 1" in out and "field.png" in out
+
+
 class TestRgn:
     def test_correct_and_viz(self, image_file, tmp_path, rgnir_image, capsys):
         import golden
