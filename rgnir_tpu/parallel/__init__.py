@@ -24,7 +24,7 @@ from rgnir_tpu.parallel.reduce import (
     masked_median,
 )
 from rgnir_tpu.parallel.mosaic import analyze_mosaic, MosaicStats
-from rgnir_tpu.parallel.halo import exchange_row_halos
+from rgnir_tpu.parallel.halo import exchange_halos, exchange_row_halos
 from rgnir_tpu.parallel.change import (
     change_detection_mosaic,
     ShardedChangeResult,
@@ -35,6 +35,7 @@ __all__ = [
     "change_detection_mosaic",
     "ShardedChangeResult",
     "DiffStats",
+    "exchange_halos",
     "exchange_row_halos",
     "make_mesh",
     "local_mesh",

@@ -42,7 +42,7 @@ from rgnir_tpu.config import IndexConfig, IndexKind, WBConfig
 from rgnir_tpu.ops.histogram import planar_histograms
 from rgnir_tpu.ops.indices import BAND_INDICES, index_from_bands
 from rgnir_tpu.ops.wb import apply_white_balance_planar, wb_bounds_from_histogram
-from rgnir_tpu.parallel.halo import exchange_row_halos
+from rgnir_tpu.parallel.halo import exchange_halos, exchange_row_halos
 from rgnir_tpu.parallel.mesh import local_mesh
 from rgnir_tpu.parallel.reduce import masked_median
 from rgnir_tpu.register.phase import luminance, phase_correlation_shift
@@ -74,26 +74,32 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def bilinear_shift_rows_haloed(
+def bilinear_shift_2d_haloed(
     ext: jax.Array,
     dy: jax.Array,
     dx: jax.Array,
     row0: jax.Array,
+    col0: jax.Array,
     h: int,
-    halo: int,
+    w: int,
+    halo_r: int,
+    halo_c: int,
 ) -> jax.Array:
-    """Warp a haloed local row block by a global (dy, dx) shift.
+    """Warp a (row, column)-haloed local block by a global (dy, dx) shift.
 
-    ``ext``: ``(bh + 2*halo, W[, C])`` — the local shard extended by
-    :func:`exchange_row_halos`. Output rows are the shard's own global
-    rows ``[row0, row0 + bh)``; source rows ``g - dy`` are reflected at
-    the TRUE image bounds ``[0, h)`` (scipy mode='reflect' parity) and
-    remapped into the halo window. Exact whenever ``|dy| <= halo - 1``
-    (callers clamp); columns are fully local. Matches
-    register.warp.bilinear_shift_2d on the unsharded array bit-for-bit.
+    ``ext``: ``(bh + 2*halo_r, bw + 2*halo_c[, C])`` — the local shard
+    extended by :func:`exchange_halos` along each sharded dimension.
+    Output pixels are the shard's own global rows ``[row0, row0 + bh)``
+    and columns ``[col0, col0 + bw)``; source coordinates ``g - shift``
+    are reflected at the TRUE image bounds (scipy mode='reflect' parity)
+    and remapped into the halo window. Exact whenever
+    ``|dy| <= halo_r - 1`` and ``|dx| <= halo_c - 1`` (callers clamp;
+    ``halo_c = 0`` means columns are fully local and ``dx`` is
+    unbounded). Matches register.warp.bilinear_shift_2d on the
+    unsharded array bit-for-bit.
     """
-    bh = ext.shape[0] - 2 * halo
-    w = ext.shape[1]
+    bh = ext.shape[0] - 2 * halo_r
+    bw = ext.shape[1] - 2 * halo_c
     x = ext.astype(jnp.float32)
 
     g = row0.astype(jnp.float32) + jnp.arange(bh, dtype=jnp.float32)
@@ -103,24 +109,43 @@ def bilinear_shift_rows_haloed(
     y0i = y0.astype(jnp.int32)
     y0r = _reflect_index(y0i, h)
     y1r = _reflect_index(y0i + 1, h)
-    base = row0 - halo
-    p0 = jnp.clip(y0r - base, 0, bh + 2 * halo - 1)
-    p1 = jnp.clip(y1r - base, 0, bh + 2 * halo - 1)
+    base = row0 - halo_r
+    p0 = jnp.clip(y0r - base, 0, bh + 2 * halo_r - 1)
+    p1 = jnp.clip(y1r - base, 0, bh + 2 * halo_r - 1)
     rows0 = jnp.take(x, p0, axis=0)
     rows1 = jnp.take(x, p1, axis=0)
     wy_b = wy if x.ndim == 2 else wy[..., None]
     rowmix = rows0 * (1.0 - wy_b) + rows1 * wy_b
 
-    xx = jnp.arange(w, dtype=jnp.float32) - dx
+    gc = col0.astype(jnp.float32) + jnp.arange(bw, dtype=jnp.float32)
+    xx = gc - dx
     x0 = jnp.floor(xx)
     wx = (xx - x0)[None, :]
     x0i = x0.astype(jnp.int32)
     x0r = _reflect_index(x0i, w)
     x1r = _reflect_index(x0i + 1, w)
-    cols0 = jnp.take(rowmix, x0r, axis=1)
-    cols1 = jnp.take(rowmix, x1r, axis=1)
+    cbase = col0 - halo_c
+    q0 = jnp.clip(x0r - cbase, 0, bw + 2 * halo_c - 1)
+    q1 = jnp.clip(x1r - cbase, 0, bw + 2 * halo_c - 1)
+    cols0 = jnp.take(rowmix, q0, axis=1)
+    cols1 = jnp.take(rowmix, q1, axis=1)
     wx_b = wx if x.ndim == 2 else wx[..., None]
     return cols0 * (1.0 - wx_b) + cols1 * wx_b
+
+
+def bilinear_shift_rows_haloed(
+    ext: jax.Array,
+    dy: jax.Array,
+    dx: jax.Array,
+    row0: jax.Array,
+    h: int,
+    halo: int,
+) -> jax.Array:
+    """Row-sharded special case of :func:`bilinear_shift_2d_haloed`
+    (columns fully local: ``halo_c = 0``, ``dx`` unbounded)."""
+    return bilinear_shift_2d_haloed(
+        ext, dy, dx, row0, jnp.int32(0), h, int(ext.shape[1]), halo, 0
+    )
 
 
 def _pick_proxy_stride(h: int, block_h: int, target: int = 512) -> int:
@@ -156,18 +181,21 @@ def change_detection_mosaic(
         percentile bounds first (reference flow,
         process-images.py:893-902).
       kind: index to difference (NDVI/GNDVI/NDWI).
-      mesh: 1-D device mesh (default: all visible devices).
+      mesh: 1-D device mesh (rows sharded) or 2-D mesh (rows x columns,
+        for wide survey strips); default: all visible devices, 1-D.
       halo: boundary rows exchanged per neighbor; the estimated row
         shift is clamped to ``+/-(halo - 1)``. Must satisfy
-        ``halo <= H_pad / n_devices``.
+        ``halo <= H_pad / n_devices``. On a 2-D mesh the same halo is
+        exchanged along columns and the column shift is clamped too.
       proxy_stride: subsampling stride of the phase-correlation proxy
         (default: auto, power of two dividing the shard height keeping
         the proxy >= ~512 rows).
       upsample_factor: extra full-resolution refinement of the shift
         (the proxy is always refined by ``stride`` so shifts resolve to
         one full-res pixel; > 1 goes subpixel).
-      pad_to: force the padded row count (tests use it to compare runs
-        on different mesh sizes bit-for-bit).
+      pad_to: force the padded row count — an int for 1-D meshes, a
+        ``(rows, cols)`` pair for 2-D meshes (tests use it to compare
+        runs on different mesh sizes bit-for-bit).
 
     Returns:
       :class:`ShardedChangeResult`; pixel outputs keep row padding
@@ -175,8 +203,13 @@ def change_detection_mosaic(
     """
     if mesh is None:
         mesh = local_mesh()
+    if len(mesh.axis_names) == 2:
+        return _change_detection_mosaic_2d(
+            early, late, kind, mesh, halo, proxy_stride, upsample_factor,
+            with_wb, wb_cfg, idx_cfg, pad_to,
+        )
     if len(mesh.axis_names) != 1:
-        raise ValueError("change_detection_mosaic shards rows: 1-D mesh only")
+        raise ValueError("change_detection_mosaic: 1-D or 2-D mesh only")
     kind = IndexKind.parse(kind)
     axis = mesh.axis_names[0]
     n_dev = int(mesh.devices.size)
@@ -271,6 +304,159 @@ def change_detection_mosaic(
         shard_fn, mesh=mesh,
         in_specs=(P(axis), P(axis)),
         out_specs=(P(axis), P(axis), P(axis), P(), P()),
+        check_vma=False,
+    )
+    early_idx, late_idx, diff, shift, stats = jax.jit(fn)(early, late)
+    return ShardedChangeResult(
+        early_index=early_idx, late_index=late_idx, diff=diff,
+        shift=shift, stats=stats,
+    )
+
+
+def _change_detection_mosaic_2d(
+    early, late, kind, mesh, halo, proxy_stride, upsample_factor,
+    with_wb, wb_cfg, idx_cfg, pad_to,
+):
+    """Row x column sharded change detection over a 2-D mesh.
+
+    The right layout for wide gigapixel survey strips where a 1-D row
+    split would leave shards thinner than the alignment stencil. Same
+    flow as the 1-D path, with:
+
+    - halos exchanged along BOTH mesh axes (columns of the row-extended
+      block, so diagonal corners arrive automatically),
+    - BOTH shift components clamped to ``+/-(halo - 1)`` (columns are
+      sharded too; with one column device ``dx`` stays unbounded),
+    - the strided proxy all_gathered over both axes,
+    - reductions psum'd over both axes (median via the distributed
+      radix-select with a 2-axis ``psum``).
+
+    Bit-identical to the 1-D path on the same padded shapes (tested).
+    """
+    kind = IndexKind.parse(kind)
+    ar, ac = mesh.axis_names
+    dr, dc = (int(s) for s in mesh.devices.shape)
+    axes = (ar, ac)
+    if early.shape != late.shape:
+        raise ValueError(f"shape mismatch: {early.shape} vs {late.shape}")
+    h, w = int(early.shape[0]), int(early.shape[1])
+    n_valid = h * w
+
+    if pad_to is None:
+        hp, wp = _ceil_to(h, dr), _ceil_to(w, dc)
+    else:
+        hp, wp = (int(p) for p in pad_to)
+    if hp % dr or hp < h or wp % dc or wp < w:
+        raise ValueError(
+            f"pad_to={(hp, wp)} not a device multiple >= {(h, w)}"
+        )
+    if (hp, wp) != (h, w):
+        pad = ((0, hp - h), (0, wp - w), (0, 0))
+        early = jnp.pad(early, pad)
+        late = jnp.pad(late, pad)
+    bh, bw = hp // dr, wp // dc
+    halo = min(halo, bh, bw)
+    if proxy_stride is None:
+        stride = _pick_proxy_stride(h, bh)
+        while stride > 1 and (dc > 1 and bw % stride):
+            stride //= 2
+    else:
+        stride = proxy_stride
+    if bh % stride or (dc > 1 and bw % stride):
+        raise ValueError(
+            f"proxy_stride {stride} must divide shard rows {bh}"
+            + (f" and shard cols {bw}" if dc > 1 else "")
+        )
+    up = stride * upsample_factor
+
+    def wb_one(tile_pl: jax.Array, mask: jax.Array) -> jax.Array:
+        hist = jax.lax.psum(planar_histograms(tile_pl, mask=mask), axes)
+        lo, hi = wb_bounds_from_histogram(hist, n=n_valid, cfg=wb_cfg)
+        return apply_white_balance_planar(tile_pl, lo, hi, cfg=wb_cfg)
+
+    def shard_fn(te: jax.Array, tl: jax.Array):
+        row0 = jax.lax.axis_index(ar) * bh
+        col0 = jax.lax.axis_index(ac) * bw
+        rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
+        cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
+        mask = (rows < h) & (cols < w)
+
+        pe = jnp.moveaxis(te, -1, -3)
+        plt = jnp.moveaxis(tl, -1, -3)
+        if with_wb:
+            pe = wb_one(pe, mask)
+            plt = wb_one(plt, mask)
+        wb_e = jnp.moveaxis(pe, -3, -1)   # (bh, bw, 3) uint8
+        wb_l = jnp.moveaxis(plt, -3, -1)
+
+        # -- coarse shift on the strided grayscale proxy ----------------
+        maskf = mask.astype(jnp.float32)
+        gray_e = luminance(wb_e) * maskf  # zero the padding rows/cols
+        gray_l = luminance(wb_l) * maskf
+        prox_e = jax.lax.all_gather(
+            jax.lax.all_gather(
+                gray_e[::stride, ::stride], ac, axis=1, tiled=True
+            ),
+            ar, axis=0, tiled=True,
+        )  # (hp/stride, wp/stride) when dc>1; cols local otherwise
+        prox_l = jax.lax.all_gather(
+            jax.lax.all_gather(
+                gray_l[::stride, ::stride], ac, axis=1, tiled=True
+            ),
+            ar, axis=0, tiled=True,
+        )
+        shift_p = phase_correlation_shift(
+            prox_e, prox_l, upsample_factor=up
+        )
+        dy = jnp.clip(shift_p[0] * stride, -(halo - 1), halo - 1)
+        dx = shift_p[1] * stride
+        if dc > 1:
+            dx = jnp.clip(dx, -(halo - 1), halo - 1)
+        shift = jnp.stack([dy, dx])
+
+        # -- sharded warp of the late image (row then column halos) -----
+        ext = exchange_halos(wb_l, halo, ar, dim=0)
+        if dc > 1:
+            ext = exchange_halos(ext, halo, ac, dim=1)
+            aligned = bilinear_shift_2d_haloed(
+                ext, dy, dx, row0, col0, h, w, halo, halo
+            )
+        else:
+            aligned = bilinear_shift_2d_haloed(
+                ext, dy, dx, row0, jnp.int32(0), h, w, halo, 0
+            )
+
+        # -- index maps + diff -------------------------------------------
+        ia, ib = BAND_INDICES[kind]
+        early_idx = index_from_bands(
+            pe[ia].astype(jnp.float32), pe[ib].astype(jnp.float32),
+            cfg=idx_cfg,
+        )
+        late_idx = index_from_bands(
+            aligned[..., ia], aligned[..., ib], cfg=idx_cfg
+        )
+        diff = late_idx - early_idx
+
+        # -- exact gathered diff stats ------------------------------------
+        mean = jax.lax.psum(jnp.sum(diff * maskf), axes) / n_valid
+        var = jax.lax.psum(
+            jnp.sum(jnp.square(diff - mean) * maskf), axes
+        ) / n_valid
+        mn = jax.lax.pmin(jnp.min(jnp.where(mask, diff, jnp.inf)), axes)
+        mx = jax.lax.pmax(jnp.max(jnp.where(mask, diff, -jnp.inf)), axes)
+        med = masked_median(
+            diff, n_valid, mask=mask, axis_name=axes, reduce_ndim=2
+        )
+        stats = DiffStats(
+            mean=mean, std=jnp.sqrt(var), min=mn, max=mx, median=med,
+            n=jnp.int32(n_valid),
+        )
+        return early_idx, late_idx, diff, shift, stats
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(ar, ac), P(ar, ac)),
+        out_specs=(P(ar, ac), P(ar, ac), P(ar, ac), P(), P()),
         check_vma=False,
     )
     early_idx, late_idx, diff, shift, stats = jax.jit(fn)(early, late)

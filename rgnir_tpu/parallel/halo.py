@@ -1,41 +1,49 @@
-"""Bounded halo exchange for row-sharded mosaics (SURVEY.md sections 5,
+"""Bounded halo exchange for sharded mosaics (SURVEY.md sections 5,
 7: the only cross-tile dependence this workload ever has is the bounded
 support of resampling/alignment stencils — no ring pipelines needed,
-just one neighbor edge swap).
+just one neighbor edge swap per sharded dimension).
 
 Implemented with ``jax.lax.ppermute`` inside ``shard_map``: each shard
-sends its top ``halo`` rows to its upper neighbor and its bottom rows to
-its lower neighbor, receiving the mirror. Boundary shards get
-edge-replicated rows (matching 'nearest'-style stencil clamping) so the
-output shape is uniform across devices.
+sends its leading ``halo`` slices to its upper neighbor and its trailing
+slices to its lower neighbor, receiving the mirror. Boundary shards get
+edge-replicated slices (matching 'nearest'-style stencil clamping) so
+the output shape is uniform across devices. 2-D meshes compose two
+exchanges (rows then columns); exchanging columns of the already
+row-extended block carries the diagonal corners automatically.
 """
 
 from __future__ import annotations
-
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 
-def exchange_row_halos(
+def exchange_halos(
     shard: jax.Array,
     halo: int,
     axis_name: str,
+    dim: int = 0,
 ) -> jax.Array:
-    """Return ``shard`` extended with ``halo`` rows from each neighbor.
+    """Return ``shard`` extended along ``dim`` with ``halo`` slices from
+    each mesh neighbor on ``axis_name``.
 
     Args:
-      shard: local ``(rows, ...)`` block of a row-sharded array (call
-        inside shard_map).
-      halo: number of boundary rows to exchange (must be <= rows).
-      axis_name: the sharded mesh axis.
+      shard: local block of a sharded array (call inside shard_map).
+      halo: number of boundary slices to exchange (<= shard.shape[dim]).
+      axis_name: the mesh axis the array dimension ``dim`` is sharded on.
+      dim: which array dimension to extend.
 
     Returns:
-      ``(rows + 2*halo, ...)`` array: [top halo | shard | bottom halo].
-      The first shard's top halo and last shard's bottom halo replicate
-      their own edge rows (stencil clamp).
+      ``shard`` with ``shape[dim] + 2*halo``: [upper halo | shard |
+      lower halo]. The first shard's upper halo and last shard's lower
+      halo replicate their own edge slices (stencil clamp).
     """
+    if dim != 0:
+        moved = jnp.moveaxis(shard, dim, 0)
+        return jnp.moveaxis(
+            exchange_halos(moved, halo, axis_name, dim=0), 0, dim
+        )
+
     n_dev = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
 
@@ -62,3 +70,12 @@ def exchange_row_halos(
         last_edge, recv_bot,
     )
     return jnp.concatenate([recv_top, shard, recv_bot], axis=0)
+
+
+def exchange_row_halos(
+    shard: jax.Array,
+    halo: int,
+    axis_name: str,
+) -> jax.Array:
+    """Row special case of :func:`exchange_halos` (dim=0)."""
+    return exchange_halos(shard, halo, axis_name, dim=0)

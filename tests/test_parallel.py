@@ -499,3 +499,150 @@ class TestShardedChangeDetection:
             )
         )
         np.testing.assert_array_equal(got, full[row0: row0 + bh])
+
+
+class TestShardedChangeDetection2D:
+    """Row x column sharded change detection (2-D mesh) — the layout for
+    wide survey strips where 1-D row shards get thinner than the
+    alignment stencil."""
+
+    _pair = TestShardedChangeDetection._pair
+
+    def test_col_halos_match_global_slices(self, rng):
+        from jax.sharding import PartitionSpec as P
+        from rgnir_tpu.parallel.halo import exchange_halos
+        from rgnir_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh((2, 4), ("dr", "dc"))
+        x = rng.normal(size=(16, 32)).astype(np.float32)  # 8 cols/shard
+        halo = 3
+
+        def fn(shard):
+            return exchange_halos(shard, halo, "dc", dim=1)
+
+        out = np.asarray(jax.jit(jax.shard_map(
+            fn, mesh=mesh, in_specs=P("dr", "dc"),
+            out_specs=P("dr", "dc"), check_vma=False,
+        ))(jnp.asarray(x)))  # (16, 4 * (8 + 2*halo))
+        block, ext = 8, 8 + 2 * halo
+        for r in range(2):
+            rows = slice(r * 8, (r + 1) * 8)
+            for c in range(4):
+                got = out[rows, c * ext:(c + 1) * ext]
+                idx = np.clip(np.arange(c * block - halo,
+                                        (c + 1) * block + halo), 0, 31)
+                np.testing.assert_array_equal(
+                    got, x[rows][:, idx], err_msg=f"shard ({r},{c})"
+                )
+
+    def test_haloed_2d_warp_matches_unsharded(self, rng):
+        """bilinear_shift_2d_haloed on an interior block (row AND column
+        halos) == the matching window of bilinear_shift_2d."""
+        from rgnir_tpu.parallel.change import bilinear_shift_2d_haloed
+        from rgnir_tpu.register.warp import bilinear_shift_2d
+
+        h, w, halo, bh, bw, row0, col0 = 64, 48, 8, 16, 16, 24, 16
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        full = np.asarray(
+            bilinear_shift_2d(jnp.asarray(img), jnp.float32(3.3),
+                              jnp.float32(-2.7))
+        )
+        ext = jnp.asarray(
+            img[row0 - halo: row0 + bh + halo,
+                col0 - halo: col0 + bw + halo]
+        )
+        got = np.asarray(
+            bilinear_shift_2d_haloed(
+                ext, jnp.float32(3.3), jnp.float32(-2.7),
+                jnp.int32(row0), jnp.int32(col0), h, w, halo, halo,
+            )
+        )
+        np.testing.assert_array_equal(
+            got, full[row0: row0 + bh, col0: col0 + bw]
+        )
+
+    def test_2d_matches_1d_mesh(self, rng):
+        from rgnir_tpu.parallel.change import change_detection_mosaic
+        from rgnir_tpu.parallel.mesh import make_mesh
+
+        h, w = 137, 96  # w divisible by 2: no column padding drift
+        early, late = self._pair(rng, h, w, roll=(4, -3))
+        hp = 144  # multiple of 8 (1-D) and of 4 (2-D rows)
+        r2d = change_detection_mosaic(
+            jnp.asarray(early), jnp.asarray(late), "NDVI",
+            mesh=make_mesh((4, 2), ("dr", "dc")),
+            halo=16, proxy_stride=1, pad_to=(hp, w),
+        )
+        r1d = change_detection_mosaic(
+            jnp.asarray(early), jnp.asarray(late), "NDVI",
+            mesh=make_mesh((8,), ("d",)),
+            halo=16, proxy_stride=1, pad_to=hp,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r2d.shift), np.asarray(r1d.shift)
+        )
+        for fld in ("early_index", "late_index", "diff"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(r2d, fld))[:h],
+                np.asarray(getattr(r1d, fld))[:h],
+                err_msg=fld,
+            )
+        assert float(r2d.stats.median) == float(r1d.stats.median)
+        np.testing.assert_allclose(
+            float(r2d.stats.mean), float(r1d.stats.mean), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            float(r2d.stats.std), float(r1d.stats.std), atol=1e-6
+        )
+        assert float(r2d.stats.min) == float(r1d.stats.min)
+        assert float(r2d.stats.max) == float(r1d.stats.max)
+
+    def test_2d_column_padding(self, rng):
+        """Column padding masked out of every stat; shift still exact."""
+        from rgnir_tpu.parallel.change import change_detection_mosaic
+        from rgnir_tpu.parallel.mesh import make_mesh
+
+        h, w = 96, 50  # 50 pads to 52 over 2 column devices
+        roll = (3, -2)
+        early, late = self._pair(rng, h, w, roll=roll)
+        r2d = change_detection_mosaic(
+            jnp.asarray(early), jnp.asarray(late), "NDVI",
+            mesh=make_mesh((4, 2), ("dr", "dc")), halo=12, proxy_stride=1,
+        )
+        r1d = change_detection_mosaic(
+            jnp.asarray(early), jnp.asarray(late), "NDVI",
+            mesh=make_mesh((1,), ("d",)), halo=12, proxy_stride=1,
+            pad_to=h,
+        )
+        shift2, shift1 = np.asarray(r2d.shift), np.asarray(r1d.shift)
+        assert tuple(shift2) == (-roll[0], -roll[1]), shift2
+        assert tuple(shift1) == (-roll[0], -roll[1]), shift1
+        # Same shift -> identical warp arithmetic -> identical maps.
+        np.testing.assert_array_equal(
+            np.asarray(r2d.diff)[:h, :w], np.asarray(r1d.diff)[:h, :w]
+        )
+        assert float(r2d.stats.median) == float(r1d.stats.median)
+        assert float(r2d.stats.min) == float(r1d.stats.min)
+        assert float(r2d.stats.max) == float(r1d.stats.max)
+        np.testing.assert_allclose(
+            float(r2d.stats.mean), float(r1d.stats.mean), atol=1e-6
+        )
+
+    def test_strided_proxy_2d(self, rng):
+        """stride-2 proxy on a 2-D mesh: shift recovered, interior clean."""
+        from rgnir_tpu.parallel.change import change_detection_mosaic
+        from rgnir_tpu.parallel.mesh import make_mesh
+
+        h, w = 1152, 128
+        roll = (8, 4)
+        early, late = self._pair(rng, h, w, roll=roll)
+        res = change_detection_mosaic(
+            jnp.asarray(early), jnp.asarray(late), "NDWI",
+            mesh=make_mesh((4, 2), ("dr", "dc")), halo=24, proxy_stride=2,
+        )
+        shift = np.asarray(res.shift)
+        assert tuple(shift) == (-roll[0], -roll[1]), shift
+        diff = np.asarray(res.diff)[:h, :w]
+        interior = diff[16:-16, 16:-16]
+        assert np.abs(interior).max() < 1e-6
+        assert abs(float(res.stats.median)) < 1e-6
