@@ -14,11 +14,19 @@ from rgnir_tpu.register.phase import (
     align_images,
 )
 from rgnir_tpu.register.warp import shift_image, bilinear_shift_2d
+from rgnir_tpu.register.local import (
+    align_images_local,
+    local_shift_field,
+    warp_with_field,
+)
 
 __all__ = [
     "luminance",
     "phase_correlation_shift",
     "align_images",
+    "align_images_local",
+    "local_shift_field",
+    "warp_with_field",
     "shift_image",
     "bilinear_shift_2d",
 ]
