@@ -28,14 +28,22 @@ def chain_time(
     carry0: Any,
     ns: Tuple[int, int] = (10, 60),
     reps: int = 3,
+    rel_tol: float = 0.05,
+    max_reps: int = 12,
 ) -> float:
     """ms per iteration of ``body``.
 
     Slope method with jitter hardening: the tunnel adds hundreds of ms
     of random per-call latency, so a single (A, B) pair can even give a
     negative slope. We alternate A,B,A,B,... and take the slope of the
-    per-n minima over ``reps`` pairs — min is the right estimator for a
-    fixed cost plus positive noise.
+    per-n minima — min is the right estimator for a fixed cost plus
+    positive noise. Because each per-n min converges monotonically, the
+    slope converges too: after the ``reps`` mandatory pairs we keep
+    going until the slope is positive and stable within ``rel_tol`` for
+    two consecutive pairs (or ``max_reps``), which rejects the
+    single-window flukes that previously produced physically impossible
+    readings (e.g. a whole-pipeline step "faster" than its own HBM
+    traffic floor).
     """
 
     @jax.jit
@@ -47,10 +55,26 @@ def chain_time(
         _touch(run(carry0, n))
 
     best = {n: float("inf") for n in ns}
-    for _ in range(max(2, reps)):
+    slope = None
+    stable = 0
+    for rep in range(max(max_reps, reps)):
         for n in ns:
             t0 = time.perf_counter()
             _touch(run(carry0, n))
             best[n] = min(best[n], time.perf_counter() - t0)
-    slope = (best[ns[1]] - best[ns[0]]) / (ns[1] - ns[0]) * 1e3
+        new = (best[ns[1]] - best[ns[0]]) / (ns[1] - ns[0]) * 1e3
+        if rep + 1 >= max(2, reps) and slope is not None:
+            if new > 0 and abs(new - slope) <= rel_tol * new:
+                stable += 1
+                if stable >= 2:
+                    return new
+            else:
+                stable = 0
+        slope = new
+    if slope is None or slope <= 0:
+        print(
+            f"chain_time: degenerate slope {slope} after {max_reps} pairs "
+            "(contended window?) — treat with suspicion",
+            file=__import__("sys").stderr,
+        )
     return slope
