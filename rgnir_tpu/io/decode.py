@@ -31,3 +31,21 @@ def decode_file(path: Union[str, Path]) -> np.ndarray:
     with Image.open(path) as img:
         img.load()
         return _to_rgnir_array(img)
+
+
+def decode_file_fast(path: Union[str, Path]) -> np.ndarray:
+    """Native (libtiff/libjpeg/libpng) decode with PIL fallback.
+
+    The native path skips PIL's Image object and mode plumbing and
+    releases the GIL for the whole decode; PIL covers whatever it
+    rejects (exotic color modes, off-spec files). Byte-for-byte equal
+    to :func:`decode_file` on RGB/RGBA/gray/palette inputs (tested).
+    """
+    from rgnir_tpu.native import imgio
+
+    if imgio.native_available():
+        try:
+            return imgio.decode_file(path)
+        except OSError:
+            pass
+    return decode_file(path)

@@ -21,7 +21,7 @@ from typing import Callable, Iterator, List, Optional, Sequence, Tuple, Union
 import numpy as np
 
 from rgnir_tpu.config import LoaderConfig
-from rgnir_tpu.io.decode import decode_file
+from rgnir_tpu.io.decode import decode_file_fast
 
 
 @dataclasses.dataclass
@@ -52,7 +52,7 @@ class BatchLoader:
         self,
         paths: Sequence[Union[str, Path]],
         cfg: LoaderConfig = LoaderConfig(),
-        decode: Callable[[Path], np.ndarray] = decode_file,
+        decode: Callable[[Path], np.ndarray] = decode_file_fast,
     ):
         self.paths = [Path(p) for p in paths]
         self.cfg = cfg

@@ -6,11 +6,15 @@ package adds TPU-framework runtime pieces that belong in C++:
 - ``FrameRing`` — a lock-free SPSC shared-memory frame ring for
   streaming ingestion (camera/telemetry process -> analyzer process,
   no pickling, no sockets, no GIL hand-offs on the hot path).
+- ``imgio`` — a libtiff/libjpeg/libpng batch decoder with a C++ thread
+  pool filling one contiguous (N, H, W, 3) arena (the host-ingest hot
+  path; PIL remains the fallback for exotic color modes).
 
 Built on demand with g++ (no pybind11 in this environment — plain C ABI
 consumed via ctypes).
 """
 
 from rgnir_tpu.native.ring import FrameRing, native_available
+from rgnir_tpu.native import imgio
 
-__all__ = ["FrameRing", "native_available"]
+__all__ = ["FrameRing", "native_available", "imgio"]

@@ -1,0 +1,148 @@
+"""ctypes wrapper for the native batch image decoder (imgio.cpp).
+
+Compiles on first use (g++ -O3, linked against the system libtiff /
+libjpeg / libpng; cached next to the source, rebuilt when the source is
+newer). All entry points release the GIL for the duration of the C
+call, so Python-side thread pools parallelize for real; the batch API
+goes further and runs its own C++ thread pool into one contiguous
+arena (no per-image Python allocations at all).
+
+Falls back cleanly: :func:`native_available` gates every consumer, and
+``rgnir_tpu.io.decode.decode_file_fast`` routes to PIL when the native
+path is unavailable or rejects a file (exotic color modes).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+_DIR = Path(__file__).resolve().parent
+_SRC = _DIR / "imgio.cpp"
+_SO = _DIR / "_imgio.so"
+_LOCK = threading.Lock()
+_LIB = None
+_BUILD_ERROR: Optional[str] = None
+
+_ERRORS = {
+    -1: "open/read failure",
+    -2: "decode failure",
+    -3: "dimension mismatch",
+    -4: "unsupported format",
+}
+
+
+def _load():
+    global _LIB, _BUILD_ERROR
+    with _LOCK:
+        if _LIB is not None or _BUILD_ERROR is not None:
+            return _LIB
+        try:
+            if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+                subprocess.run(
+                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                     str(_SRC), "-o", str(_SO),
+                     "-ltiff", "-ljpeg", "-lpng", "-lz"],
+                    check=True, capture_output=True, text=True,
+                )
+            lib = ctypes.CDLL(str(_SO))
+        except (subprocess.CalledProcessError, OSError) as e:
+            _BUILD_ERROR = getattr(e, "stderr", None) or str(e)
+            return None
+        lib.ii_probe.restype = ctypes.c_int
+        lib.ii_probe.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.ii_decode_rgb.restype = ctypes.c_int
+        lib.ii_decode_rgb.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.ii_decode_batch_rgb.restype = ctypes.c_int
+        lib.ii_decode_batch_rgb.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        _LIB = lib
+        return _LIB
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def build_error() -> Optional[str]:
+    _load()
+    return _BUILD_ERROR
+
+
+def probe(path: Union[str, Path]) -> Tuple[int, int]:
+    """(height, width) of an image without decoding its pixels."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native imgio unavailable: {_BUILD_ERROR}")
+    w = ctypes.c_int(0)
+    h = ctypes.c_int(0)
+    rc = lib.ii_probe(str(path).encode(), ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        raise OSError(f"probe({path}): {_ERRORS.get(rc, rc)}")
+    return h.value, w.value
+
+
+def decode_file(path: Union[str, Path]) -> np.ndarray:
+    """Decode one TIFF/JPEG/PNG to an ``(H, W, 3)`` uint8 RGB array."""
+    h, w = probe(path)
+    lib = _LIB
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    rc = lib.ii_decode_rgb(
+        str(path).encode(), out.ctypes.data_as(ctypes.c_void_p), w, h
+    )
+    if rc != 0:
+        raise OSError(f"decode({path}): {_ERRORS.get(rc, rc)}")
+    return out
+
+
+def decode_batch(
+    paths: Sequence[Union[str, Path]],
+    shape: Optional[Tuple[int, int]] = None,
+    threads: Optional[int] = None,
+) -> Tuple[np.ndarray, List[int]]:
+    """Decode a uniform-shape batch into one ``(N, H, W, 3)`` arena.
+
+    Args:
+      paths: image files (all must decode to the same (H, W); mismatches
+        get a per-item error status, their slot is left zeroed).
+      shape: the common ``(H, W)``; probed from the first file if None.
+      threads: C++ pool size (default: ``os.cpu_count()``).
+
+    Returns:
+      ``(arena, status)`` — status[i] is 0 on success, else a negative
+      code (see module docstring); failed slots are all-zero.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native imgio unavailable: {_BUILD_ERROR}")
+    n = len(paths)
+    if n == 0:
+        raise ValueError("empty batch")
+    if shape is None:
+        shape = probe(paths[0])
+    h, w = shape
+    arena = np.zeros((n, h, w, 3), dtype=np.uint8)
+    status = (ctypes.c_int * n)()
+    encoded = [str(p).encode() for p in paths]
+    c_paths = (ctypes.c_char_p * n)(*encoded)
+    nthreads = threads if threads else (os.cpu_count() or 1)
+    lib.ii_decode_batch_rgb(
+        c_paths, n, arena.ctypes.data_as(ctypes.c_void_p), w, h,
+        int(nthreads), status,
+    )
+    return arena, list(status)

@@ -63,3 +63,107 @@ class TestFrameRing:
                 r.try_push(np.zeros((2, 2, 3), np.uint8))
             with pytest.raises(ValueError):
                 FrameRing.open("/rgnir_test_ring3", (8, 8, 3))
+
+
+class TestImgio:
+    """Native batch decoder (imgio.cpp): PIL byte parity + arena batch."""
+
+    @pytest.fixture()
+    def imgio(self):
+        from rgnir_tpu.native import imgio as m
+
+        if not m.native_available():
+            pytest.skip(f"imgio unavailable: {m.build_error()}")
+        return m
+
+    @pytest.fixture()
+    def img(self):
+        return np.random.default_rng(3).integers(
+            0, 256, (37, 53, 3), dtype=np.uint8
+        )
+
+    @pytest.mark.parametrize(
+        "name,kwargs",
+        [
+            ("x.tif", {}),
+            ("lzw.tif", {"compression": "tiff_lzw"}),
+            ("defl.tif", {"compression": "tiff_adobe_deflate"}),
+            ("x.png", {}),
+            ("x.jpg", {"quality": 90}),
+        ],
+    )
+    def test_pil_parity_rgb(self, imgio, img, tmp_path, name, kwargs):
+        from PIL import Image
+
+        from rgnir_tpu.io.decode import decode_file
+
+        p = tmp_path / name
+        Image.fromarray(img).save(p, **kwargs)
+        assert imgio.probe(p) == (37, 53)
+        np.testing.assert_array_equal(imgio.decode_file(p), decode_file(p))
+
+    def test_pil_parity_modes(self, imgio, img, tmp_path):
+        """Gray, palette, and RGBA inputs all match PIL's convert('RGB')
+        (alpha DROPPED, not composited)."""
+        from PIL import Image
+
+        from rgnir_tpu.io.decode import decode_file
+
+        cases = {
+            "gray.png": Image.fromarray(img[:, :, 0]),
+            "pal.png": Image.fromarray(img).convert(
+                "P", palette=Image.ADAPTIVE
+            ),
+            "rgba.png": Image.fromarray(
+                np.dstack([img, 255 - img[:, :, :1]])
+            ),
+        }
+        for name, pil_img in cases.items():
+            p = tmp_path / name
+            pil_img.save(p)
+            np.testing.assert_array_equal(
+                imgio.decode_file(p), decode_file(p), err_msg=name
+            )
+
+    def test_decode_batch_arena(self, imgio, img, tmp_path):
+        from PIL import Image
+
+        paths = []
+        for i in range(5):
+            p = tmp_path / f"f{i}.tif"
+            Image.fromarray((img + i).astype(np.uint8)).save(p)
+            paths.append(p)
+        bad = tmp_path / "missing.tif"
+        arena, status = imgio.decode_batch(
+            paths + [bad], shape=(37, 53), threads=4
+        )
+        assert arena.shape == (6, 37, 53, 3)
+        assert status[:5] == [0] * 5 and status[5] < 0
+        for i in range(5):
+            np.testing.assert_array_equal(
+                arena[i], (img + i).astype(np.uint8)
+            )
+        assert not arena[5].any()  # failed slot stays zeroed
+
+    def test_dims_mismatch_status(self, imgio, img, tmp_path):
+        from PIL import Image
+
+        p = tmp_path / "wrong.tif"
+        Image.fromarray(img[:20]).save(p)
+        _, status = imgio.decode_batch([p], shape=(37, 53))
+        assert status == [-3]
+
+    def test_decode_file_fast_fallback(self, tmp_path, img):
+        """decode_file_fast: native result == PIL; non-image falls back
+        to PIL's error (not a native crash)."""
+        from PIL import Image
+
+        from rgnir_tpu.io.decode import decode_file, decode_file_fast
+
+        p = tmp_path / "a.tif"
+        Image.fromarray(img).save(p)
+        np.testing.assert_array_equal(decode_file_fast(p), decode_file(p))
+        junk = tmp_path / "junk.tif"
+        junk.write_bytes(b"not an image at all")
+        with pytest.raises(Exception):
+            decode_file_fast(junk)
