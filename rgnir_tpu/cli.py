@@ -177,6 +177,7 @@ def cmd_change(args) -> int:
         early_wb, late_wb, kind,
         early_label=Path(args.early).stem, late_label=Path(args.late).stem,
         with_figure=bool(args.out), upsample_factor=args.upsample,
+        refine_tile=args.refine_tile or None,
     )
     summary = {
         "shift": [float(s) for s in res["shift"]],
@@ -370,6 +371,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="subpixel registration factor")
     d.add_argument("--full-res", action="store_true",
                    help="sharded full-resolution alignment (no 1024 cap)")
+    d.add_argument("--refine-tile", type=int, default=0,
+                   help="non-rigid alignment: per-tile residual shifts "
+                        "on NxN tiles (0 = rigid only)")
     d.set_defaults(fn=cmd_change)
 
     m = sub.add_parser("mosaic", help="sharded whole-mosaic analysis")

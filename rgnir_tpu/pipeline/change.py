@@ -24,16 +24,19 @@ import jax.numpy as jnp
 from rgnir_tpu.config import IndexKind, MAX_ALIGN_DIM
 from rgnir_tpu.ops.indices import compute_index
 from rgnir_tpu.ops.resize import preprocess_large_image
-from rgnir_tpu.register import align_images
+from rgnir_tpu.register import align_images, align_images_local
 from rgnir_tpu.viz.figures import render_change_figure
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "upsample_factor"))
+@functools.partial(
+    jax.jit, static_argnames=("kind", "upsample_factor", "refine_tile")
+)
 def change_maps(
     early_wb: jax.Array,
     late_wb: jax.Array,
     kind: Union[IndexKind, str],
     upsample_factor: int = 1,
+    refine_tile: Optional[int] = None,
 ):
     """(early_index, late_index, diff, shift) — fully on device.
 
@@ -41,11 +44,21 @@ def change_maps(
     caller downscales to the alignment cap first). ``upsample_factor``
     > 1 enables subpixel registration (upsampled-DFT refinement, a
     capability beyond the reference's integer-pixel alignment).
+    ``refine_tile`` enables non-rigid alignment: per-tile residual
+    shifts on refine_tile x refine_tile tiles, interpolated into a
+    smooth warp field (register.local) — for mosaics whose drift a
+    single translation cannot express.
     """
     kind = IndexKind.parse(kind)
-    aligned_late, shift = align_images(
-        early_wb, late_wb, upsample_factor=upsample_factor
-    )
+    if refine_tile is not None:
+        aligned_late, shift, _ = align_images_local(
+            early_wb, late_wb, tile=(refine_tile, refine_tile),
+            upsample_factor=upsample_factor,
+        )
+    else:
+        aligned_late, shift = align_images(
+            early_wb, late_wb, upsample_factor=upsample_factor
+        )
     early_index = compute_index(early_wb, kind)
     # The aligned image is float32 (resampled); the reference computes
     # the index on it directly (process-images.py:916-919).
@@ -63,13 +76,16 @@ def change_detection(
     max_dim: int = MAX_ALIGN_DIM,
     with_figure: bool = True,
     upsample_factor: int = 1,
+    refine_tile: Optional[int] = None,
 ) -> dict:
     """Full change-detection result.
 
     Returns {"early_index", "late_index", "diff", "shift", "figure"}.
     Labels render as the reference's ``Early: %Y-%m-%d`` titles
     (process-images.py:943, 950) when given. ``upsample_factor`` > 1
-    registers to 1/upsample_factor pixel before differencing.
+    registers to 1/upsample_factor pixel before differencing;
+    ``refine_tile`` adds tiled non-rigid refinement (see
+    :func:`change_maps`).
     """
     kind = IndexKind.parse(kind)
     early = preprocess_large_image(jnp.asarray(early_wb), max_dim)
@@ -80,7 +96,8 @@ def change_detection(
             f"{early.shape} vs {late.shape}"
         )
     early_index, late_index, diff, shift = change_maps(
-        early, late, kind, upsample_factor=upsample_factor
+        early, late, kind, upsample_factor=upsample_factor,
+        refine_tile=refine_tile,
     )
     result = {
         "early_index": np.asarray(early_index),

@@ -94,6 +94,18 @@ class TestCli:
         assert "diff_median" in out
         assert (tmp_path / "chg2" / "change_ndvi.png").exists()
 
+    def test_change_refine_tile(self, tmp_path, rgnir_image, capsys):
+        early = tmp_path / "early.png"
+        late = tmp_path / "late.png"
+        _write_png(early, rgnir_image)
+        _write_png(late, np.roll(rgnir_image, (2, -1), axis=(0, 1)))
+        rc = main(["change", str(early), str(late), "--refine-tile", "16",
+                   "--out", str(tmp_path / "chg3")])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert len(out["shift"]) >= 2
+        assert (tmp_path / "chg3" / "change_ndvi.png").exists()
+
     def test_store_and_sites_roundtrip(self, tmp_path, image_file, capsys):
         root = str(tmp_path / "storedir")
         assert main(["store", "upload", str(image_file), "--root", root]) == 0
