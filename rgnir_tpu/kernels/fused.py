@@ -141,8 +141,10 @@ def _fused_kernel(
         s_above = jnp.sum((idx_m > thr).astype(jnp.float32))
 
         # 50-bin histogram: cumulative counts C[i] = #(v >= edge_i)
-        # against the exact f32 edges — one ge matrix, one MXU dot; the
-        # wrapper differences adjacent C into bins (right-closed last).
+        # against the exact f32 edges — one ge matrix, lane-reduced on
+        # the VPU (an M=1 MXU dot leaves the systolic array idle and
+        # measured ~8% slower, benchmarks/exp_int8.py); the wrapper
+        # differences adjacent C into bins (right-closed last).
         edges_col = jnp.concatenate(
             [edges_ref[j].reshape(1, 1) for j in range(51)]
             + [jnp.full((13, 1), jnp.inf, jnp.float32)],
@@ -152,12 +154,8 @@ def _fused_kernel(
         ge = jnp.where(
             idx_row >= edges_col,
             jnp.float32(1), jnp.float32(0),
-        ).astype(jnp.bfloat16)  # (64, n); 0/1 exact in bf16
-        cum = jax.lax.dot_general(
-            jnp.ones((1, n), jnp.bfloat16), ge,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (1, 64)
+        )  # (64, n); exact 0/1 counts in f32
+        cum = jnp.sum(ge, axis=1).reshape(1, 64)
         lane1 = lane[:1]  # (1, 128)
         row = jnp.where(lane1 == S_SUM, s_sum, 0.0)
         row = jnp.where(lane1 == S_SUMSQ, s_sumsq, row)

@@ -20,7 +20,17 @@ import jax
 
 
 def _touch(out: Any) -> None:
-    jax.tree.map(lambda a: np.asarray(a).ravel()[0], out)
+    """Block until ``out`` is computed — WITHOUT fetching it wholesale.
+
+    ``np.asarray(a)`` would ship the entire carry (tens of MB) through
+    the tunnel per timing call; that transfer's latency variance is
+    larger than the sub-ms signals being measured and once produced
+    negative slopes. Reduce to one element on device, fetch 4 bytes —
+    the fetch still blocks on the producing computation.
+    """
+    import jax.numpy as jnp
+
+    jax.tree.map(lambda a: np.asarray(jnp.ravel(a)[0]), out)
 
 
 def chain_time(
@@ -78,3 +88,38 @@ def chain_time(
             file=__import__("sys").stderr,
         )
     return slope
+
+
+def chain_time_ab(
+    bodies: dict,
+    carry0: Any,
+    ns: Tuple[int, int] = (10, 60),
+    reps: int = 6,
+) -> dict:
+    """Interleaved A/B slope timing: ms per iteration for each body.
+
+    Cross-run absolutes on this shared chip are incomparable (throughput
+    swings several-fold between minutes), so variant comparisons MUST
+    interleave: every rep times every (variant, n) back to back, and the
+    per-cell minima see the same contention distribution. Use this — not
+    two chain_time calls — whenever deciding between implementations.
+    """
+    runs = {}
+    for k, b in bodies.items():
+        runs[k] = jax.jit(
+            lambda c, n, _b=b: jax.lax.fori_loop(0, n, _b, c)
+        )
+    for k in bodies:  # compile + warm every cell
+        for n in ns:
+            _touch(runs[k](carry0, n))
+    best = {(k, n): float("inf") for k in bodies for n in ns}
+    for _ in range(max(2, reps)):
+        for n in ns:
+            for k in bodies:
+                t0 = time.perf_counter()
+                _touch(runs[k](carry0, n))
+                best[(k, n)] = min(best[(k, n)], time.perf_counter() - t0)
+    return {
+        k: (best[(k, ns[1])] - best[(k, ns[0])]) / (ns[1] - ns[0]) * 1e3
+        for k in bodies
+    }
