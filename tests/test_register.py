@@ -200,3 +200,19 @@ class TestLocalRefinement:
         f = np.asarray(field)
         assert f[0, 0, 0] < f[-1, 0, 0]  # monotone ramp recovered
         np.testing.assert_allclose(f[..., 1], 2.0, atol=0.75)
+
+    def test_nondivisible_shape(self, rng):
+        """Tile grid covers edge-padded remainders; output keeps the
+        input shape."""
+        from rgnir_tpu.register import align_images_local
+
+        img = _texture(rng, 100, 75)  # helper rounds to (96, 72)
+        moving = np.roll(img, (2, -1), axis=(0, 1))
+        aligned, g, field = align_images_local(
+            jnp.asarray(img), jnp.asarray(moving), tile=(32, 32)
+        )
+        assert aligned.shape == img.shape == (96, 72)
+        assert field.shape == (3, 3, 2)  # 72 cols pad up to 3 tiles
+        assert tuple(np.asarray(g)) == (-2.0, 1.0)
+        interior = np.asarray(aligned)[8:-8, 8:-8] - img[8:-8, 8:-8]
+        assert np.abs(interior).max() < 0.35
