@@ -224,6 +224,23 @@ def cmd_mosaic(args) -> int:
     return 0
 
 
+def cmd_tune(args) -> int:
+    """Measure kernel block-size sweet spots on the attached device and
+    cache the winners (utils/autotune.py); subsequent runs pick them up
+    automatically."""
+    from rgnir_tpu.utils.autotune import cache_path, tune_kernels
+
+    sizes = (
+        tuple(int(s) for s in args.sizes.split(","))
+        if args.sizes else (512, 1024, 2048, 4096)
+    )
+    winners = tune_kernels(sizes=sizes)
+    print(json.dumps(
+        {"cache": str(cache_path()), "winners": winners}, indent=2
+    ))
+    return 0
+
+
 def _open_store(args):
     from rgnir_tpu.store import FsImageStore, MongoImageStore
 
@@ -381,6 +398,15 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--indices", default="")
     m.add_argument("--out", default="")
     m.set_defaults(fn=cmd_mosaic)
+
+    t = sub.add_parser(
+        "tune",
+        help="measure kernel block sizes on this device, cache winners",
+    )
+    t.add_argument("--sizes", default="",
+                   help="comma-separated image sizes (default "
+                        "512,1024,2048,4096)")
+    t.set_defaults(fn=cmd_tune)
 
     s = sub.add_parser("store", help="image store operations")
     s.add_argument("action", choices=["upload", "list", "remove", "dedupe"])

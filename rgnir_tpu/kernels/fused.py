@@ -228,8 +228,8 @@ def _fused_call(
     if n_valid is None:
         n_valid = n
     if block_r is None:
-        # ge matrix (64,n) bf16 + one-hots cap the fused working set
-        block_r = auto_block_r(n, cap=32)
+        # ge matrix (64,n) + one-hots cap the fused working set
+        block_r = auto_block_r(n, cap=32, kernel="fused")
     flat = flatten_to_rows(img_pl, block_r)  # (C, R, 1024)
     rows = flat.shape[-2]
     # (K, 3, 16{hi}, 16{lo}) byte tables

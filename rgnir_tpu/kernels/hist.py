@@ -80,13 +80,30 @@ def _hist_kernel(img_ref, nvalid_ref, out_ref):
         out_ref[ch] += h2
 
 
-def auto_block_r(n_pixels: int, target_steps: int = 64, cap: int = 64) -> int:
+def auto_block_r(
+    n_pixels: int,
+    target_steps: int = 64,
+    cap: int = 64,
+    kernel: Optional[str] = None,
+) -> int:
     """Pick a block row count balancing VMEM footprint (one-hot and
     ge-matrix intermediates scale with block_r*1024) against grid-step
     count (small images want small blocks; mosaics want large ones).
     ``cap`` is per-kernel: the fused kernel's working set is ~3x the
     histogram kernel's, so it passes a lower cap to stay inside the
-    16 MB VMEM scoped limit."""
+    16 MB VMEM scoped limit.
+
+    With ``kernel`` given, a measured winner from the autotune cache
+    (rgnir_tpu.utils.autotune — populated by ``rgnir-tpu tune``)
+    overrides the heuristic INCLUDING the cap: the tuner only stores
+    candidates that compiled and won on this device, and it tunes the
+    fused kernel at its worst-case (3-kind) VMEM footprint."""
+    if kernel is not None:
+        from rgnir_tpu.utils.autotune import lookup_block_r
+
+        hit = lookup_block_r(kernel, n_pixels)
+        if hit is not None:
+            return max(8, _ceil_to(hit, 8))
     rows = _cdiv(n_pixels, _LANES)
     # Floor 32: the 512^2-class images measured ~2x faster at 32 rows
     # per step than 16 (fewer grid steps; benchmarks/exp_hist.py).
@@ -133,7 +150,7 @@ def _hist_call(
     if n_valid is None:
         n_valid = h * w
     if block_r is None:
-        block_r = auto_block_r(h * w)
+        block_r = auto_block_r(h * w, kernel="hist")
     flat = flatten_to_rows(img_pl, block_r)  # (C, R, 1024)
     rows = flat.shape[-2]
     grid = (rows // block_r,)

@@ -185,7 +185,7 @@ def radix_order_statistic_pallas(
     for d in vals.shape[vals.ndim - reduce_ndim:]:
         n *= d
     if block_r is None:
-        block_r = auto_block_r(n)
+        block_r = auto_block_r(n, kernel="select")
     flat = vals.reshape((-1, n)).astype(jnp.float32)
     rows = _pack_rows(flat, block_r)
     rank_b = jnp.broadcast_to(jnp.asarray(rank, jnp.int32), batch).reshape(-1)
@@ -215,7 +215,7 @@ def masked_median_pallas(
         n *= d
     assert n == n_valid, (n, n_valid)
     if block_r is None:
-        block_r = auto_block_r(n)
+        block_r = auto_block_r(n, kernel="select")
     flat = vals.reshape((-1, n)).astype(jnp.float32)
     rows = _pack_rows(flat, block_r)
     b = rows.shape[0]

@@ -1,0 +1,195 @@
+"""Measured block-size selection with a tiny persistent cache.
+
+``auto_block_r`` (kernels/hist.py) picks kernel block rows by a static
+heuristic; the sweet spot drifts with device generation and image
+class. This module lets a deployment *measure* the sweet spots once —
+``rgnir-tpu tune`` or :func:`tune_kernels` — and caches the winners in
+a JSON file keyed by (kernel, log2-pixel bucket, device kind). The
+kernels consult the cache on every dispatch (a dict lookup); an empty
+cache means the heuristic stands, so nothing slows down or changes
+behavior until a user opts in.
+
+Tuning uses interleaved A/B slope timing (tools/tpu_microbench — the
+shared-chip contention makes sequential sweeps incomparable), and the
+candidates all produce bit-identical results (block size only changes
+the grid), so caching winners is always safe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from pathlib import Path
+from typing import Dict, Optional, Sequence
+
+_LOCK = threading.Lock()
+_CACHE: Optional[Dict[str, int]] = None
+_CACHE_PATH: Optional[Path] = None
+
+
+def cache_path() -> Path:
+    env = os.environ.get("RGNIR_TPU_AUTOTUNE_CACHE")
+    if env:
+        return Path(env)
+    return Path(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache"))
+    ) / "rgnir_tpu" / "autotune.json"
+
+
+def _device_kind() -> str:
+    try:
+        import jax
+
+        return jax.devices()[0].device_kind.replace(" ", "_")
+    except Exception:
+        return "unknown"
+
+
+def _bucket(n_pixels: int) -> int:
+    return max(0, n_pixels - 1).bit_length()  # ceil(log2(n))
+
+
+def _key(kernel: str, n_pixels: int) -> str:
+    return f"{_device_kind()}/{kernel}/b{_bucket(n_pixels)}"
+
+
+def _load() -> Dict[str, int]:
+    global _CACHE, _CACHE_PATH
+    path = cache_path()
+    with _LOCK:
+        if _CACHE is not None and _CACHE_PATH == path:
+            return _CACHE
+        try:
+            _CACHE = {
+                k: int(v) for k, v in json.loads(path.read_text()).items()
+            }
+        except (OSError, ValueError):
+            _CACHE = {}
+        _CACHE_PATH = path
+        return _CACHE
+
+
+def lookup_block_r(kernel: str, n_pixels: int) -> Optional[int]:
+    """Cached block rows for (kernel, pixel bucket), or None."""
+    return _load().get(_key(kernel, n_pixels))
+
+
+def store_block_r(kernel: str, n_pixels: int, block_r: int) -> None:
+    global _CACHE
+    path = cache_path()
+    with _LOCK:
+        cache = dict(_CACHE or {})
+        cache[_key(kernel, n_pixels)] = int(block_r)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(cache, indent=2, sort_keys=True))
+        tmp.replace(path)
+        _CACHE = cache
+
+
+def invalidate_cache() -> None:
+    """Forget the in-process cache (tests; external file edits)."""
+    global _CACHE
+    with _LOCK:
+        _CACHE = None
+
+
+def tune_kernels(
+    sizes: Sequence[int] = (512, 1024, 2048, 4096),
+    candidates: Sequence[int] = (16, 32, 64, 128),
+    reps: int = 6,
+    verbose: bool = True,
+) -> Dict[str, int]:
+    """Measure the three kernels' block-row sweet spots and cache them.
+
+    For each image size, times every candidate block_r with interleaved
+    A/B slopes (same-window comparison) for the histogram kernel, the
+    fused kernel, and the radix-select byte histogram, then stores each
+    winner. Returns {cache key: winning block_r}.
+    """
+    import sys
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[2] / "tools"))
+    from tpu_microbench import chain_time_ab
+
+    from rgnir_tpu.config import IndexKind
+    from rgnir_tpu.kernels.fused import fused_analyze_pallas
+    from rgnir_tpu.kernels.hist import planar_histograms_pallas
+    from rgnir_tpu.kernels.select import masked_median_pallas
+    from rgnir_tpu.ops.wb import wb_bounds_from_histogram
+
+    rng = np.random.default_rng(0)
+    # Tune the fused kernel at its worst-case VMEM footprint (all three
+    # kinds + renders): a winner stored here must be safe for every
+    # production configuration, because the cache overrides the cap.
+    kinds = (IndexKind.NDVI, IndexKind.GNDVI, IndexKind.NDWI)
+    winners: Dict[str, int] = {}
+    for size in sizes:
+        n = size * size
+        img = jax.device_put(jnp.asarray(
+            rng.integers(0, 256, (3, size, size), dtype=np.uint8)
+        ))
+        idxmap = jax.device_put(jnp.asarray(
+            rng.uniform(-1, 1, (size, size)).astype(np.float32)
+        ))
+
+        def hist_body(br):
+            def body(i, c):
+                h = planar_histograms_pallas(c, block_r=br)
+                return c ^ h[0, 0].astype(jnp.uint8)
+            return body
+
+        def fused_body(br):
+            def body(i, c):
+                h = planar_histograms_pallas(c)
+                lo, hi = wb_bounds_from_histogram(h, n=n)
+                wb, idx, rgb, st = fused_analyze_pallas(
+                    c, lo, hi, kinds, block_r=br
+                )
+                return wb
+            return body
+
+        def select_body(br):
+            def body(i, c):
+                m = masked_median_pallas(c, n, reduce_ndim=2, block_r=br)
+                return c + m * 0.0
+            return body
+
+        for kernel, mk, carry in (
+            ("hist", hist_body, img),
+            ("fused", fused_body, img),
+            ("select", select_body, idxmap),
+        ):
+            bodies = {}
+            for br in candidates:
+                if br * 1024 > 4 * n:  # absurd block for this size
+                    continue
+                try:
+                    jax.block_until_ready(
+                        jax.jit(lambda c, b=mk(br): b(0, c))(carry)
+                    )
+                    bodies[br] = mk(br)
+                except Exception:  # noqa: BLE001 - VMEM overflow etc.
+                    continue
+            if not bodies:
+                continue
+            # Sub-0.1 ms kernels need a long iteration span or the
+            # slope drowns in per-call tunnel jitter (measured: negative
+            # slopes at ns=(10,60) for 512^2 kernels).
+            ns = (50, 550) if n <= 2 * 1024 * 1024 else (10, 60)
+            res = chain_time_ab(bodies, carry, ns=ns, reps=reps)
+            best = min(res, key=res.get)
+            winners[_key(kernel, n)] = best
+            store_block_r(kernel, n, best)
+            if verbose:
+                print(json.dumps({
+                    "size": size, "kernel": kernel, "winner": best,
+                    "ms": {str(k): round(v, 3) for k, v in res.items()},
+                }), flush=True)
+    return winners

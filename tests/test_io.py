@@ -204,3 +204,63 @@ class TestDebugging:
 
         res = analyze_image_jit(jnp.asarray(rgnir_image))
         check_finite(res, "analyze_image")
+
+
+class TestAutotuneCache:
+    """Persistent block-size cache (utils/autotune.py)."""
+
+    @pytest.fixture(autouse=True)
+    def _tmp_cache(self, tmp_path, monkeypatch):
+        from rgnir_tpu.utils import autotune
+
+        monkeypatch.setenv(
+            "RGNIR_TPU_AUTOTUNE_CACHE", str(tmp_path / "tune.json")
+        )
+        autotune.invalidate_cache()
+        yield
+        autotune.invalidate_cache()
+
+    def test_roundtrip_and_bucketing(self):
+        from rgnir_tpu.utils import autotune
+
+        assert autotune.lookup_block_r("hist", 512 * 512) is None
+        autotune.store_block_r("hist", 512 * 512, 64)
+        assert autotune.lookup_block_r("hist", 512 * 512) == 64
+        # same log2 bucket (2^18): shared entry
+        assert autotune.lookup_block_r("hist", 200_000) == 64
+        # different bucket / kernel: misses
+        assert autotune.lookup_block_r("hist", 1024 * 1024) is None
+        assert autotune.lookup_block_r("fused", 512 * 512) is None
+        # persists across the in-process cache being dropped
+        autotune.invalidate_cache()
+        assert autotune.lookup_block_r("hist", 512 * 512) == 64
+
+    def test_auto_block_r_consults_cache(self):
+        from rgnir_tpu.kernels.hist import auto_block_r
+        from rgnir_tpu.utils import autotune
+
+        n = 512 * 512
+        base = auto_block_r(n, kernel="hist")
+        autotune.store_block_r("hist", n, 128)
+        assert auto_block_r(n, kernel="hist") == 128
+        # the measured winner overrides the heuristic cap too (the
+        # tuner only stores candidates that compiled on this device)
+        assert auto_block_r(n, cap=32, kernel="hist") == 128
+        # no kernel tag -> heuristic untouched
+        assert auto_block_r(n) == base
+
+    def test_kernel_accepts_cached_block(self, rng):
+        """The hist kernel runs with a cache-provided block size and
+        keeps exact counts."""
+        import jax.numpy as jnp
+
+        from rgnir_tpu.kernels.hist import planar_histograms_pallas
+        from rgnir_tpu.utils import autotune
+
+        img = rng.integers(0, 256, (3, 64, 48), dtype=np.uint8)
+        want = np.stack([
+            np.bincount(img[c].ravel(), minlength=256) for c in range(3)
+        ])
+        autotune.store_block_r("hist", 64 * 48, 16)
+        got = np.asarray(planar_histograms_pallas(jnp.asarray(img)))
+        np.testing.assert_array_equal(got, want)
