@@ -79,12 +79,18 @@ def run_reference(input_dir: Path, output_dir: Path) -> float:
 
 
 def run_ours(input_dir: Path, output_dir: Path, figures: bool) -> float:
+    from rgnir_tpu.config import LoaderConfig
     from rgnir_tpu.pipeline.batch import batch_process
 
+    # Figure mode composes matplotlib figures on the host; smaller
+    # batches let the pipeline's one-batch lookahead hide device
+    # compute + tunnel transfers behind composition of the previous
+    # batch (with one big batch there is nothing to overlap).
+    cfg = LoaderConfig(batch_size=8) if figures else LoaderConfig()
     t0 = time.perf_counter()
     summary = batch_process(
         input_dir, output_dir, save_wb=True, indices=("NDVI",),
-        figures=figures, resume=False,
+        figures=figures, resume=False, loader_cfg=cfg,
     )
     dt = time.perf_counter() - t0
     assert not summary["failed"], summary["failed"]
@@ -98,8 +104,12 @@ def main() -> None:
     try:
         input_dir = make_dataset(tmp, n, size)
         results = {}
-        # warm the device path (jit compile) outside the timed region
+        # warm BOTH device programs (jit compile) outside the timed
+        # region — figure mode compiles a different executable (index
+        # maps instead of renders), and through the tunnel an in-region
+        # compile would swamp the measurement.
         run_ours(input_dir, tmp / "warm", figures=False)
+        run_ours(input_dir, tmp / "warm_fig", figures=True)
         results["ours_device_renders_s"] = run_ours(
             input_dir, tmp / "out_fast", figures=False
         )

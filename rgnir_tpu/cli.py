@@ -32,14 +32,21 @@ def _parse_indices(value: str):
 
 
 def cmd_batch(args) -> int:
+    import dataclasses
+
+    from rgnir_tpu.config import LoaderConfig
     from rgnir_tpu.pipeline.batch import batch_process
 
+    cfg = LoaderConfig()
+    if args.decode_cache:
+        cfg = dataclasses.replace(cfg, decode_cache_dir=args.decode_cache)
     summary = batch_process(
         args.input, args.output,
         save_wb=args.wb,
         indices=_parse_indices(args.indices),
         figures=args.figures,
         resume=not args.no_resume,
+        loader_cfg=cfg,
     )
     print(json.dumps({
         "processed": summary["processed"],
@@ -346,6 +353,9 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--figures", action="store_true",
                    help="matplotlib figures instead of raw colormap PNGs")
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--decode-cache", default="", metavar="DIR",
+                   help="cache decoded images as .npy under DIR; repeat "
+                        "runs over the same inputs skip image decode")
     b.set_defaults(fn=cmd_batch)
 
     r = sub.add_parser("report", help="single-image NDVI report")

@@ -123,6 +123,15 @@ class LoaderConfig:
     encode_workers: int = 4
     prefetch_batches: int = 2
     batch_size: int = 32
+    # Probe headers first, then decode whole same-shape batches straight
+    # into one contiguous arena with the native C++ pool (no per-image
+    # stack copy). Falls back to the streaming PIL path per file when
+    # the native decoder is absent or rejects a file.
+    arena_decode: bool = True
+    # When set, decoded arrays are cached as raw .npy blobs here and
+    # re-reads skip the image decode entirely (io/cache.py).
+    decode_cache_dir: Optional[str] = None
+    decode_cache_max_bytes: int = 2 << 30
 
 
 @dataclasses.dataclass(frozen=True)

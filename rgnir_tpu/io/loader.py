@@ -56,10 +56,97 @@ class BatchLoader:
     ):
         self.paths = [Path(p) for p in paths]
         self.cfg = cfg
+        self._default_decode = decode is decode_file_fast
+        if cfg.decode_cache_dir:
+            from rgnir_tpu.io.cache import DecodedCache
+
+            decode = DecodedCache(
+                cfg.decode_cache_dir, cfg.decode_cache_max_bytes
+            ).wrap(decode)
         self.decode = decode
         self.failures: List[LoadFailure] = []
 
     def __iter__(self) -> Iterator[LoadedBatch]:
+        if (
+            self.cfg.arena_decode
+            and self._default_decode
+            and not self.cfg.decode_cache_dir
+        ):
+            from rgnir_tpu.native import imgio
+
+            if imgio.native_available():
+                yield from self._iter_arena(imgio)
+                return
+        yield from self._iter_streaming(self.paths, list(range(len(self.paths))))
+
+    def _iter_arena(self, imgio) -> Iterator[LoadedBatch]:
+        """Probe-first arena path: headers are read up front (cheap),
+        same-shape batches then decode straight into one contiguous
+        ``(B, H, W, 3)`` arena inside the C++ pool — no per-image
+        Python allocation and no ``np.stack`` copy; the arena is what
+        ``device_put`` transfers. A one-deep prefetch thread overlaps
+        the next batch's decode with the caller's device step
+        (``ii_decode_batch_rgb`` releases the GIL throughout).
+
+        Files the native prober rejects fall back to the streaming PIL
+        path at the end, preserving per-file continue-on-error.
+        """
+        cfg = self.cfg
+        shapes: dict = {}
+        fallback_paths: List[Path] = []
+        fallback_idx: List[int] = []
+        for i, p in enumerate(self.paths):
+            try:
+                shapes.setdefault(imgio.probe(p), []).append((i, p))
+            except (OSError, RuntimeError):
+                fallback_paths.append(p)
+                fallback_idx.append(i)
+        chunks = [
+            (hw, items[s:s + cfg.batch_size])
+            for hw, items in shapes.items()
+            for s in range(0, len(items), cfg.batch_size)
+        ]
+
+        def decode_chunk(args):
+            hw, items = args
+            arena, status = imgio.decode_batch(
+                [p for _, p in items], hw, threads=cfg.decode_workers
+            )
+            return items, arena, status
+
+        with ThreadPoolExecutor(1) as pool:
+            fut = None
+            for chunk in chunks:
+                nxt = pool.submit(decode_chunk, chunk)
+                if fut is not None:
+                    yield from self._emit_arena(*fut.result())
+                fut = nxt
+            if fut is not None:
+                yield from self._emit_arena(*fut.result())
+        if fallback_paths:
+            yield from self._iter_streaming(fallback_paths, fallback_idx)
+
+    def _emit_arena(self, items, arena, status) -> Iterator[LoadedBatch]:
+        ok = [j for j, rc in enumerate(status) if rc == 0]
+        for j, rc in enumerate(status):
+            if rc != 0:
+                i, p = items[j]
+                self.failures.append(LoadFailure(
+                    path=p, index=i,
+                    error=OSError(f"native decode failed (status {rc})"),
+                ))
+        if not ok:
+            return
+        images = arena if len(ok) == len(items) else arena[ok]
+        yield LoadedBatch(
+            images=images,
+            paths=[items[j][1] for j in ok],
+            indices=[items[j][0] for j in ok],
+        )
+
+    def _iter_streaming(
+        self, paths: Sequence[Path], indices: Sequence[int]
+    ) -> Iterator[LoadedBatch]:
         cfg = self.cfg
         out_q: "queue.Queue" = queue.Queue(
             maxsize=max(2, cfg.prefetch_batches) * max(1, cfg.batch_size)
@@ -74,7 +161,7 @@ class BatchLoader:
             # the consumer falls behind, which stalls new submissions).
             window = out_q.maxsize
             inflight: deque = deque()
-            path_iter = iter(enumerate(self.paths))
+            path_iter = iter(zip(indices, paths))
             with ThreadPoolExecutor(cfg.decode_workers) as pool:
                 def submit_next() -> bool:
                     try:

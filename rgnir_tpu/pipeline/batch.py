@@ -23,7 +23,7 @@ backend-process.py:40-47) at figure-render speed.
 
 from __future__ import annotations
 
-import functools
+import collections
 from pathlib import Path
 from typing import Callable, List, Optional, Sequence, Union
 
@@ -92,14 +92,46 @@ def batch_process(
     out_to_input: dict = {}
     loader = BatchLoader(todo, cfg=loader_cfg)
     writer = AsyncWriter(loader_cfg.encode_workers)
+    if figures:
+        from rgnir_tpu.viz.figures import IndexFigureWriter
+
+        fig_writer = IndexFigureWriter()
+
+    def dispatch(batch):
+        """Enqueue device compute + async device->host copies, no blocking.
+
+        jit dispatch is async, and ``copy_to_host_async`` starts the
+        (tunnel-expensive) transfers in the runtime's own threads; the
+        blocking ``np.asarray`` happens one batch later, after the host
+        has spent its time composing figures / submitting encodes — so
+        device time hides behind host time instead of adding to it.
+        """
+        wb, per_kind = _batch_forward(
+            jnp.asarray(batch.images), kind_names, figures
+        )
+        # Fetch only what will be written (device->host transfers are
+        # expensive, especially through a tunneled chip).
+        if save_wb:
+            wb.copy_to_host_async()
+        for arr in per_kind.values():
+            arr.copy_to_host_async()
+        return batch, wb, per_kind
+
     try:
         done_counter = skipped
-        for batch in loader:
-            wb, per_kind = _batch_forward(
-                jnp.asarray(batch.images), kind_names, figures
-            )
-            # Fetch only what will be written (device->host transfers
-            # are expensive, especially through a tunneled chip).
+        pending = collections.deque()
+        loader_iter = iter(loader)
+        exhausted = False
+        while True:
+            if not exhausted and len(pending) < 2:
+                try:
+                    pending.append(dispatch(next(loader_iter)))
+                    continue
+                except StopIteration:
+                    exhausted = True
+            if not pending:
+                break
+            batch, wb, per_kind = pending.popleft()
             wb_np = np.asarray(wb) if save_wb else None
             per_kind_np = {k: np.asarray(v) for k, v in per_kind.items()}
             for j, path in enumerate(batch.paths):
@@ -122,14 +154,14 @@ def batch_process(
                         # Serial on the main thread: matplotlib's locks
                         # make threads slower (measured 2x), and this
                         # host has ONE core, so process pools only add
-                        # IPC overhead. Figure composition (~0.27 s per
-                        # 10x8in@100dpi tight-bbox figure) is the hard
-                        # floor of figure mode on any single core — the
-                        # reference pays the same cost.
-                        from rgnir_tpu.viz.figures import save_index_figure
-
+                        # IPC overhead. The reused-figure writer cuts
+                        # composition from ~0.27 s to ~0.15 s per
+                        # 10x8in@100dpi figure (pixel-identical); that
+                        # is the hard floor of figure mode on a single
+                        # core — the reference recreates the figure
+                        # per image and pays the full cost.
                         out.parent.mkdir(parents=True, exist_ok=True)
-                        save_index_figure(
+                        fig_writer.write(
                             per_kind_np[kind.value][j], kind, out
                         )
                     else:

@@ -52,6 +52,82 @@ class TestBatchLoader:
         assert sorted(seen) == list(range(8))
         assert not loader.failures
 
+    def test_arena_and_streaming_paths_agree(self, tmp_path, rng):
+        """The probe-first arena path must yield exactly the images the
+        streaming PIL path yields (same pixels, paths, indices)."""
+        paths = []
+        for i, (h, w) in enumerate([(16, 16)] * 3 + [(8, 24)] * 2):
+            paths.append(_write(tmp_path / f"i{i}.png",
+                                rng.integers(0, 256, (h, w, 3), dtype=np.uint8)))
+
+        def collect(arena: bool):
+            loader = BatchLoader(
+                paths, cfg=LoaderConfig(batch_size=2, arena_decode=arena)
+            )
+            out = {}
+            for b in loader:
+                for j, i in enumerate(b.indices):
+                    out[i] = (b.paths[j], b.images[j])
+            assert not loader.failures
+            return out
+
+        a, s = collect(True), collect(False)
+        assert a.keys() == s.keys() == set(range(5))
+        for i in a:
+            assert a[i][0] == s[i][0]
+            np.testing.assert_array_equal(a[i][1], s[i][1])
+
+    def test_decode_cache(self, tmp_path, rng):
+        from rgnir_tpu.io.cache import DecodedCache
+
+        arr = rng.integers(0, 256, (12, 10, 3), dtype=np.uint8)
+        p = _write(tmp_path / "x.png", arr)
+        cache = DecodedCache(tmp_path / "cache")
+        assert cache.get(p) is None
+        calls = []
+
+        def decode(path):
+            calls.append(path)
+            from rgnir_tpu.io.decode import decode_file
+
+            return decode_file(path)
+
+        cached = cache.wrap(decode)
+        np.testing.assert_array_equal(cached(p), arr)
+        np.testing.assert_array_equal(cached(p), arr)
+        assert len(calls) == 1  # second read came from the cache
+        # rewriting the source invalidates the entry
+        arr2 = rng.integers(0, 256, (12, 10, 3), dtype=np.uint8)
+        import os
+        import time as _t
+
+        _write(p, arr2)
+        os.utime(p, (_t.time() + 2, _t.time() + 2))
+        np.testing.assert_array_equal(cached(p), arr2)
+        assert len(calls) == 2
+
+    def test_decode_cache_eviction(self, tmp_path, rng):
+        from rgnir_tpu.io.cache import DecodedCache
+
+        cache = DecodedCache(tmp_path / "cache", max_bytes=1000)
+        for i in range(4):
+            p = _write(tmp_path / f"e{i}.png",
+                       rng.integers(0, 256, (8, 8, 3), dtype=np.uint8))
+            cache.put(p, rng.integers(0, 256, (8, 8, 3), dtype=np.uint8))
+        blobs = list((tmp_path / "cache").glob("*.npy"))
+        assert sum(b.stat().st_size for b in blobs) <= 1000
+        assert len(blobs) < 4
+
+    def test_loader_uses_decode_cache(self, tmp_path, rng):
+        arr = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        p = _write(tmp_path / "c.png", arr)
+        cfg = LoaderConfig(batch_size=1,
+                           decode_cache_dir=str(tmp_path / "cache"))
+        for _ in range(2):
+            (batch,) = list(BatchLoader([p], cfg=cfg))
+            np.testing.assert_array_equal(batch.images[0], arr)
+        assert list((tmp_path / "cache").glob("*.npy"))
+
     def test_decode_failure_continues(self, tmp_path, rng):
         ok = _write(tmp_path / "ok.png",
                     rng.integers(0, 256, (8, 8, 3), dtype=np.uint8))
@@ -160,6 +236,30 @@ class TestVizSmoke:
         assert render_histogram_figure(
             np.arange(50), "NDVI"
         ).size[0] > 0
+
+    def test_index_figure_writer_pixel_parity(self, tmp_path, rng):
+        """The reused-figure batch writer must render the exact pixels
+        of the one-shot save_index_figure path, across repeated arrays
+        and a mid-stream shape change."""
+        from PIL import Image
+
+        from rgnir_tpu.viz.figures import IndexFigureWriter, save_index_figure
+
+        writer = IndexFigureWriter()
+        arrays = [
+            rng.uniform(-1, 1, (32, 32)).astype(np.float32),
+            rng.uniform(-1, 1, (32, 32)).astype(np.float32),
+            rng.uniform(-1, 1, (24, 40)).astype(np.float32),  # new layout
+        ]
+        for i, arr in enumerate(arrays):
+            one_shot = tmp_path / f"one_{i}.png"
+            reused = tmp_path / f"re_{i}.png"
+            save_index_figure(arr, "NDVI", one_shot)
+            writer.write(arr, "NDVI", reused)
+            a = np.asarray(Image.open(one_shot))
+            b = np.asarray(Image.open(reused))
+            assert a.shape == b.shape
+            np.testing.assert_array_equal(a, b)
 
 
 class TestProfiling:
