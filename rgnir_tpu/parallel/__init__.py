@@ -17,6 +17,13 @@ topology beyond a named mesh axis.
 """
 
 from rgnir_tpu.parallel.mesh import make_mesh, local_mesh
+from rgnir_tpu.parallel.multihost import (
+    initialize as initialize_distributed,
+    mosaic_from_local_rows,
+    padded_height,
+    process_row_band,
+    row_sharding,
+)
 from rgnir_tpu.parallel.reduce import (
     ordered_u32_from_f32,
     f32_from_ordered_u32,
@@ -39,6 +46,11 @@ __all__ = [
     "exchange_row_halos",
     "make_mesh",
     "local_mesh",
+    "initialize_distributed",
+    "mosaic_from_local_rows",
+    "padded_height",
+    "process_row_band",
+    "row_sharding",
     "ordered_u32_from_f32",
     "f32_from_ordered_u32",
     "radix_order_statistic",

@@ -58,6 +58,7 @@ def analyze_mosaic(
     idx_cfg: IndexConfig = IndexConfig(),
     with_renders: bool = False,
     impl: str = "jnp",
+    valid_rows: Optional[int] = None,
 ) -> MosaicResult:
     """Analyze one large ``(H, W, 3)`` uint8 mosaic sharded over a mesh.
 
@@ -65,6 +66,12 @@ def analyze_mosaic(
     statistics are exact (padding masked out of every reduction).
     Returned pixel outputs keep the row padding (slice with
     ``[:H]`` on the host if needed); stats are replicated.
+
+    ``valid_rows``: when the caller pre-padded the row dimension (the
+    multi-host data plane pads to a device multiple BEFORE the per-host
+    band cut, parallel/multihost.py), pass the true image height here
+    so the pad rows are masked out of every statistic exactly like the
+    internal padding.
 
     ``impl``: "jnp" (default, compiles on every backend) or "kernel"
     (Pallas fused kernels inside the shard — the multi-chip TPU
@@ -80,19 +87,22 @@ def analyze_mosaic(
     if len(mesh.axis_names) == 2:
         if impl == "kernel":
             return _analyze_mosaic_kernel_2d(
-                mosaic, kinds, mesh, wb_cfg, idx_cfg, with_renders
+                mosaic, kinds, mesh, wb_cfg, idx_cfg, with_renders,
+                valid_rows=valid_rows,
             )
         return _analyze_mosaic_2d(
-            mosaic, kinds, mesh, wb_cfg, idx_cfg, with_renders
+            mosaic, kinds, mesh, wb_cfg, idx_cfg, with_renders,
+            valid_rows=valid_rows,
         )
     axis = mesh.axis_names[0]
     n_dev = int(mesh.devices.size)
 
-    h, w = int(mosaic.shape[0]), int(mosaic.shape[1])
+    h_in, w = int(mosaic.shape[0]), int(mosaic.shape[1])
+    h = h_in if valid_rows is None else int(valid_rows)
     n_valid = h * w
-    hp = _ceil_to(h, n_dev)
-    if hp != h:
-        mosaic = jnp.pad(mosaic, ((0, hp - h), (0, 0), (0, 0)))
+    hp = _ceil_to(h_in, n_dev)
+    if hp != h_in:
+        mosaic = jnp.pad(mosaic, ((0, hp - h_in), (0, 0), (0, 0)))
     block_h = hp // n_dev
 
     if impl == "kernel":
@@ -241,17 +251,19 @@ def _analyze_mosaic_kernel(
     return MosaicResult(wb=wb, indices=indices, renders=renders, stats=stats)
 
 
-def _analyze_mosaic_2d(mosaic, kinds, mesh, wb_cfg, idx_cfg, with_renders):
+def _analyze_mosaic_2d(mosaic, kinds, mesh, wb_cfg, idx_cfg, with_renders,
+                       valid_rows=None):
     """Row x column sharding over a 2-D mesh; every reduction psums over
     BOTH axes, so global stats remain exact. The pixel-domain analogue
     of 2-D tensor sharding for wide survey strips."""
     ar, ac = mesh.axis_names
     dr, dc = (int(s) for s in mesh.devices.shape)
-    h, w = int(mosaic.shape[0]), int(mosaic.shape[1])
+    h_in, w = int(mosaic.shape[0]), int(mosaic.shape[1])
+    h = h_in if valid_rows is None else int(valid_rows)
     n_valid = h * w
-    hp, wp = _ceil_to(h, dr), _ceil_to(w, dc)
-    if (hp, wp) != (h, w):
-        mosaic = jnp.pad(mosaic, ((0, hp - h), (0, wp - w), (0, 0)))
+    hp, wp = _ceil_to(h_in, dr), _ceil_to(w, dc)
+    if (hp, wp) != (h_in, w):
+        mosaic = jnp.pad(mosaic, ((0, hp - h_in), (0, wp - w), (0, 0)))
     bh, bw = hp // dr, wp // dc
     axes = (ar, ac)
 
@@ -316,7 +328,7 @@ def _analyze_mosaic_2d(mosaic, kinds, mesh, wb_cfg, idx_cfg, with_renders):
 
 
 def _analyze_mosaic_kernel_2d(mosaic, kinds, mesh, wb_cfg, idx_cfg,
-                              with_renders):
+                              with_renders, valid_rows=None):
     """Pallas shard body for 2-D meshes via analytic padding correction.
 
     The kernels' positional prefix masks cannot express column padding,
@@ -340,11 +352,14 @@ def _analyze_mosaic_kernel_2d(mosaic, kinds, mesh, wb_cfg, idx_cfg,
 
     ar, ac = mesh.axis_names
     dr, dc = (int(s) for s in mesh.devices.shape)
-    h, w = int(mosaic.shape[0]), int(mosaic.shape[1])
+    h_in, w = int(mosaic.shape[0]), int(mosaic.shape[1])
+    # User pre-padding (multihost band cuts) is zeros, exactly like our
+    # own padding, so the analytic correction below covers both.
+    h = h_in if valid_rows is None else int(valid_rows)
     n_valid = h * w
-    hp, wp = _ceil_to(h, dr), _ceil_to(w, dc)
-    if (hp, wp) != (h, w):
-        mosaic = jnp.pad(mosaic, ((0, hp - h), (0, wp - w), (0, 0)))
+    hp, wp = _ceil_to(h_in, dr), _ceil_to(w, dc)
+    if (hp, wp) != (h_in, w):
+        mosaic = jnp.pad(mosaic, ((0, hp - h_in), (0, wp - w), (0, 0)))
     bh, bw = hp // dr, wp // dc
     axes = (ar, ac)
     pad_total = hp * wp - n_valid

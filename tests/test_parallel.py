@@ -646,3 +646,86 @@ class TestShardedChangeDetection2D:
         interior = diff[16:-16, 16:-16]
         assert np.abs(interior).max() < 1e-6
         assert abs(float(res.stats.median)) < 1e-6
+
+
+class TestMultihostDataPlane:
+    """Single-process exercise of the multi-host shard feeding path —
+    the same per-process code a pod runs (process_count 1 here, so the
+    local band is the whole mosaic)."""
+
+    def test_initialize_single_process_noop(self):
+        from rgnir_tpu.parallel import initialize_distributed
+
+        initialize_distributed()  # must not raise or reconfigure
+        assert jax.process_count() == 1
+
+    def test_band_and_assembly_roundtrip(self, rng):
+        from rgnir_tpu.parallel import (
+            mosaic_from_local_rows,
+            padded_height,
+            process_row_band,
+            row_sharding,
+        )
+
+        mesh = local_mesh("rows")
+        h, w = 50, 32  # 50 rows -> padded to 56 over 8 devices
+        hp = padded_height(h, mesh)
+        assert hp % mesh.devices.size == 0
+        img = rng.integers(0, 256, (hp, w, 3), dtype=np.uint8)
+        lo, hi = process_row_band(hp, mesh)
+        assert (lo, hi) == (0, hp)  # single process owns every block
+        arr = mosaic_from_local_rows(img[lo:hi], (hp, w, 3), mesh)
+        assert arr.shape == (hp, w, 3)
+        assert arr.sharding == row_sharding(mesh)
+        np.testing.assert_array_equal(np.asarray(arr), img)
+
+    @pytest.mark.parametrize("impl", ["jnp", "kernel"])
+    def test_assembled_mosaic_analyzes_exactly(self, rng, impl):
+        """h=50 is NOT a device multiple: the band cut pre-pads rows to
+        56, and valid_rows must mask the pre-pad out of every stat."""
+        from rgnir_tpu.parallel import (
+            mosaic_from_local_rows,
+            padded_height,
+            process_row_band,
+        )
+        from rgnir_tpu.pipeline.fused import analyze_image
+
+        mesh = local_mesh("rows")
+        h, w = 50, 128
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        hp = padded_height(h, mesh)
+        assert hp != h
+        padded = np.zeros((hp, w, 3), np.uint8)
+        padded[:h] = img
+        lo, hi = process_row_band(hp, mesh)
+        arr = mosaic_from_local_rows(padded[lo:hi], (hp, w, 3), mesh)
+        res = analyze_mosaic(
+            arr, kinds=("NDVI",), mesh=mesh, impl=impl, valid_rows=h
+        )
+        single = analyze_image(jnp.asarray(img), kinds=("NDVI",))
+        got = to_analyze_index_dict(res.stats["NDVI"], "NDVI")
+        want = to_analyze_index_dict(single.stats["NDVI"], "NDVI")
+        for k in want:
+            np.testing.assert_allclose(got[k], want[k], rtol=0, atol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(res.wb)[:h], np.asarray(single.wb)
+        )
+
+    def test_valid_rows_2d_mesh(self, rng):
+        from rgnir_tpu.parallel import make_mesh
+        from rgnir_tpu.pipeline.fused import analyze_image
+
+        mesh = make_mesh((4, 2), ("dr", "dc"))
+        h, w = 50, 96
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        hp = 52  # caller pre-pads rows to a 4-multiple
+        padded = np.zeros((hp, w, 3), np.uint8)
+        padded[:h] = img
+        res = analyze_mosaic(
+            jnp.asarray(padded), kinds=("NDWI",), mesh=mesh, valid_rows=h
+        )
+        single = analyze_image(jnp.asarray(img), kinds=("NDWI",))
+        got = to_analyze_index_dict(res.stats["NDWI"], "NDWI")
+        want = to_analyze_index_dict(single.stats["NDWI"], "NDWI")
+        for k in want:
+            np.testing.assert_allclose(got[k], want[k], rtol=0, atol=1e-6)
