@@ -63,6 +63,19 @@ def cmd_report(args) -> int:
     print("\nNDVI Analysis Summary:")
     for key, value in stats.items():
         print(f"{key}: {value:.4f}")
+    if getattr(args, "show", False):
+        # Display-mode analogue of the reference's plt.show()
+        # (process-ndvi.py:44-46): open the written visualization with
+        # the platform viewer. No-op failure on headless hosts.
+        from pathlib import Path
+
+        from PIL import Image
+
+        viz = Path(args.output) / "ndvi_visualization.png"
+        try:
+            Image.open(viz).show(title="NDVI Values")
+        except Exception as e:  # noqa: BLE001 - viewing is best-effort
+            print(f"could not display {viz}: {e}", file=sys.stderr)
     return 0
 
 
@@ -361,6 +374,9 @@ def build_parser() -> argparse.ArgumentParser:
     r = sub.add_parser("report", help="single-image NDVI report")
     r.add_argument("image")
     r.add_argument("output")
+    r.add_argument("--show", action="store_true",
+                   help="open the visualization in the platform viewer "
+                        "(process-ndvi.py's plt.show() display mode)")
     r.set_defaults(fn=cmd_report)
 
     g = sub.add_parser(
