@@ -77,6 +77,7 @@ def lookup_block_r(kernel: str, n_pixels: int) -> Optional[int]:
 
 def store_block_r(kernel: str, n_pixels: int, block_r: int) -> None:
     global _CACHE
+    _load()  # merge with what's on disk — never clobber other buckets
     path = cache_path()
     with _LOCK:
         cache = dict(_CACHE or {})

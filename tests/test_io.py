@@ -334,6 +334,13 @@ class TestAutotuneCache:
         # persists across the in-process cache being dropped
         autotune.invalidate_cache()
         assert autotune.lookup_block_r("hist", 512 * 512) == 64
+        # a store from a "fresh process" (no prior lookup) must MERGE
+        # with the file, not clobber other buckets (regression: a tune
+        # run for new sizes wiped previously tuned entries)
+        autotune.invalidate_cache()
+        autotune.store_block_r("fused", 1024 * 1024, 16)
+        assert autotune.lookup_block_r("hist", 512 * 512) == 64
+        assert autotune.lookup_block_r("fused", 1024 * 1024) == 16
 
     def test_auto_block_r_consults_cache(self):
         from rgnir_tpu.kernels.hist import auto_block_r
