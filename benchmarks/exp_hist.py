@@ -67,6 +67,15 @@ def _kernel_variant(img_ref, nvalid_ref, out_ref, *, variant: str):
         if variant.endswith("bf16"):
             oh_hi = jnp.where(hi_eq, jnp.bfloat16(1), jnp.bfloat16(0))
             oh_lo = jnp.where(lo_eq, jnp.bfloat16(1), jnp.bfloat16(0))
+        elif variant.endswith("bf16cast"):
+            # Mosaic rejects i1->bf16 selects (HTTP 500) but accepts an
+            # f32 one-hot recast to bf16; 0/1 are exact in bf16 and the
+            # dot accumulates in f32, so counts stay exact while the
+            # MXU runs at bf16 rate with half the operand traffic.
+            oh_hi = jnp.where(hi_eq, jnp.float32(1), jnp.float32(0)
+                              ).astype(jnp.bfloat16)
+            oh_lo = jnp.where(lo_eq, jnp.float32(1), jnp.float32(0)
+                              ).astype(jnp.bfloat16)
         else:
             oh_hi = jnp.where(hi_eq, jnp.float32(1), jnp.float32(0))
             oh_lo = jnp.where(lo_eq, jnp.float32(1), jnp.float32(0))
