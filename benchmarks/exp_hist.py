@@ -139,7 +139,8 @@ def main() -> None:
         body_for(planar_histograms_pallas), imgs, ns=(10, 60), reps=3
     )}), flush=True)
 
-    for variant in ("base", "base_bf16", "mask256", "mask256_bf16"):
+    for variant in ("base", "base_bf16", "mask256", "mask256_bf16",
+                    "mask256_bf16cast"):
         for block_r in (16, 32, 64, 128):
             fn = functools.partial(
                 hist_variant, block_r=block_r, variant=variant

@@ -41,6 +41,11 @@ class DecodedCache:
     ) -> None:
         self.root = Path(root)
         self.max_bytes = int(max_bytes)
+        # Eviction scans the whole directory; amortize it to once per
+        # max_bytes/8 of writes (start "due" so a pre-existing oversize
+        # directory is trimmed on the first put). The cap is soft: the
+        # cache can overshoot by at most that much between scans.
+        self._unevicted_bytes = self.max_bytes
 
     def _entry(self, path: Path) -> Optional[Path]:
         try:
@@ -59,7 +64,10 @@ class DecodedCache:
             arr = np.load(entry)
         except (OSError, ValueError):
             return None
-        os.utime(entry, None)  # LRU touch: eviction is by mtime
+        try:
+            os.utime(entry, None)  # LRU touch: eviction is by mtime
+        except OSError:
+            pass  # concurrently evicted — the loaded array is still good
         return arr
 
     def put(self, path: Union[str, Path], arr: np.ndarray) -> None:
@@ -75,16 +83,19 @@ class DecodedCache:
         except OSError:
             tmp.unlink(missing_ok=True)
             return
-        self._evict()
+        self._unevicted_bytes += arr.nbytes + 128
+        if self._unevicted_bytes >= max(self.max_bytes // 8, 1):
+            self._unevicted_bytes = 0
+            self._evict()
 
     def _evict(self) -> None:
-        try:
-            entries = [
-                (p.stat().st_mtime, p.stat().st_size, p)
-                for p in self.root.glob("*.npy")
-            ]
-        except OSError:
-            return
+        entries = []
+        for p in self.root.glob("*.npy"):
+            try:
+                st = p.stat()
+            except OSError:
+                continue  # concurrent eviction/replacement
+            entries.append((st.st_mtime, st.st_size, p))
         total = sum(size for _, size, _ in entries)
         if total <= self.max_bytes:
             return

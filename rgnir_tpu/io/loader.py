@@ -88,19 +88,20 @@ class BatchLoader:
         the next batch's decode with the caller's device step
         (``ii_decode_batch_rgb`` releases the GIL throughout).
 
-        Files the native prober rejects fall back to the streaming PIL
-        path at the end, preserving per-file continue-on-error.
+        Files the native prober OR decoder rejects fall back to the
+        streaming PIL path at the end (decode_file_fast retries them
+        with PIL — e.g. 16-bit PNGs, exotic color modes), preserving
+        both the image coverage and the per-file continue-on-error of
+        the previous default.
         """
         cfg = self.cfg
         shapes: dict = {}
-        fallback_paths: List[Path] = []
-        fallback_idx: List[int] = []
+        fallback: List[Tuple[int, Path]] = []
         for i, p in enumerate(self.paths):
             try:
                 shapes.setdefault(imgio.probe(p), []).append((i, p))
             except (OSError, RuntimeError):
-                fallback_paths.append(p)
-                fallback_idx.append(i)
+                fallback.append((i, p))
         chunks = [
             (hw, items[s:s + cfg.batch_size])
             for hw, items in shapes.items()
@@ -119,22 +120,21 @@ class BatchLoader:
             for chunk in chunks:
                 nxt = pool.submit(decode_chunk, chunk)
                 if fut is not None:
-                    yield from self._emit_arena(*fut.result())
+                    yield from self._emit_arena(*fut.result(), fallback)
                 fut = nxt
             if fut is not None:
-                yield from self._emit_arena(*fut.result())
-        if fallback_paths:
-            yield from self._iter_streaming(fallback_paths, fallback_idx)
+                yield from self._emit_arena(*fut.result(), fallback)
+        if fallback:
+            fallback.sort()
+            yield from self._iter_streaming(
+                [p for _, p in fallback], [i for i, _ in fallback]
+            )
 
-    def _emit_arena(self, items, arena, status) -> Iterator[LoadedBatch]:
+    def _emit_arena(self, items, arena, status, retry) -> Iterator[LoadedBatch]:
         ok = [j for j, rc in enumerate(status) if rc == 0]
         for j, rc in enumerate(status):
             if rc != 0:
-                i, p = items[j]
-                self.failures.append(LoadFailure(
-                    path=p, index=i,
-                    error=OSError(f"native decode failed (status {rc})"),
-                ))
+                retry.append(items[j])
         if not ok:
             return
         images = arena if len(ok) == len(items) else arena[ok]

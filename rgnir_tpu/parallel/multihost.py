@@ -42,23 +42,50 @@ def initialize(
 ) -> None:
     """Idempotent ``jax.distributed.initialize``.
 
-    On TPU pods all three arguments auto-detect from the environment;
-    single-process runs (tests, one host) skip initialization entirely
-    so the call is safe everywhere. Calling twice is a no-op.
+    On TPU pods all three arguments auto-detect from the environment.
+    Semantics (each verified against jax 0.9.0's actual behavior):
+
+    - already initialized: no-op (probed via the distributed service
+      state, which — unlike ``jax.process_count()`` — does NOT
+      initialize the XLA backend and therefore cannot poison a later
+      real ``initialize`` call),
+    - no arguments and no detectable cluster (plain single host):
+      no-op — single-process runs need no coordination. This includes
+      the XLA backend already being up: argument-less initialize is
+      best-effort, since nothing can be coordinated after backend init
+      anyway,
+    - EXPLICIT arguments that cannot be honored (backend already
+      initialized on a pod, bad address): the jax error propagates;
+      that is a real caller bug.
     """
-    if num_processes is None and coordinator_address is None:
+    explicit = coordinator_address is not None or num_processes is not None
+    try:
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            return  # already initialized
+    except (ImportError, AttributeError):
+        pass  # private layout changed: rely on the error filters below
+    if not explicit:
         try:
-            if jax.process_count() == 1:
-                return  # nothing to coordinate
-        except RuntimeError:
-            pass  # backend not initialized yet: fall through
+            from jax._src import xla_bridge
+
+            if xla_bridge.backends_are_initialized():
+                return  # too late to coordinate; harmless single-host path
+        except (ImportError, AttributeError):
+            pass
     try:
         jax.distributed.initialize(
             coordinator_address, num_processes, process_id, **kwargs
         )
-    except RuntimeError as e:  # already initialized
-        if "already" not in str(e).lower():
+    except ValueError:
+        # "coordinator_address should be defined": auto-detection found
+        # no cluster. With explicit arguments that's a real error.
+        if explicit:
             raise
+    except RuntimeError as e:
+        if "only be called once" not in str(e):
+            raise  # e.g. backend-already-initialized on a pod
 
 
 def padded_height(h: int, mesh: Mesh) -> int:

@@ -86,9 +86,15 @@ class IndexFigureWriter:
     backend-process.py:40-47).
     """
 
+    # Each cached layout holds a live Agg canvas (~4 MB at 10x8@100dpi);
+    # ragged directories could otherwise grow the cache without bound.
+    MAX_LAYOUTS = 8
+
     def __init__(self, compress_level: int = 1):
+        import collections
+
         self.compress_level = compress_level
-        self._state: dict = {}
+        self._state: "collections.OrderedDict" = collections.OrderedDict()
 
     def write(
         self, index_array: np.ndarray, kind: Union[IndexKind, str], path
@@ -110,6 +116,10 @@ class IndexFigureWriter:
             bbox = fig.get_tightbbox(canvas.get_renderer())
             state = (canvas, im, bbox)
             self._state[key] = state
+            if len(self._state) > self.MAX_LAYOUTS:
+                self._state.popitem(last=False)  # evict least-recent
+        else:
+            self._state.move_to_end(key)
         canvas, im, bbox = state
         im.set_data(arr)
         canvas.print_figure(

@@ -77,6 +77,42 @@ class TestBatchLoader:
             assert a[i][0] == s[i][0]
             np.testing.assert_array_equal(a[i][1], s[i][1])
 
+    def test_arena_decode_failure_retries_via_pil(self, tmp_path, rng,
+                                                  monkeypatch):
+        """A file the native batch decoder rejects (but PIL can read)
+        must still be yielded — via the streaming fallback — not
+        recorded as a failure (regression: the arena path used to drop
+        such images the old default handled)."""
+        from rgnir_tpu.native import imgio
+
+        if not imgio.native_available():
+            pytest.skip("native decoder unavailable")
+        arrs = [rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+                for _ in range(3)]
+        paths = [_write(tmp_path / f"r{i}.png", a)
+                 for i, a in enumerate(arrs)]
+
+        real = imgio.decode_batch
+
+        def flaky_batch(batch_paths, shape=None, threads=None):
+            arena, status = real(batch_paths, shape, threads)
+            for j, p in enumerate(batch_paths):
+                if Path(p).name == "r1.png":  # native "can't decode"
+                    status[j] = -2
+                    arena[j] = 0
+            return arena, status
+
+        monkeypatch.setattr(imgio, "decode_batch", flaky_batch)
+        loader = BatchLoader(paths, cfg=LoaderConfig(batch_size=4))
+        out = {}
+        for b in loader:
+            for j, i in enumerate(b.indices):
+                out[i] = b.images[j]
+        assert not loader.failures
+        assert sorted(out) == [0, 1, 2]
+        for i, a in enumerate(arrs):
+            np.testing.assert_array_equal(out[i], a)
+
     def test_decode_cache(self, tmp_path, rng):
         from rgnir_tpu.io.cache import DecodedCache
 

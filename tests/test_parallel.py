@@ -657,7 +657,12 @@ class TestMultihostDataPlane:
         from rgnir_tpu.parallel import initialize_distributed
 
         initialize_distributed()  # must not raise or reconfigure
+        initialize_distributed()  # idempotent
         assert jax.process_count() == 1
+        # explicit arguments that cannot be honored must NOT be
+        # swallowed (here: the XLA backend is already initialized)
+        with pytest.raises((RuntimeError, ValueError)):
+            initialize_distributed("127.0.0.1:1", 1, 0)
 
     def test_band_and_assembly_roundtrip(self, rng):
         from rgnir_tpu.parallel import (
