@@ -5,6 +5,7 @@ Replaces the reference's edit-the-source batch script
 process-rgn.py:71) with one CLI:
 
     python -m rgnir_tpu.cli batch IN OUT --wb --indices NDVI,NDWI
+    python -m rgnir_tpu.cli watch IN OUT --interval 2
     python -m rgnir_tpu.cli report IMAGE OUTDIR
     python -m rgnir_tpu.cli analyze IMAGE --out DIR
     python -m rgnir_tpu.cli mosaic IMAGE --out DIR
@@ -54,6 +55,54 @@ def cmd_batch(args) -> int:
         "failed": [str(p) for p, _ in summary["failed"]],
     }))
     return 1 if summary["failed"] else 0
+
+
+def cmd_watch(args) -> int:
+    """Poll a directory and process new images as they arrive.
+
+    The streaming-session counterpart of ``batch``: each poll runs the
+    batch pipeline with ``resume=True``, whose manifest skips inputs
+    already done, so only newly arrived (or previously failed) files
+    are processed. Producers should move files into the directory
+    atomically (write elsewhere + rename), the standard hot-folder
+    contract. Exits after ``--max-idle`` consecutive empty polls
+    (0 = run until interrupted).
+    """
+    import dataclasses
+    import time
+
+    from rgnir_tpu.config import LoaderConfig
+    from rgnir_tpu.pipeline.batch import batch_process
+
+    cfg = LoaderConfig()
+    if args.decode_cache:
+        cfg = dataclasses.replace(cfg, decode_cache_dir=args.decode_cache)
+    idle = 0
+    total_processed = 0
+    rc = 0
+    while True:
+        summary = batch_process(
+            args.input, args.output,
+            save_wb=args.wb,
+            indices=_parse_indices(args.indices),
+            figures=args.figures,
+            resume=True,
+            loader_cfg=cfg,
+        )
+        total_processed += summary["processed"]
+        if summary["failed"]:
+            rc = 1
+            for p, err in summary["failed"]:
+                logger.error("watch: failed %s: %s", p, err)
+        if summary["processed"] == 0 and not summary["failed"]:
+            idle += 1
+        else:
+            idle = 0
+        if args.max_idle and idle >= args.max_idle:
+            break
+        time.sleep(args.interval)
+    print(json.dumps({"processed": total_processed, "idle_polls": idle}))
+    return rc
 
 
 def cmd_report(args) -> int:
@@ -370,6 +419,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="cache decoded images as .npy under DIR; repeat "
                         "runs over the same inputs skip image decode")
     b.set_defaults(fn=cmd_batch)
+
+    w = sub.add_parser(
+        "watch", help="hot-folder mode: poll a directory, process new "
+                      "images as they arrive (resumable manifest)"
+    )
+    w.add_argument("input")
+    w.add_argument("output")
+    w.add_argument("--wb", action="store_true", help="save white-balanced TIFFs")
+    w.add_argument("--indices", default="NDVI,GNDVI,NDWI")
+    w.add_argument("--figures", action="store_true",
+                   help="matplotlib figure outputs instead of device renders")
+    w.add_argument("--interval", type=float, default=2.0,
+                   help="seconds between polls")
+    w.add_argument("--max-idle", type=int, default=0,
+                   help="exit after N consecutive empty polls (0 = forever)")
+    w.add_argument("--decode-cache", default="", metavar="DIR")
+    w.set_defaults(fn=cmd_watch)
 
     r = sub.add_parser("report", help="single-image NDVI report")
     r.add_argument("image")

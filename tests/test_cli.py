@@ -36,6 +36,35 @@ class TestCli:
         assert (tmp_path / "out" / "NDVI" / "f0_ndvi.png").exists()
         assert (tmp_path / "out" / "white_balanced" / "f0_wb.tif").exists()
 
+    def test_watch_processes_files_arriving_between_polls(
+        self, tmp_path, rng, capsys
+    ):
+        """Hot-folder mode: a file added after the first poll is picked
+        up by a later poll; the manifest prevents reprocessing."""
+        import threading
+        import time
+
+        d = tmp_path / "hot"
+        _write_png(d / "a.png",
+                   rng.integers(0, 256, (24, 24, 3), dtype=np.uint8))
+
+        def add_later():
+            time.sleep(0.35)
+            _write_png(d / "b.png",
+                       rng.integers(0, 256, (24, 24, 3), dtype=np.uint8))
+
+        t = threading.Thread(target=add_later)
+        t.start()
+        rc = main(["watch", str(d), str(tmp_path / "out"),
+                   "--indices", "NDVI", "--interval", "0.15",
+                   "--max-idle", "5"])
+        t.join()
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["processed"] == 2
+        assert (tmp_path / "out" / "NDVI" / "a_ndvi.png").exists()
+        assert (tmp_path / "out" / "NDVI" / "b_ndvi.png").exists()
+
     def test_report(self, image_file, tmp_path, capsys):
         rc = main(["report", str(image_file), str(tmp_path / "rep")])
         assert rc == 0
