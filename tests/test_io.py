@@ -378,6 +378,20 @@ class TestAutotuneCache:
         assert autotune.lookup_block_r("hist", 512 * 512) == 64
         assert autotune.lookup_block_r("fused", 1024 * 1024) == 16
 
+    def test_corrupt_cache_file_falls_back_to_heuristic(self):
+        """Any malformed cache content must read as empty, never crash
+        dispatch (lookup runs on every default-block kernel call)."""
+        from pathlib import Path
+
+        from rgnir_tpu.utils import autotune
+
+        path = Path(autotune.cache_path())
+        path.parent.mkdir(parents=True, exist_ok=True)
+        for bad in ("[1, 2]", '{"k": null}', "not json", '"str"'):
+            path.write_text(bad)
+            autotune.invalidate_cache()
+            assert autotune.lookup_block_r("hist", 512 * 512) is None
+
     def test_auto_block_r_consults_cache(self):
         from rgnir_tpu.kernels.hist import auto_block_r
         from rgnir_tpu.utils import autotune

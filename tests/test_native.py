@@ -13,7 +13,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _producer(name, shape, count):
+def _producer(name, shape, count, finish=False):
     ring = FrameRing.open(name, shape)
     rng = np.random.default_rng(0)
     sent = 0
@@ -24,6 +24,8 @@ def _producer(name, shape, count):
             sent += 1
         else:
             time.sleep(0.0005)
+    if finish:
+        ring.finish()
     ring.close()
 
 
@@ -56,6 +58,26 @@ class TestFrameRing:
                 seen.append(int(frame[0, 0, 0]))
             proc.join(timeout=10)
             assert seen == [i % 256 for i in range(count)]  # in order, no loss
+
+    def test_eof_terminates_unbounded_consumer(self):
+        """finish() after the last push ends a max_frames=None
+        run_from_ring consumer with every frame delivered (the loop
+        previously could never terminate without a frame count)."""
+        from rgnir_tpu.pipeline.streaming import StreamAnalyzer
+
+        shape, count = (8, 8, 3), 7
+        with FrameRing.create("/rgnir_test_ring_eof", shape,
+                              capacity=4) as ring:
+            proc = mp.get_context("spawn").Process(
+                target=_producer,
+                args=("/rgnir_test_ring_eof", shape, count, True),
+            )
+            proc.start()
+            analyzer = StreamAnalyzer(frame_shape=shape[:2],
+                                      kinds=("NDVI",))
+            results = list(analyzer.run_from_ring(ring))  # must terminate
+            proc.join(timeout=10)
+        assert [r.frame_id for r in results] == list(range(count))
 
     def test_shape_mismatch(self):
         with FrameRing.create("/rgnir_test_ring3", (4, 4, 3)) as r:

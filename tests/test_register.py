@@ -201,6 +201,29 @@ class TestLocalRefinement:
         assert f[0, 0, 0] < f[-1, 0, 0]  # monotone ramp recovered
         np.testing.assert_allclose(f[..., 1], 2.0, atol=0.75)
 
+    def test_large_global_shift_border_tiles_clean(self, rng):
+        """A rigid shift larger than the residual clamp: pre-alignment
+        uses reflect indexing, so border tiles see no wrapped content
+        and the recovered field is the global shift EVERYWHERE
+        (regression: jnp.roll pre-alignment contaminated edge tiles)."""
+        from rgnir_tpu.register import align_images_local
+
+        gy, gx = 20, -12
+        s = 32
+        scene = _texture(rng, 128 + 2 * s, 128 + 2 * s)
+        fixed = scene[s:s + 128, s:s + 128]
+        # true mapping: moving[y, x] = fixed[y - gy, x - gx]
+        moving = scene[s - gy:s - gy + 128, s - gx:s - gx + 128]
+        aligned, g, field = align_images_local(
+            jnp.asarray(fixed), jnp.asarray(moving), tile=(32, 32)
+        )
+        # g is the shift to APPLY to moving (scipy convention): the
+        # negative of the content displacement baked in above.
+        assert tuple(np.asarray(g)) == (float(-gy), float(-gx))
+        f = np.asarray(field)
+        np.testing.assert_allclose(f[..., 0], -gy, atol=1.0)
+        np.testing.assert_allclose(f[..., 1], -gx, atol=1.0)
+
     def test_nondivisible_shape(self, rng):
         """Tile grid covers edge-padded remainders; output keeps the
         input shape."""
