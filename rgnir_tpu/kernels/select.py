@@ -38,15 +38,17 @@ def _ceil_to(a: int, b: int) -> int:
 
 
 def _byte_hist_kernel(
-    vals_ref, prefix_ref, out_ref, *, shift: int, n_valid: int, block_r: int
+    vals_ref, prefix_ref, nvalid_ref, out_ref, *, shift: int, block_r: int
 ):
     """Grid: (B, num_row_blocks). vals_ref: (1, block_r, 1024) float32 of
     one batch element (row-major flattened values; width 1024 mirrors
     the fused kernel's proven reshape-to-(1,n) layout). The
     order-preserving uint32 key is built HERE (~4 VPU ops) rather than
     materialized by a separate XLA pass — saves one full read+write of
-    the data before the rounds. Padding is masked positionally, so the
-    pad fill value is irrelevant. out_ref: (1, 16, 16) f32 accumulated."""
+    the data before the rounds. Padding is masked positionally against
+    the SMEM ``nvalid_ref`` scalar (traced — per-shard dynamic row
+    counts cost no recompiles), so the pad fill value is irrelevant.
+    out_ref: (1, 16, 16) f32 accumulated."""
     bi = pl.program_id(0)
     step = pl.program_id(1)
     _, br, wc = vals_ref.shape
@@ -66,7 +68,7 @@ def _byte_hist_kernel(
         + jax.lax.broadcasted_iota(jnp.int32, (br, wc), 1)
         + step * n
     )
-    in_bounds = pos < n_valid
+    in_bounds = pos < nvalid_ref[0]
     if shift < 24:
         sh_hi = jnp.uint32(shift + 8)
         active = in_bounds & ((keys >> sh_hi) == (prefix >> sh_hi))
@@ -92,21 +94,22 @@ def _byte_hist_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("shift", "n_valid", "block_r", "interpret")
+    jax.jit, static_argnames=("shift", "block_r", "interpret")
 )
 def _byte_hist(
     vals: jax.Array,    # (B, R, 1024) float32
     prefix: jax.Array,  # (B,) uint32
     shift: int,
-    n_valid: int,
+    n_valid,            # int or traced int32 scalar (SMEM; no recompiles)
     block_r: int,
     interpret: bool,
 ) -> jax.Array:
     b, r, _ = vals.shape
     grid = (b, _cdiv(r, block_r))
+    nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
     out = pl.pallas_call(
         functools.partial(
-            _byte_hist_kernel, shift=shift, n_valid=n_valid, block_r=block_r
+            _byte_hist_kernel, shift=shift, block_r=block_r
         ),
         grid=grid,
         in_specs=[
@@ -114,12 +117,14 @@ def _byte_hist(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b,), lambda bi, i: (0,),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda bi, i: (0,),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 16, 16), lambda bi, i: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 16, 16), jnp.float32),
         interpret=interpret,
-    )(vals, prefix)
+    )(vals, prefix, nv)
     return out.reshape(b, 256).astype(jnp.int32)
 
 
@@ -234,3 +239,74 @@ def masked_median_pallas(
     )
     hi = jnp.where(eq_minus_rank >= 2, lo, nxt)
     return ((lo + hi) * 0.5).reshape(batch)
+
+
+def masked_median_pallas_sharded(
+    vals: jax.Array,
+    n_valid_global: int,
+    n_live: jax.Array,
+    axis_name,
+    block_r=None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Distributed exact median with Pallas per-round byte histograms.
+
+    The shard_map production path: each round runs the VMEM-key byte
+    histogram kernel on the local shard and ``psum``s its 256 ints over
+    ``axis_name`` — identical communication to the jnp distributed
+    radix (ops.select.masked_median) but ~3x less local work (no key
+    materialization, mask folded into the compared value; measured
+    7.9 ms -> Pallas-path cost on a 4096^2 shard body, config 6).
+
+    Validity is positional: the first ``n_live`` elements of the
+    row-major flattened local shard are real (mosaic row-block padding
+    — full-width shards only; 2-D column padding is not a flat prefix
+    and keeps the jnp masked path).
+
+    Args:
+      vals: local shard, any shape (reduced in full), float32.
+      n_valid_global: static global count of valid elements.
+      n_live: traced local count of valid leading elements.
+      axis_name: mesh axis name (or tuple) to reduce over.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n_local = 1
+    for d in vals.shape:
+        n_local *= d
+    if block_r is None:
+        block_r = auto_block_r(n_local, kernel="select")
+    flat = vals.reshape(1, n_local).astype(jnp.float32)
+    rows = _pack_rows(flat, block_r)
+    nv = jnp.asarray(n_live, jnp.int32)
+
+    prefix = jnp.zeros((1,), jnp.uint32)
+    rk = jnp.full((1,), (n_valid_global - 1) // 2, jnp.int32)
+    eq_minus_rank = None
+    for shift in (24, 16, 8, 0):
+        hist = _byte_hist(rows, prefix, shift, nv, block_r, interpret)
+        hist = jax.lax.psum(hist, axis_name)  # (1, 256) global counts
+        cdf = jnp.cumsum(hist, axis=-1)
+        sel = jnp.sum((cdf <= rk[:, None]).astype(jnp.int32), axis=-1)
+        below = jnp.take_along_axis(
+            cdf, jnp.maximum(sel - 1, 0)[:, None], axis=-1
+        )[:, 0]
+        below = jnp.where(sel > 0, below, 0)
+        in_bin = jnp.take_along_axis(
+            cdf, jnp.minimum(sel, 255)[:, None], axis=-1
+        )[:, 0] - below
+        rk = rk - below
+        prefix = prefix | (sel.astype(jnp.uint32) << jnp.uint32(shift))
+        eq_minus_rank = in_bin - rk
+    lo = f32_from_ordered_u32(prefix)[0]
+    if n_valid_global % 2 == 1:
+        return lo
+    # Even n: global successor of lo — local masked min of values
+    # strictly greater, then pmin (float order == key order, non-NaN).
+    pos_valid = jnp.arange(n_local, dtype=jnp.int32) < nv
+    nxt = jnp.min(
+        jnp.where((flat[0] > lo) & pos_valid, flat[0], jnp.inf)
+    )
+    nxt = jax.lax.pmin(nxt, axis_name)
+    hi = jnp.where(eq_minus_rank[0] >= 2, lo, nxt)
+    return (lo + hi) * 0.5

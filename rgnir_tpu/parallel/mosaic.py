@@ -182,13 +182,15 @@ def _analyze_mosaic_kernel(
 ):
     """Kernel-backed shard body: Pallas fused histogram + analyze kernels
     per shard, exact global reductions between them. Medians use the
-    distributed jnp radix-select (psum per round) — the byte histograms
-    there are cheap relative to the fused pass."""
+    distributed PALLAS radix-select (per-round VMEM-key byte histogram,
+    one psum of 256 ints per round) — measured ~3x cheaper than the jnp
+    distributed radix, which dominated this shard body (7.9 of 10.4 ms
+    on a 4096^2 single-chip mesh, benchmark config 6)."""
     from rgnir_tpu.kernels.fused import (
         S_ABOVE, S_HIST, S_MAX, S_MIN, S_SUM, fused_analyze_pallas,
     )
     from rgnir_tpu.kernels.hist import planar_histograms_pallas
-    from rgnir_tpu.parallel.reduce import masked_median
+    from rgnir_tpu.kernels.select import masked_median_pallas_sharded
 
     n_valid = h * w
 
@@ -228,8 +230,10 @@ def _analyze_mosaic_kernel(
             var = jax.lax.psum(
                 jnp.sum(jnp.square(idx[k] - mean) * mf), axis
             ) / n_valid
-            med = masked_median(
-                idx[k], n_valid, mask=mask, axis_name=axis, reduce_ndim=2
+            # Row-block padding is a flat prefix of the full-width
+            # shard, exactly what the sharded Pallas select masks.
+            med = masked_median_pallas_sharded(
+                idx[k], n_valid, n_live, axis
             )
             indices[kind.value] = idx[k]
             if with_renders:

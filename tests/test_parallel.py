@@ -648,6 +648,40 @@ class TestShardedChangeDetection2D:
         assert abs(float(res.stats.median)) < 1e-6
 
 
+class TestShardedPallasMedian:
+    """Distributed Pallas radix-select (kernels.select
+    .masked_median_pallas_sharded) vs numpy on the virtual mesh."""
+
+    @pytest.mark.parametrize("h", [56, 49])  # even/odd valid rows
+    def test_matches_numpy(self, rng, h):
+        from jax.sharding import PartitionSpec as P
+
+        from rgnir_tpu.kernels.select import masked_median_pallas_sharded
+
+        mesh = local_mesh("d")
+        n_dev = mesh.devices.size
+        w = 64
+        hp = ((h + n_dev - 1) // n_dev) * n_dev
+        vals = rng.normal(size=(h, w)).astype(np.float32)
+        padded = np.zeros((hp, w), np.float32)
+        padded[:h] = vals
+        bh = hp // n_dev
+        n_valid = h * w
+
+        def shard_fn(tile):
+            row0 = jax.lax.axis_index("d") * bh
+            rows_live = jnp.clip(h - row0, 0, bh)
+            return masked_median_pallas_sharded(
+                tile, n_valid, rows_live * w, "d"
+            )
+
+        med = jax.jit(jax.shard_map(
+            shard_fn, mesh=mesh, in_specs=P("d"), out_specs=P(),
+            check_vma=False,
+        ))(jnp.asarray(padded))
+        assert float(med) == float(np.median(vals))
+
+
 class TestMultihostDataPlane:
     """Single-process exercise of the multi-host shard feeding path —
     the same per-process code a pod runs (process_count 1 here, so the
