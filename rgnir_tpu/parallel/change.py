@@ -325,9 +325,18 @@ def change_detection_mosaic(
         ) / n_valid
         mn = jax.lax.pmin(jnp.min(jnp.where(mask, diff, jnp.inf)), axes)
         mx = jax.lax.pmax(jnp.max(jnp.where(mask, diff, -jnp.inf)), axes)
-        med = masked_median(
-            diff, n_valid, mask=mask, axis_name=axes, reduce_ndim=2
-        )
+        if dc == 1:
+            # Full-width shards: validity is a flat row prefix, which
+            # the distributed Pallas radix-select masks directly —
+            # ~3x cheaper than the jnp masked radix (see mosaic.py).
+            from rgnir_tpu.kernels.select import masked_median_pallas_sharded
+
+            n_live = jnp.clip(h - row0, 0, bh) * w
+            med = masked_median_pallas_sharded(diff, n_valid, n_live, axes)
+        else:
+            med = masked_median(
+                diff, n_valid, mask=mask, axis_name=axes, reduce_ndim=2
+            )
         stats = DiffStats(
             mean=mean, std=jnp.sqrt(var), min=mn, max=mx, median=med,
             n=jnp.int32(n_valid),
