@@ -13,5 +13,16 @@ parity test; ``use_pallas()`` gates dispatch (interpret mode on CPU).
 
 from rgnir_tpu.kernels.hist import planar_histograms_pallas
 from rgnir_tpu.kernels.fused import fused_analyze_pallas
+from rgnir_tpu.kernels.select import (
+    masked_median_pallas,
+    masked_median_pallas_sharded,
+    radix_order_statistic_pallas,
+)
 
-__all__ = ["planar_histograms_pallas", "fused_analyze_pallas"]
+__all__ = [
+    "planar_histograms_pallas",
+    "fused_analyze_pallas",
+    "masked_median_pallas",
+    "masked_median_pallas_sharded",
+    "radix_order_statistic_pallas",
+]
