@@ -38,7 +38,8 @@ def _ceil_to(a: int, b: int) -> int:
 
 
 def _byte_hist_kernel(
-    vals_ref, prefix_ref, nvalid_ref, out_ref, *, shift: int, block_r: int
+    vals_ref, prefix_ref, nvalid_ref, out_ref, *, shift: int, block_r: int,
+    row_major_cols: Optional[int] = None,
 ):
     """Grid: (B, num_row_blocks). vals_ref: (1, block_r, 1024) float32 of
     one batch element (row-major flattened values; width 1024 mirrors
@@ -68,7 +69,15 @@ def _byte_hist_kernel(
         + jax.lax.broadcasted_iota(jnp.int32, (br, wc), 1)
         + step * n
     )
-    in_bounds = pos < nvalid_ref[0]
+    if row_major_cols is None:
+        in_bounds = pos < nvalid_ref[0]
+    else:
+        # 2-D shard validity: ``pos`` indexes the row-major flattened
+        # (bh, bw) block; the static column divisor lowers to a
+        # multiply-shift. nvalid_ref = [rows_live, cols_live].
+        row = pos // row_major_cols
+        col = pos - row * row_major_cols
+        in_bounds = (row < nvalid_ref[0]) & (col < nvalid_ref[1])
     if shift < 24:
         sh_hi = jnp.uint32(shift + 8)
         active = in_bounds & ((keys >> sh_hi) == (prefix >> sh_hi))
@@ -94,22 +103,25 @@ def _byte_hist_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("shift", "block_r", "interpret")
+    jax.jit,
+    static_argnames=("shift", "block_r", "interpret", "row_major_cols"),
 )
 def _byte_hist(
     vals: jax.Array,    # (B, R, 1024) float32
     prefix: jax.Array,  # (B,) uint32
     shift: int,
-    n_valid,            # int or traced int32 scalar (SMEM; no recompiles)
+    n_valid,            # int / traced scalar, or [rows_live, cols_live]
     block_r: int,
     interpret: bool,
+    row_major_cols: Optional[int] = None,
 ) -> jax.Array:
     b, r, _ = vals.shape
     grid = (b, _cdiv(r, block_r))
-    nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
+    nv = jnp.asarray(n_valid, jnp.int32).reshape(-1)
     out = pl.pallas_call(
         functools.partial(
-            _byte_hist_kernel, shift=shift, block_r=block_r
+            _byte_hist_kernel, shift=shift, block_r=block_r,
+            row_major_cols=row_major_cols,
         ),
         grid=grid,
         in_specs=[
@@ -117,7 +129,7 @@ def _byte_hist(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b,), lambda bi, i: (0,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda bi, i: (0,),
+            pl.BlockSpec((int(nv.shape[0]),), lambda bi, i: (0,),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 16, 16), lambda bi, i: (bi, 0, 0),
@@ -244,10 +256,11 @@ def masked_median_pallas(
 def masked_median_pallas_sharded(
     vals: jax.Array,
     n_valid_global: int,
-    n_live: jax.Array,
+    n_live: Optional[jax.Array],
     axis_name,
     block_r=None,
     interpret: Optional[bool] = None,
+    live_rc: Optional[tuple] = None,
 ) -> jax.Array:
     """Distributed exact median with Pallas per-round byte histograms.
 
@@ -258,16 +271,25 @@ def masked_median_pallas_sharded(
     materialization, mask folded into the compared value; measured
     7.9 ms -> Pallas-path cost on a 4096^2 shard body, config 6).
 
-    Validity is positional: the first ``n_live`` elements of the
-    row-major flattened local shard are real (mosaic row-block padding
-    — full-width shards only; 2-D column padding is not a flat prefix
-    and keeps the jnp masked path).
+    Validity is positional. Two layouts:
+
+    - prefix (``n_live``): the first ``n_live`` elements of the
+      row-major flattened local shard are real (full-width row-block
+      shards),
+    - rectangular (``live_rc=(rows_live, cols_live)``): the shard is a
+      2-D ``(bh, bw)`` block whose top-left ``rows_live x cols_live``
+      rectangle is real (row AND column padding on 2-D meshes); the
+      kernel recovers (row, col) from the flat position with a static
+      divide by ``bw``.
 
     Args:
       vals: local shard, any shape (reduced in full), float32.
       n_valid_global: static global count of valid elements.
-      n_live: traced local count of valid leading elements.
+      n_live: traced local count of valid leading elements (prefix
+        layout; pass None with ``live_rc``).
       axis_name: mesh axis name (or tuple) to reduce over.
+      live_rc: traced ``(rows_live, cols_live)`` for the rectangular
+        layout; ``vals`` must then be 2-D ``(bh, bw)``.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -278,13 +300,23 @@ def masked_median_pallas_sharded(
         block_r = auto_block_r(n_local, kernel="select")
     flat = vals.reshape(1, n_local).astype(jnp.float32)
     rows = _pack_rows(flat, block_r)
-    nv = jnp.asarray(n_live, jnp.int32)
+    if live_rc is not None:
+        if vals.ndim != 2:
+            raise ValueError("live_rc requires a (bh, bw) 2-D shard")
+        row_major_cols = int(vals.shape[1])
+        nv = jnp.stack(
+            [jnp.asarray(x, jnp.int32) for x in live_rc]
+        )
+    else:
+        row_major_cols = None
+        nv = jnp.asarray(n_live, jnp.int32)
 
     prefix = jnp.zeros((1,), jnp.uint32)
     rk = jnp.full((1,), (n_valid_global - 1) // 2, jnp.int32)
     eq_minus_rank = None
     for shift in (24, 16, 8, 0):
-        hist = _byte_hist(rows, prefix, shift, nv, block_r, interpret)
+        hist = _byte_hist(rows, prefix, shift, nv, block_r, interpret,
+                          row_major_cols=row_major_cols)
         hist = jax.lax.psum(hist, axis_name)  # (1, 256) global counts
         cdf = jnp.cumsum(hist, axis=-1)
         sel = jnp.sum((cdf <= rk[:, None]).astype(jnp.int32), axis=-1)
@@ -303,7 +335,13 @@ def masked_median_pallas_sharded(
         return lo
     # Even n: global successor of lo — local masked min of values
     # strictly greater, then pmin (float order == key order, non-NaN).
-    pos_valid = jnp.arange(n_local, dtype=jnp.int32) < nv
+    pos = jnp.arange(n_local, dtype=jnp.int32)
+    if live_rc is not None:
+        prow = pos // row_major_cols
+        pcol = pos - prow * row_major_cols
+        pos_valid = (prow < nv[0]) & (pcol < nv[1])
+    else:
+        pos_valid = pos < nv
     nxt = jnp.min(
         jnp.where((flat[0] > lo) & pos_valid, flat[0], jnp.inf)
     )

@@ -43,7 +43,6 @@ from rgnir_tpu.ops.indices import BAND_INDICES, index_from_bands
 from rgnir_tpu.ops.wb import apply_white_balance_planar, wb_bounds_from_histogram
 from rgnir_tpu.parallel.halo import exchange_halos
 from rgnir_tpu.parallel.mesh import local_mesh
-from rgnir_tpu.parallel.reduce import masked_median
 from rgnir_tpu.register.phase import luminance, phase_correlation_shift
 from rgnir_tpu.register.warp import _reflect_index
 
@@ -325,17 +324,21 @@ def change_detection_mosaic(
         ) / n_valid
         mn = jax.lax.pmin(jnp.min(jnp.where(mask, diff, jnp.inf)), axes)
         mx = jax.lax.pmax(jnp.max(jnp.where(mask, diff, -jnp.inf)), axes)
-        if dc == 1:
-            # Full-width shards: validity is a flat row prefix, which
-            # the distributed Pallas radix-select masks directly —
-            # ~3x cheaper than the jnp masked radix (see mosaic.py).
-            from rgnir_tpu.kernels.select import masked_median_pallas_sharded
+        # Distributed Pallas radix-select (~3x cheaper than the jnp
+        # masked radix, see mosaic.py): full-width shards mask a flat
+        # row prefix; column-sharded blocks mask the rectangular
+        # rows_live x cols_live region.
+        from rgnir_tpu.kernels.select import masked_median_pallas_sharded
 
+        if dc == 1:
             n_live = jnp.clip(h - row0, 0, bh) * w
             med = masked_median_pallas_sharded(diff, n_valid, n_live, axes)
         else:
-            med = masked_median(
-                diff, n_valid, mask=mask, axis_name=axes, reduce_ndim=2
+            med = masked_median_pallas_sharded(
+                diff, n_valid, None, axes,
+                live_rc=(
+                    jnp.clip(h - row0, 0, bh), jnp.clip(w - col0, 0, bw)
+                ),
             )
         stats = DiffStats(
             mean=mean, std=jnp.sqrt(var), min=mn, max=mx, median=med,

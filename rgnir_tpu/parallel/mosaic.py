@@ -344,15 +344,16 @@ def _analyze_mosaic_kernel_2d(mosaic, kinds, mesh, wb_cfg, idx_cfg,
       - index sum/sumsq/coverage: zero contribution (0 > thresholds is
         false for both 0.2 and 0.0) -> already exact,
       - 50-bin histogram: pad lands in bin 25 ([0, 0.04)) -> subtract,
-      - min/max/median: not linear, computed by masked jnp reductions
-        and the masked distributed radix-select instead.
+      - min/max: not linear, masked jnp reductions; median: the
+        distributed Pallas radix-select with rectangular
+        (rows_live x cols_live) positional validity.
     Bit-identical to the jnp 2-D body by test.
     """
     from rgnir_tpu.kernels.fused import (
         S_ABOVE, S_HIST, S_SUM, fused_analyze_pallas,
     )
     from rgnir_tpu.kernels.hist import planar_histograms_pallas
-    from rgnir_tpu.parallel.reduce import masked_median
+    from rgnir_tpu.kernels.select import masked_median_pallas_sharded
 
     ar, ac = mesh.axis_names
     dr, dc = (int(s) for s in mesh.devices.shape)
@@ -403,8 +404,13 @@ def _analyze_mosaic_kernel_2d(mosaic, kinds, mesh, wb_cfg, idx_cfg,
             mx = jax.lax.pmax(
                 jnp.max(jnp.where(mask, idx[k], -jnp.inf)), axes
             )
-            med = masked_median(
-                idx[k], n_valid, mask=mask, axis_name=axes, reduce_ndim=2
+            # Rectangular validity (rows_live x cols_live top-left
+            # block) — the 2-D layout of the distributed Pallas select.
+            med = masked_median_pallas_sharded(
+                idx[k], n_valid, None, axes,
+                live_rc=(
+                    jnp.clip(h - row0, 0, bh), jnp.clip(w - col0, 0, bw)
+                ),
             )
             indices[kind.value] = idx[k]
             if with_renders:

@@ -681,6 +681,39 @@ class TestShardedPallasMedian:
         ))(jnp.asarray(padded))
         assert float(med) == float(np.median(vals))
 
+    @pytest.mark.parametrize("h,w", [(50, 60), (49, 45)])  # even/odd n
+    def test_rectangular_layout_2d_mesh(self, rng, h, w):
+        """live_rc masking: row AND column padding on a 2-D mesh."""
+        from jax.sharding import PartitionSpec as P
+
+        from rgnir_tpu.kernels.select import masked_median_pallas_sharded
+        from rgnir_tpu.parallel import make_mesh
+
+        mesh = make_mesh((4, 2), ("dr", "dc"))
+        hp = ((h + 3) // 4) * 4
+        wp = ((w + 1) // 2) * 2
+        vals = rng.normal(size=(h, w)).astype(np.float32)
+        padded = np.zeros((hp, wp), np.float32)
+        padded[:h, :w] = vals
+        bh, bw = hp // 4, wp // 2
+        n_valid = h * w
+
+        def shard_fn(tile):
+            row0 = jax.lax.axis_index("dr") * bh
+            col0 = jax.lax.axis_index("dc") * bw
+            return masked_median_pallas_sharded(
+                tile, n_valid, None, ("dr", "dc"),
+                live_rc=(
+                    jnp.clip(h - row0, 0, bh), jnp.clip(w - col0, 0, bw)
+                ),
+            )
+
+        med = jax.jit(jax.shard_map(
+            shard_fn, mesh=mesh, in_specs=P("dr", "dc"), out_specs=P(),
+            check_vma=False,
+        ))(jnp.asarray(padded))
+        assert float(med) == float(np.median(vals))
+
 
 class TestMultihostDataPlane:
     """Single-process exercise of the multi-host shard feeding path —
