@@ -67,6 +67,44 @@ def change_maps(
     return early_index, late_index, diff, shift
 
 
+@functools.partial(jax.jit, static_argnames=("kind", "upsample_factor"))
+def change_series_maps(
+    stack_wb: jax.Array,
+    kind: Union[IndexKind, str],
+    upsample_factor: int = 1,
+):
+    """Consecutive-pair change maps over a whole time series, batched.
+
+    The reference's monitoring flow differences only first vs last
+    (process-images.py:1159); localizing WHEN a change happened needs
+    every consecutive pair. On TPU that is one vmapped pass: for a
+    ``(T, H, W, 3)`` white-balanced stack, all ``T-1`` alignments (FFT
+    phase correlation + bilinear warp), index maps, and differences
+    compute in a single jit — the batch dimension rides the hardware
+    instead of a Python loop (compare process-images.py:885-989 called
+    per pair).
+
+    Returns ``(diffs (T-1, H, W), shifts (T-1, 2), stats)`` where stats
+    is ``{"mean", "std", "min", "max"}`` per pair.
+    """
+    kind = IndexKind.parse(kind)
+
+    def pair(early, late):
+        _, _, diff, shift = change_maps(
+            early, late, kind, upsample_factor=upsample_factor
+        )
+        return diff, shift
+
+    diffs, shifts = jax.vmap(pair)(stack_wb[:-1], stack_wb[1:])
+    stats = {
+        "mean": jnp.mean(diffs, axis=(1, 2)),
+        "std": jnp.std(diffs, axis=(1, 2)),
+        "min": jnp.min(diffs, axis=(1, 2)),
+        "max": jnp.max(diffs, axis=(1, 2)),
+    }
+    return diffs, shifts, stats
+
+
 def change_detection(
     early_wb: np.ndarray,
     late_wb: np.ndarray,

@@ -216,3 +216,31 @@ class TestChangeDetection:
         # aligned late ~= early -> diff near zero in the interior
         assert np.abs(res["diff"][10:-10, 10:-10]).mean() < 0.02
         assert res["figure"] is not None
+
+    def test_change_series_matches_pairwise(self, rng):
+        """The batched consecutive-pair series equals change_maps run
+        pair by pair, and recovers each pair's shift."""
+        import jax.numpy as jnp
+
+        from rgnir_tpu.pipeline.change import change_maps, change_series_maps
+
+        base = np.kron(
+            rng.integers(0, 256, (12, 12, 3), dtype=np.uint8),
+            np.ones((8, 8, 1), dtype=np.uint8),
+        )
+        rolls = [(0, 0), (2, -1), (-3, 4), (1, 2)]
+        stack = np.stack([np.roll(base, r, axis=(0, 1)) for r in rolls])
+        diffs, shifts, stats = change_series_maps(jnp.asarray(stack), "NDVI")
+        assert diffs.shape == (3, 96, 96) and shifts.shape == (3, 2)
+        for t in range(3):
+            want = np.asarray(change_maps(
+                jnp.asarray(stack[t]), jnp.asarray(stack[t + 1]), "NDVI"
+            )[2])
+            np.testing.assert_array_equal(np.asarray(diffs[t]), want)
+        # consecutive relative shifts recovered exactly
+        expect = [
+            (rolls[t][0] - rolls[t + 1][0], rolls[t][1] - rolls[t + 1][1])
+            for t in range(3)
+        ]
+        np.testing.assert_array_equal(np.asarray(shifts), expect)
+        assert np.asarray(stats["std"]).shape == (3,)
