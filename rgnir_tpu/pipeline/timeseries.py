@@ -37,6 +37,10 @@ class TimeSeriesResult:
     figure: Optional[Image.Image]        # error-bar plot (>=2 images)
     change: Optional[dict]               # first-vs-last change_detection()
     wb_arrays: List[np.ndarray]          # corrected arrays, date order
+    # Optional consecutive-pair change series (one vmapped device pass;
+    # see pipeline.change.change_series_maps): {"pairs": [(d0, d1), ..],
+    # "diffs": (T-1, H, W), "shifts": (T-1, 2), "stats": {...}}.
+    series_changes: Optional[dict] = None
 
 
 def time_series_analysis(
@@ -45,6 +49,7 @@ def time_series_analysis(
     max_dim: int = MAX_ANALYSIS_DIM,
     with_figures: bool = True,
     with_change: bool = True,
+    with_series_changes: bool = False,
 ) -> TimeSeriesResult:
     """Analyze a date-ordered sequence of (date, HWC uint8 array).
 
@@ -112,7 +117,25 @@ def time_series_analysis(
             early_label=_label(dates[0]), late_label=_label(dates[-1]),
             with_figure=with_figures,
         )
+    series_changes = None
+    if (
+        with_series_changes
+        and len(arrays) >= 2
+        and len({a.shape for a in wb_arrays}) == 1
+    ):
+        from rgnir_tpu.pipeline.change import change_series_maps
+
+        diffs, shifts, sstats = change_series_maps(
+            jnp.asarray(np.stack(wb_arrays)), kind
+        )
+        series_changes = {
+            "pairs": list(zip(dates[:-1], dates[1:])),
+            "diffs": np.asarray(diffs),
+            "shifts": np.asarray(shifts),
+            "stats": {k: np.asarray(v) for k, v in sstats.items()},
+        }
     return TimeSeriesResult(
         table=table, figure=figure, change=change,
         wb_arrays=[a for a in wb_arrays],
+        series_changes=series_changes,
     )

@@ -200,6 +200,15 @@ class TestTimeSeries:
         assert res.change is not None
         assert res.change["figure"] is not None
         assert res.change["diff"].shape == (48, 48)
+        assert res.series_changes is None  # opt-in
+
+        res2 = time_series_analysis(seq, "NDVI", with_series_changes=True)
+        sc = res2.series_changes
+        assert sc is not None
+        assert sc["diffs"].shape == (2, 48, 48)
+        assert sc["shifts"].shape == (2, 2)
+        assert sc["pairs"] == [(dates[0], dates[1]), (dates[1], dates[2])]
+        assert sc["stats"]["mean"].shape == (2,)
 
 
 class TestChangeDetection:
