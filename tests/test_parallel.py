@@ -681,6 +681,33 @@ class TestShardedPallasMedian:
         ))(jnp.asarray(padded))
         assert float(med) == float(np.median(vals))
 
+    def test_ties_even_n(self, rng):
+        """Duplicated values around the middle ranks exercise the
+        eq_minus_rank tie fast path of the even-n successor."""
+        from jax.sharding import PartitionSpec as P
+
+        from rgnir_tpu.kernels.select import masked_median_pallas_sharded
+
+        mesh = local_mesh("d")
+        n_dev = mesh.devices.size
+        h, w = 8 * n_dev, 16  # no padding; even n
+        vals = rng.choice(
+            [-1.0, -0.25, 0.0, 0.0, 0.25, 1.0], size=(h, w)
+        ).astype(np.float32)
+        bh = h // n_dev
+        n_valid = h * w
+
+        def shard_fn(tile):
+            return masked_median_pallas_sharded(
+                tile, n_valid, jnp.int32(bh * w), "d"
+            )
+
+        med = jax.jit(jax.shard_map(
+            shard_fn, mesh=mesh, in_specs=P("d"), out_specs=P(),
+            check_vma=False,
+        ))(jnp.asarray(vals))
+        assert float(med) == float(np.median(vals))
+
     @pytest.mark.parametrize("h,w", [(50, 60), (49, 45)])  # even/odd n
     def test_rectangular_layout_2d_mesh(self, rng, h, w):
         """live_rc masking: row AND column padding on a 2-D mesh."""
