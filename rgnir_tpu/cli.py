@@ -94,7 +94,11 @@ def cmd_watch(args) -> int:
             rc = 1
             for p, err in summary["failed"]:
                 logger.error("watch: failed %s: %s", p, err)
-        if summary["processed"] == 0 and not summary["failed"]:
+        # A poll with no successes counts as idle even when failures
+        # repeat — otherwise one permanently corrupt file would defeat
+        # --max-idle and spin forever (failures are still retried and
+        # reported on every poll until then).
+        if summary["processed"] == 0:
             idle += 1
         else:
             idle = 0

@@ -65,6 +65,19 @@ class TestCli:
         assert (tmp_path / "out" / "NDVI" / "a_ndvi.png").exists()
         assert (tmp_path / "out" / "NDVI" / "b_ndvi.png").exists()
 
+    def test_watch_bad_file_still_exits_on_max_idle(self, tmp_path, rng,
+                                                    capsys):
+        d = tmp_path / "hot"
+        _write_png(d / "ok.png",
+                   rng.integers(0, 256, (24, 24, 3), dtype=np.uint8))
+        (d / "bad.png").write_bytes(b"not an image")
+        rc = main(["watch", str(d), str(tmp_path / "out"),
+                   "--indices", "NDVI", "--interval", "0.05",
+                   "--max-idle", "2"])
+        assert rc == 1  # failure reported, but the loop terminated
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["processed"] == 1
+
     def test_report(self, image_file, tmp_path, capsys):
         rc = main(["report", str(image_file), str(tmp_path / "rep")])
         assert rc == 0
