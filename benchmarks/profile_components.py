@@ -5,6 +5,13 @@ stages so optimization effort goes where the time actually is:
 hist kernel, fused kernel (with/without renders), median radix-select,
 two-pass variance. Honest slope timing (tools/tpu_microbench).
 
+CAUTION on absolutes: these sequential per-stage measurements have
+been observed up to ~9x above an interleaved chain_time_ab of the
+identical body minutes apart (hist stage 6.1 ms here vs 0.69 ms A/B,
+2026-08-17) — sustained contention drift between stages is not
+corrected by the slope estimator. Trust only the RELATIVE mix within
+one run, and settle any decision with a same-window chain_time_ab.
+
 Usage: python benchmarks/profile_components.py [batch] [size]
 """
 
