@@ -8,6 +8,7 @@ writers overlap encoding with device compute — the device never waits
 on the host at steady state.
 """
 
+from rgnir_tpu.io.cache import DecodedCache
 from rgnir_tpu.io.decode import decode_bytes, decode_file, IMAGE_EXTENSIONS
 from rgnir_tpu.io.loader import BatchLoader, LoadedBatch
 from rgnir_tpu.io.writer import AsyncWriter, encode_png
@@ -15,6 +16,7 @@ from rgnir_tpu.io.writer import AsyncWriter, encode_png
 __all__ = [
     "decode_bytes",
     "decode_file",
+    "DecodedCache",
     "IMAGE_EXTENSIONS",
     "BatchLoader",
     "LoadedBatch",
