@@ -109,6 +109,64 @@ def cmd_watch(args) -> int:
     return rc
 
 
+def cmd_bench(args) -> int:
+    """Quick on-device throughput check of the fused pass.
+
+    Self-contained lite version of the repo's bench.py: chains
+    data-dependent iterations in one ``lax.fori_loop`` and slopes the
+    per-count minima between two iteration counts — robust to dispatch
+    latency and early ``block_until_ready`` returns (remote/tunneled
+    devices). Prints one JSON line.
+    """
+    import time
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from rgnir_tpu.pipeline.dispatch import analyze_image_auto
+
+    batch, size = args.batch, args.size
+    kinds = _parse_indices(args.indices) or ("NDVI",)
+    rng = np.random.default_rng(0)
+    imgs = jax.device_put(jnp.asarray(
+        rng.integers(0, 256, (batch, size, size, 3), dtype=np.uint8)
+    ))
+
+    @jax.jit
+    def run(img, n):
+        def body(i, carry):
+            img, acc = carry
+            res = analyze_image_auto(
+                img, kinds=kinds, with_renders=args.renders
+            )
+            return res.wb, acc + res.stats[kinds[0]].mean
+        return jax.lax.fori_loop(
+            0, jnp.asarray(n, jnp.int32), body, (img, jnp.zeros(batch))
+        )
+
+    ns = (args.iters, args.iters * 6)
+    for n in ns:  # compile + warm both counts
+        np.asarray(run(imgs, n)[1])
+    best = {n: float("inf") for n in ns}
+    for _ in range(max(2, args.reps)):
+        for n in ns:
+            t0 = time.perf_counter()
+            np.asarray(run(imgs, n)[1])
+            best[n] = min(best[n], time.perf_counter() - t0)
+    ms = (best[ns[1]] - best[ns[0]]) / (ns[1] - ns[0]) * 1e3
+    mpix = batch * size * size / 1e6
+    print(json.dumps({
+        "device": str(jax.devices()[0]),
+        "batch": batch, "size": size, "kinds": list(kinds),
+        "renders": bool(args.renders),
+        "ms_per_step": round(ms, 3),
+        "mpix_per_s": round(mpix / ms * 1e3, 1),
+    }))
+    return 0
+
+
 def cmd_report(args) -> int:
     from rgnir_tpu.pipeline.single import generate_ndvi_report
 
@@ -440,6 +498,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="exit after N consecutive empty polls (0 = forever)")
     w.add_argument("--decode-cache", default="", metavar="DIR")
     w.set_defaults(fn=cmd_watch)
+
+    bm = sub.add_parser(
+        "bench", help="on-device throughput check of the fused pass"
+    )
+    bm.add_argument("--batch", type=int, default=8)
+    bm.add_argument("--size", type=int, default=1024)
+    bm.add_argument("--indices", default="NDVI")
+    bm.add_argument("--renders", action="store_true",
+                    help="include colormap renders in the pass")
+    bm.add_argument("--iters", type=int, default=10,
+                    help="base chained-iteration count")
+    bm.add_argument("--reps", type=int, default=4)
+    bm.set_defaults(fn=cmd_bench)
 
     r = sub.add_parser("report", help="single-image NDVI report")
     r.add_argument("image")

@@ -78,6 +78,14 @@ class TestCli:
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["processed"] == 1
 
+    def test_bench_lite(self, capsys):
+        rc = main(["bench", "--batch", "2", "--size", "32",
+                   "--iters", "2", "--reps", "2"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["batch"] == 2 and out["size"] == 32
+        assert out["mpix_per_s"] > 0
+
     def test_report(self, image_file, tmp_path, capsys):
         rc = main(["report", str(image_file), str(tmp_path / "rep")])
         assert rc == 0
