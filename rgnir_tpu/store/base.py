@@ -119,6 +119,14 @@ def prepare_upload(
     16 MB pre-check; decode-validate; if the longest side exceeds
     ``max_dim``, LANCZOS-downscale and re-encode in the original format
     (PNG fallback) and re-hash the resized bytes.
+
+    Deliberate deviation: backends dedupe on the returned (post-resize)
+    hash. The reference checks the PRE-resize hash against stored
+    POST-resize hashes (process-images.py:212-224 vs 252), so
+    re-uploading the same oversized file always misses the check and
+    stores a duplicate, caught only by a later remove_duplicate_images
+    sweep. Hashing one canonical form closes that hole; the stored
+    identity (MD5 of the stored bytes) matches the reference exactly.
     """
     size_mb = len(data) / (1024 * 1024)
     if size_mb > max_mb:

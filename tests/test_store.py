@@ -67,6 +67,22 @@ class TestPrepareUpload:
         with pytest.raises(TooLargeError):
             prepare_upload("x.bin", b"\0" * (17 * 1024 * 1024))
 
+    def test_oversized_reupload_deduped(self, tmp_path, rng):
+        """Re-uploading the same >max_dim file must be rejected — the
+        deliberate fix over the reference, whose pre-resize hash check
+        never matches stored post-resize hashes
+        (process-images.py:212-224 vs 252)."""
+        from rgnir_tpu.store.base import DuplicateImageError
+        from rgnir_tpu.store.fs import FsImageStore
+
+        big = _png_bytes(
+            rng.integers(0, 256, (2500, 900, 3), dtype=np.uint8)
+        )
+        store = FsImageStore(tmp_path / "s")
+        store.save_image("big.png", big)
+        with pytest.raises(DuplicateImageError):
+            store.save_image("big_again.png", big)
+
     def test_garbage_rejected(self):
         with pytest.raises(StoreError):
             prepare_upload("bad.png", b"not an image at all")
