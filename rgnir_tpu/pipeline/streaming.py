@@ -35,7 +35,17 @@ class FrameResult:
 
 
 class StreamAnalyzer:
-    """Fixed-shape streaming analyzer with one-deep pipelining."""
+    """Fixed-shape streaming analyzer with one-deep pipelining.
+
+    ``batch`` > 1 groups frames (from one high-rate stream or several
+    multiplexed streams) into a single device dispatch: per-frame
+    1080p passes run ~1.4 GPix/s on a v5e chip, batched passes 2-3x
+    that, so batching directly multiplies the sustainable stream
+    count. Results keep per-frame granularity — each completed batch
+    enqueues one FrameResult per frame (device-array slices; fetch
+    lazily). Latency trades accordingly: a frame waits for its batch
+    to fill, so keep ``batch`` <= streams x fps x latency-budget.
+    """
 
     def __init__(
         self,
@@ -43,29 +53,48 @@ class StreamAnalyzer:
         kinds: Sequence[Union[IndexKind, str]] = ALL_INDICES,
         with_renders: bool = False,
         depth: int = 2,
+        batch: int = 1,
     ):
         self.kinds = tuple(IndexKind.parse(k).value for k in kinds)
         self.with_renders = with_renders
         self.frame_shape = frame_shape
         self.depth = depth
+        self.batch = max(1, int(batch))
+        self._staged: list = []
         self._inflight: Deque[FrameResult] = collections.deque()
         self._next_id = 0
 
-        def step(frame):
+        def step(frames):
             from rgnir_tpu.pipeline.dispatch import analyze_image_auto
 
             res = analyze_image_auto(
-                frame, kinds=self.kinds, with_renders=with_renders
+                frames, kinds=self.kinds, with_renders=with_renders
             )
             return res.stats, res.renders
 
         self._step = step
 
     def warmup(self) -> None:
-        """Compile once on a dummy frame so the first real frame is fast."""
-        dummy = jnp.zeros(self.frame_shape + (3,), jnp.uint8)
+        """Compile once on a dummy batch so the first real frame is fast."""
+        dummy = jnp.zeros((self.batch,) + self.frame_shape + (3,), jnp.uint8)
         stats, renders = self._step(dummy)
         jax.block_until_ready(stats)
+
+    def _dispatch_staged(self) -> None:
+        block = jnp.asarray(np.stack(self._staged))
+        self._staged.clear()
+        stats, renders = self._step(block)
+        b = block.shape[0]
+        for j in range(b):
+            stats_j = jax.tree.map(lambda a, j=j: a[j], stats)
+            renders_j = (
+                {k: v[j] for k, v in renders.items()}
+                if self.with_renders else None
+            )
+            self._inflight.append(
+                FrameResult(self._next_id, stats_j, renders_j)
+            )
+            self._next_id += 1
 
     def submit(self, frame: np.ndarray) -> Optional[FrameResult]:
         """Enqueue a frame; returns the oldest completed result once the
@@ -74,17 +103,28 @@ class StreamAnalyzer:
             raise ValueError(
                 f"frame shape {frame.shape} != {self.frame_shape + (3,)}"
             )
-        stats, renders = self._step(jnp.asarray(frame))
-        self._inflight.append(
-            FrameResult(self._next_id, stats, renders if self.with_renders else None)
-        )
-        self._next_id += 1
-        if len(self._inflight) > self.depth:
+        self._staged.append(np.asarray(frame))
+        if len(self._staged) >= self.batch:
+            self._dispatch_staged()
+        if len(self._inflight) > self.depth * self.batch:
             return self._inflight.popleft()
         return None
 
     def drain(self):
-        """Yield all remaining in-flight results."""
+        """Flush any partial batch, then yield all remaining results."""
+        if self._staged:
+            # Pad the tail batch to the compiled shape with zero frames
+            # (their results are dropped) so no new executable compiles.
+            real = len(self._staged)
+            while len(self._staged) < self.batch:
+                self._staged.append(
+                    np.zeros(self.frame_shape + (3,), np.uint8)
+                )
+            drop_after = self._next_id + real
+            self._dispatch_staged()
+            self._next_id = drop_after
+            while self._inflight and self._inflight[-1].frame_id >= drop_after:
+                self._inflight.pop()
         while self._inflight:
             yield self._inflight.popleft()
 

@@ -229,6 +229,33 @@ class TestStreaming:
         m = float(results[0].stats["NDVI"].mean)
         assert -1.0 <= m <= 1.0
 
+    def test_batched_stream_matches_single(self, rng):
+        """batch=2 produces per-frame results identical to batch=1 for
+        the same frames, including the padded tail flush (5 frames)."""
+        from rgnir_tpu.pipeline.streaming import StreamAnalyzer
+
+        frames = [rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+                  for _ in range(5)]
+
+        def run(batch):
+            an = StreamAnalyzer(frame_shape=(32, 48), kinds=("NDVI",),
+                                depth=1, batch=batch)
+            out = []
+            for f in frames:
+                r = an.submit(f)
+                if r is not None:
+                    out.append(r)
+            out.extend(an.drain())
+            return out
+
+        one, two = run(1), run(2)
+        assert [r.frame_id for r in one] == [r.frame_id for r in two] \
+            == list(range(5))
+        for a, b in zip(one, two):
+            assert float(a.stats["NDVI"].mean) == float(b.stats["NDVI"].mean)
+            assert float(a.stats["NDVI"].median) == \
+                float(b.stats["NDVI"].median)
+
     def test_shape_mismatch_raises(self, rng):
         from rgnir_tpu.pipeline.streaming import StreamAnalyzer
 
