@@ -139,6 +139,10 @@ def gallery_section(store) -> list:
             if st.button("Remove", key=f"rm_{rec.image_id}"):
                 store.remove_image(rec.image_id)
                 st.session_state.pop(cache_key, None)
+                if rec.image_id in selected:
+                    # A stale selection would crash the comparison flow
+                    # on the next load of the removed id.
+                    selected.remove(rec.image_id)
                 st.rerun()
     return selected
 

@@ -43,8 +43,9 @@ class AsyncWriter:
         self.pending: List[Tuple[Path, Future]] = []
 
     def submit_array(self, path: Union[str, Path], array: np.ndarray) -> None:
-        # Copy now: the caller may reuse/donate the buffer.
-        arr = np.asarray(array)
+        # Copy now: the caller may reuse/donate the buffer before the
+        # pool thread encodes it (np.asarray alone would alias it).
+        arr = np.array(array, copy=True)
         self.pending.append(
             (Path(path), self.pool.submit(_write_array, Path(path), arr))
         )

@@ -148,10 +148,10 @@ def percentiles_from_histogram(
         virtual index ``q/100 * (n-1)`` is computed at trace time in
         float64 (on-device float32 would corrupt the fractional part
         for large n).
-      n: static total count. If ``None``, taken from ``sum(hist)`` —
-        only valid when there is no masking and the count is uniform
-        across leading dims; pass it explicitly for masked/dynamic
-        cases... it must still be a Python int.
+      n: static total count — REQUIRED, and must be a Python int. It
+        cannot be derived from ``sum(hist)`` here because the virtual
+        index must be computed at trace time in float64, and ``hist``
+        is a traced array.
 
     Returns:
       ``(..., len(qs))`` float32 percentile values (level units).

@@ -142,10 +142,12 @@ def prepare_upload(
     fmt = img.format or "PNG"
     w, h = img.size
     if max(w, h) > max_dim:
+        # max(1, ...): extreme panoramic strips (e.g. 5000x1) would
+        # otherwise round the short side to zero and crash resize.
         if w >= h:
-            new_w, new_h = max_dim, int(h * (max_dim / w))
+            new_w, new_h = max_dim, max(1, int(h * (max_dim / w)))
         else:
-            new_h, new_w = max_dim, int(w * (max_dim / h))
+            new_h, new_w = max_dim, max(1, int(w * (max_dim / h)))
         img = img.resize((new_w, new_h), Image.Resampling.LANCZOS)
         buf = io.BytesIO()
         try:

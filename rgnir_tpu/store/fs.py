@@ -139,7 +139,12 @@ class FsImageStore(ImageStore):
     def _all_sites(self) -> List[SiteRecord]:
         sites = []
         for p in sorted((self.root / "sites").glob("*.json")):
-            sites.append(SiteRecord.from_dict(json.loads(p.read_text())))
+            try:
+                sites.append(SiteRecord.from_dict(json.loads(p.read_text())))
+            except (OSError, ValueError, KeyError, TypeError):
+                # One corrupt site file must not brick every site
+                # operation — same continue-on-error as _all_records.
+                continue
         return sites
 
     def _write_site(self, site: SiteRecord) -> None:

@@ -110,13 +110,16 @@ class MongoImageStore(ImageStore):
     def load_image(
         self, image_id: str, thumbnail: bool = False
     ) -> Tuple[ImageRecord, Image.Image]:
-        oid = ObjectId(image_id)
+        oid = self._oid(image_id)
         # Two-phase fetch as in the reference (process-images.py:160-179):
         # metadata projection first, then the binary payload.
         meta_doc = self.images.find_one({"_id": oid}, {"metadata": 1})
         if meta_doc is None:
             raise StoreError(f"No image with id {image_id}")
         data_doc = self.images.find_one({"_id": oid}, {"image_data": 1})
+        if data_doc is None or "image_data" not in data_doc:
+            # Concurrently deleted between the two fetches.
+            raise StoreError(f"No image data for id {image_id}")
         img = Image.open(io.BytesIO(data_doc["image_data"]))
         img.load()
         if thumbnail:
@@ -135,14 +138,29 @@ class MongoImageStore(ImageStore):
         )
         return [_rec_from_doc(d) for d in cursor], total
 
+    @staticmethod
+    def _oid(value: str) -> ObjectId:
+        """Parse an id, mapping malformed input into the StoreError
+        taxonomy callers handle (bson raises InvalidId otherwise)."""
+        try:
+            return ObjectId(value)
+        except Exception as e:  # bson.errors.InvalidId and kin
+            raise StoreError(f"Invalid image/site id {value!r}") from e
+
     def remove_image(self, image_id: str) -> bool:
-        result = self.images.delete_one({"_id": ObjectId(image_id)})
+        result = self.images.delete_one({"_id": self._oid(image_id)})
         return result.deleted_count > 0
 
     def remove_duplicates(self) -> int:
-        # Aggregation-group by hash, keep first inserted, delete the rest
-        # (process-images.py:63-96).
+        # Aggregation-group by hash, keep the EARLIEST upload, delete
+        # the rest (process-images.py:63-96). The explicit $sort makes
+        # "first" deterministic — without it $push accumulates in
+        # collection natural order, which MongoDB does not guarantee to
+        # be insertion order, and a later upload (possibly carrying a
+        # site assignment) could survive instead of the original. The
+        # fs backend sorts by upload_date the same way.
         pipeline = [
+            {"$sort": {"metadata.upload_date": 1}},
             {
                 "$group": {
                     "_id": "$metadata.file_hash",
@@ -203,7 +221,7 @@ class MongoImageStore(ImageStore):
 
     def assign_image_to_site(self, image_id: str, site_id: str) -> bool:
         result = self.images.update_one(
-            {"_id": ObjectId(image_id)},
+            {"_id": self._oid(image_id)},
             {
                 "$set": {
                     "metadata.site_id": site_id,
@@ -214,7 +232,7 @@ class MongoImageStore(ImageStore):
         if result.matched_count == 0:
             return False
         self.sites.update_one(
-            {"_id": ObjectId(site_id)},
+            {"_id": self._oid(site_id)},
             {"$set": {"last_updated": _dt.datetime.now()}},
         )
         return True

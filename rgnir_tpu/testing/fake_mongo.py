@@ -5,8 +5,8 @@ which in turn mirrors the reference's MongoDB layer
 (process-images.py:24-396): ``MongoClient`` with pool/timeout kwargs and
 an ``admin.command("ping")`` health check, collections with
 ``insert_one / find_one / find().sort().skip().limit() / delete_one /
-delete_many / count_documents / update_one($set) / aggregate($group,
-$match)``, dotted-path filters, inclusion projections, ``ObjectId`` and
+delete_many / count_documents / update_one($set) / aggregate($sort,
+$group, $match)``, dotted-path filters, inclusion projections, ``ObjectId`` and
 ``Binary``, ``DuplicateKeyError`` (E11000) and ``DocumentTooLarge``
 (the 16 MB document cap, process-images.py:204-209, 267-278).
 
@@ -337,6 +337,12 @@ class Collection:
                 docs = list(groups.values())
             elif op == "$match":
                 docs = [d for d in docs if _matches(d, spec)]
+            elif op == "$sort":
+                for key, direction in reversed(list(spec.items())):
+                    docs.sort(
+                        key=lambda d, k=key: _get_path(d, k),
+                        reverse=direction < 0,
+                    )
             else:
                 raise NotImplementedError(f"fake_mongo stage {op}")
         return iter(docs)

@@ -237,6 +237,18 @@ class TestWriter:
             np.asarray(Image.open(tmp_path / "sub" / "a.png")), arr
         )
 
+    def test_submit_array_copies_before_encode(self, tmp_path, rng):
+        """Mutating the buffer after submit must not corrupt the
+        written file (regression: np.asarray aliased the caller's
+        array)."""
+        arr = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        snapshot = arr.copy()
+        out = tmp_path / "w" / "frame.png"
+        with AsyncWriter(1) as w:
+            w.submit_array(out, arr)
+            arr[:] = 0  # caller reuses the buffer immediately
+        np.testing.assert_array_equal(np.asarray(Image.open(out)), snapshot)
+
     def test_encode_png_roundtrip(self, rng):
         import io as _io
 

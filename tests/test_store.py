@@ -83,6 +83,21 @@ class TestPrepareUpload:
         with pytest.raises(DuplicateImageError):
             store.save_image("big_again.png", big)
 
+    def test_extreme_aspect_ratio_clamped(self, rng):
+        """A 5000x1 strip must downscale to a >=1px short side, not
+        crash resize with a zero dimension."""
+        strip = _png_bytes(rng.integers(0, 256, (1, 5000, 3), dtype=np.uint8))
+        prep = prepare_upload("strip.png", strip, max_dim=2048)
+        assert prep.dimensions == (2048, 1)
+
+    def test_corrupt_site_file_skipped(self, tmp_path, rng):
+        from rgnir_tpu.store.fs import FsImageStore
+
+        store = FsImageStore(tmp_path / "s")
+        store.create_site("Field A")
+        (tmp_path / "s" / "sites" / "junk.json").write_text("{not json")
+        assert [s.name for s in store.list_sites()] == ["Field A"]
+
     def test_garbage_rejected(self):
         with pytest.raises(StoreError):
             prepare_upload("bad.png", b"not an image at all")
@@ -228,6 +243,35 @@ class TestMongoStore:
         assert mstore.remove_duplicates() == 2
         remaining, _ = mstore.list_images(per_page=100)
         assert [r.image_id for r in remaining] == [first.image_id]
+
+    def test_dedupe_keeps_earliest_upload_date(self, mstore, rng):
+        """The $sort stage makes 'first' mean earliest upload_date even
+        when collection order disagrees — the surviving doc is the one
+        that may carry a site assignment."""
+        png = _png_bytes(rng.integers(0, 256, (20, 20, 3), dtype=np.uint8))
+        prep = prepare_upload("a.png", png)
+        now = datetime.datetime.now()
+        # Inserted newest-FIRST in collection order:
+        for i, age_days in enumerate((0, 3, 7)):
+            mstore.images.insert_one({
+                "metadata": {
+                    "filename": f"c{i}.png",
+                    "upload_date": now - datetime.timedelta(days=age_days),
+                    "file_hash": prep.file_hash,
+                    **({"site_id": "site-x"} if age_days == 7 else {}),
+                },
+                "image_data": fake_mongo.Binary(prep.data),
+            })
+        assert mstore.remove_duplicates() == 2
+        remaining, _ = mstore.list_images(per_page=100)
+        assert len(remaining) == 1
+        assert remaining[0].site_id == "site-x"  # oldest survived
+
+    def test_invalid_id_maps_to_store_error(self, mstore):
+        with pytest.raises(StoreError, match="Invalid"):
+            mstore.load_image("not-a-valid-oid")
+        with pytest.raises(StoreError, match="Invalid"):
+            mstore.remove_image("xyz")
 
     def test_duplicate_key_error_translated(self, mstore, png, monkeypatch):
         """A server-side E11000 surfaces as DuplicateImageError
