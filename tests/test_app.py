@@ -135,6 +135,26 @@ class TestComparison:
         assert "NDVI_visualization.png" in names
         assert "NDWI_visualization.png" in names
 
+    def test_remove_selected_then_compare(self, app_env, rng):
+        """Removing a SELECTED image must drop it from the selection;
+        a later comparison must not try to load the deleted id
+        (regression: stale selection crashed with StoreError)."""
+        h, store = app_env
+        h.set("Upload RGNir images", _uploads(rng, 2))
+        h.run()
+        recs, _ = store.list_images()
+        for rec in recs:
+            h.set(f"sel_{rec.image_id}", True)
+        h.set("Upload RGNir images", [])
+        h.run()  # selection registered
+        h.click(f"rm_{recs[0].image_id}")
+        h.run()
+        h.set("Indices", ["NDVI"])
+        h.click("Generate Comparison Analysis")
+        h.run()  # must not raise
+        subheaders = [str(v) for v in h.values("subheader")]
+        assert "NDVI" in subheaders
+
     def test_no_selection_prompts(self, app_env, rng):
         h, _ = app_env
         h.run()
