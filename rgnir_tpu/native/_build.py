@@ -1,0 +1,62 @@
+"""Shared compile-on-first-use loader for the native C++ extensions.
+
+Both extensions (framering, imgio) follow the same lifecycle: rebuild
+with g++ when the source is newer than the cached .so, load via ctypes,
+register the C ABI signatures, memoize the handle (or the first build
+error) under a lock. One implementation here keeps the mtime check,
+compiler invocation, and error capture in a single place.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+from typing import Callable, List, Optional
+
+
+class NativeLib:
+    """Lazily-built ctypes library with memoized load state."""
+
+    def __init__(
+        self,
+        src: Path,
+        so: Path,
+        link_flags: List[str],
+        register: Callable[[ctypes.CDLL], None],
+    ) -> None:
+        self._src = src
+        self._so = so
+        self._link_flags = list(link_flags)
+        self._register = register
+        self._lock = threading.Lock()
+        self._lib: Optional[ctypes.CDLL] = None
+        self._error: Optional[str] = None
+
+    def load(self) -> Optional[ctypes.CDLL]:
+        with self._lock:
+            if self._lib is not None or self._error is not None:
+                return self._lib
+            try:
+                if (
+                    not self._so.exists()
+                    or self._so.stat().st_mtime < self._src.stat().st_mtime
+                ):
+                    subprocess.run(
+                        ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                         str(self._src), "-o", str(self._so),
+                         *self._link_flags],
+                        check=True, capture_output=True, text=True,
+                    )
+                lib = ctypes.CDLL(str(self._so))
+            except (subprocess.CalledProcessError, OSError) as e:
+                self._error = getattr(e, "stderr", None) or str(e)
+                return None
+            self._register(lib)
+            self._lib = lib
+            return lib
+
+    @property
+    def error(self) -> Optional[str]:
+        return self._error

@@ -253,6 +253,12 @@ int ii_decode_batch_rgb(const char** paths, int n, uint8_t* dst, int w,
       int i = next.fetch_add(1, std::memory_order_relaxed);
       if (i >= n) return;
       int rc = ii_decode_rgb(paths[i], dst + frame * i, w, h);
+      if (rc != 0) {
+        // A mid-decode failure (e.g. truncated JPEG longjmp) may have
+        // written partial scanlines; honor the "failed slots are
+        // all-zero" contract so status-blind consumers see no garbage.
+        std::memset(dst + frame * i, 0, frame);
+      }
       status[i] = rc;
       if (rc == 0) ok_count.fetch_add(1, std::memory_order_relaxed);
     }

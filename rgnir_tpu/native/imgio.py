@@ -16,19 +16,14 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
-import threading
 from pathlib import Path
 from typing import List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
+from rgnir_tpu.native._build import NativeLib
+
 _DIR = Path(__file__).resolve().parent
-_SRC = _DIR / "imgio.cpp"
-_SO = _DIR / "_imgio.so"
-_LOCK = threading.Lock()
-_LIB = None
-_BUILD_ERROR: Optional[str] = None
 
 _ERRORS = {
     -1: "open/read failure",
@@ -38,41 +33,33 @@ _ERRORS = {
 }
 
 
+def _register(lib: ctypes.CDLL) -> None:
+    lib.ii_probe.restype = ctypes.c_int
+    lib.ii_probe.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.ii_decode_rgb.restype = ctypes.c_int
+    lib.ii_decode_rgb.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.ii_decode_batch_rgb.restype = ctypes.c_int
+    lib.ii_decode_batch_rgb.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+    ]
+
+
+_NATIVE = NativeLib(
+    _DIR / "imgio.cpp", _DIR / "_imgio.so",
+    ["-ltiff", "-ljpeg", "-lpng", "-lz"], _register,
+)
+
+
 def _load():
-    global _LIB, _BUILD_ERROR
-    with _LOCK:
-        if _LIB is not None or _BUILD_ERROR is not None:
-            return _LIB
-        try:
-            if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-                subprocess.run(
-                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                     str(_SRC), "-o", str(_SO),
-                     "-ltiff", "-ljpeg", "-lpng", "-lz"],
-                    check=True, capture_output=True, text=True,
-                )
-            lib = ctypes.CDLL(str(_SO))
-        except (subprocess.CalledProcessError, OSError) as e:
-            _BUILD_ERROR = getattr(e, "stderr", None) or str(e)
-            return None
-        lib.ii_probe.restype = ctypes.c_int
-        lib.ii_probe.argtypes = [
-            ctypes.c_char_p,
-            ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int),
-        ]
-        lib.ii_decode_rgb.restype = ctypes.c_int
-        lib.ii_decode_rgb.argtypes = [
-            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
-        ]
-        lib.ii_decode_batch_rgb.restype = ctypes.c_int
-        lib.ii_decode_batch_rgb.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_void_p,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int),
-        ]
-        _LIB = lib
-        return _LIB
+    return _NATIVE.load()
 
 
 def native_available() -> bool:
@@ -81,14 +68,14 @@ def native_available() -> bool:
 
 def build_error() -> Optional[str]:
     _load()
-    return _BUILD_ERROR
+    return _NATIVE.error
 
 
 def probe(path: Union[str, Path]) -> Tuple[int, int]:
     """(height, width) of an image without decoding its pixels."""
     lib = _load()
     if lib is None:
-        raise RuntimeError(f"native imgio unavailable: {_BUILD_ERROR}")
+        raise RuntimeError(f"native imgio unavailable: {_NATIVE.error}")
     w = ctypes.c_int(0)
     h = ctypes.c_int(0)
     rc = lib.ii_probe(str(path).encode(), ctypes.byref(w), ctypes.byref(h))
@@ -100,7 +87,7 @@ def probe(path: Union[str, Path]) -> Tuple[int, int]:
 def decode_file(path: Union[str, Path]) -> np.ndarray:
     """Decode one TIFF/JPEG/PNG to an ``(H, W, 3)`` uint8 RGB array."""
     h, w = probe(path)
-    lib = _LIB
+    lib = _load()
     out = np.empty((h, w, 3), dtype=np.uint8)
     rc = lib.ii_decode_rgb(
         str(path).encode(), out.ctypes.data_as(ctypes.c_void_p), w, h
@@ -129,7 +116,7 @@ def decode_batch(
     """
     lib = _load()
     if lib is None:
-        raise RuntimeError(f"native imgio unavailable: {_BUILD_ERROR}")
+        raise RuntimeError(f"native imgio unavailable: {_NATIVE.error}")
     n = len(paths)
     if n == 0:
         raise ValueError("empty batch")

@@ -9,57 +9,44 @@ it by name in the other.
 from __future__ import annotations
 
 import ctypes
-import subprocess
-import threading
 from pathlib import Path
 from typing import Optional, Tuple
 
 import numpy as np
 
+from rgnir_tpu.native._build import NativeLib
+
 _DIR = Path(__file__).resolve().parent
-_SRC = _DIR / "framering.cpp"
-_SO = _DIR / "_framering.so"
-_LOCK = threading.Lock()
-_LIB = None
-_BUILD_ERROR: Optional[str] = None
+
+
+def _register(lib: ctypes.CDLL) -> None:
+    lib.fr_create.restype = ctypes.c_void_p
+    lib.fr_create.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
+                              ctypes.c_uint64]
+    lib.fr_open.restype = ctypes.c_void_p
+    lib.fr_open.argtypes = [ctypes.c_char_p]
+    lib.fr_try_push.restype = ctypes.c_int
+    lib.fr_try_push.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.fr_try_pop.restype = ctypes.c_int
+    lib.fr_try_pop.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    for fn in ("fr_size", "fr_capacity", "fr_frame_bytes"):
+        getattr(lib, fn).restype = ctypes.c_uint64
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.fr_finish.restype = None
+    lib.fr_finish.argtypes = [ctypes.c_void_p]
+    lib.fr_eof.restype = ctypes.c_int
+    lib.fr_eof.argtypes = [ctypes.c_void_p]
+    lib.fr_close.restype = None
+    lib.fr_close.argtypes = [ctypes.c_void_p, ctypes.c_int]
+
+
+_NATIVE = NativeLib(
+    _DIR / "framering.cpp", _DIR / "_framering.so", [], _register
+)
 
 
 def _load():
-    global _LIB, _BUILD_ERROR
-    with _LOCK:
-        if _LIB is not None or _BUILD_ERROR is not None:
-            return _LIB
-        try:
-            if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-                subprocess.run(
-                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                     str(_SRC), "-o", str(_SO)],
-                    check=True, capture_output=True, text=True,
-                )
-            lib = ctypes.CDLL(str(_SO))
-        except (subprocess.CalledProcessError, OSError) as e:
-            _BUILD_ERROR = getattr(e, "stderr", None) or str(e)
-            return None
-        lib.fr_create.restype = ctypes.c_void_p
-        lib.fr_create.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
-                                  ctypes.c_uint64]
-        lib.fr_open.restype = ctypes.c_void_p
-        lib.fr_open.argtypes = [ctypes.c_char_p]
-        lib.fr_try_push.restype = ctypes.c_int
-        lib.fr_try_push.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
-        lib.fr_try_pop.restype = ctypes.c_int
-        lib.fr_try_pop.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
-        for fn in ("fr_size", "fr_capacity", "fr_frame_bytes"):
-            getattr(lib, fn).restype = ctypes.c_uint64
-            getattr(lib, fn).argtypes = [ctypes.c_void_p]
-        lib.fr_finish.restype = None
-        lib.fr_finish.argtypes = [ctypes.c_void_p]
-        lib.fr_eof.restype = ctypes.c_int
-        lib.fr_eof.argtypes = [ctypes.c_void_p]
-        lib.fr_close.restype = None
-        lib.fr_close.argtypes = [ctypes.c_void_p, ctypes.c_int]
-        _LIB = lib
-        return _LIB
+    return _NATIVE.load()
 
 
 def native_available() -> bool:
@@ -81,7 +68,7 @@ class FrameRing:
                capacity: int = 8) -> "FrameRing":
         lib = _load()
         if lib is None:
-            raise RuntimeError(f"native framering unavailable: {_BUILD_ERROR}")
+            raise RuntimeError(f"native framering unavailable: {_NATIVE.error}")
         nbytes = int(np.prod(frame_shape))
         h = lib.fr_create(name.encode(), nbytes, capacity)
         if not h:
@@ -92,7 +79,7 @@ class FrameRing:
     def open(cls, name: str, frame_shape: Tuple[int, ...]) -> "FrameRing":
         lib = _load()
         if lib is None:
-            raise RuntimeError(f"native framering unavailable: {_BUILD_ERROR}")
+            raise RuntimeError(f"native framering unavailable: {_NATIVE.error}")
         h = lib.fr_open(name.encode())
         if not h:
             raise OSError(f"fr_open failed for {name!r}")
@@ -104,7 +91,13 @@ class FrameRing:
 
     # -- operations --------------------------------------------------------
     def try_push(self, frame: np.ndarray) -> bool:
-        frame = np.ascontiguousarray(frame, dtype=np.uint8)
+        frame = np.asarray(frame)
+        if frame.dtype != np.uint8:
+            # A silent value cast (float [0,1] -> 0, int16 300 -> 44)
+            # would feed the consumer corrupted frames; mirror the
+            # shape check and make the producer convert explicitly.
+            raise TypeError(f"frame dtype {frame.dtype} != uint8")
+        frame = np.ascontiguousarray(frame)
         if frame.shape != self.frame_shape:
             raise ValueError(f"{frame.shape} != {self.frame_shape}")
         return bool(self._lib.fr_try_push(

@@ -79,7 +79,8 @@ def analyze_mosaic(
 
     A 2-D mesh (e.g. axes ``("dr", "dc")``) shards rows AND columns —
     the right layout for wide gigapixel strips; reductions psum over
-    both axes (jnp impl only).
+    both axes (both impls; the kernel body uses analytic padding
+    correction plus the rectangular-validity Pallas select).
     """
     if mesh is None:
         mesh = local_mesh()

@@ -23,7 +23,10 @@ def use_kernels() -> bool:
         return True
     if forced == "jnp":
         return False
-    return jax.default_backend() not in ("cpu",)
+    # TPU only: the Pallas kernels are Mosaic programs — on GPU (or any
+    # other backend) they would fail to lower, while the jnp path is
+    # parity-tested and compiles everywhere.
+    return jax.default_backend() == "tpu"
 
 
 def analyze_image_auto(

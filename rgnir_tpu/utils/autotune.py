@@ -5,9 +5,12 @@ heuristic; the sweet spot drifts with device generation and image
 class. This module lets a deployment *measure* the sweet spots once —
 ``rgnir-tpu tune`` or :func:`tune_kernels` — and caches the winners in
 a JSON file keyed by (kernel, log2-pixel bucket, device kind). The
-kernels consult the cache on every dispatch (a dict lookup); an empty
-cache means the heuristic stands, so nothing slows down or changes
-behavior until a user opts in.
+kernels consult the cache at TRACE time (block_r is a static argument
+baked into each compiled executable): new processes and newly-traced
+shapes pick up stored winners; executables already compiled in a
+running process keep the block they were traced with until restart.
+An empty cache means the heuristic stands, so nothing slows down or
+changes behavior until a user opts in.
 
 Tuning uses interleaved A/B slope timing (tools/tpu_microbench — the
 shared-chip contention makes sequential sweeps incomparable), and the
@@ -39,9 +42,10 @@ def cache_path() -> Path:
 
 
 def _device_kind() -> str:
-    # Memoized: lookup_block_r runs on every kernel dispatch (e.g. per
-    # streamed frame), and jax.devices() is not free. The device set
-    # cannot change within a process; invalidate_cache() resets anyway.
+    # Memoized: lookup_block_r runs on every kernel TRACE (and tuning
+    # sweeps call it in a loop), and jax.devices() is not free. The
+    # device set cannot change within a process; invalidate_cache()
+    # resets anyway.
     global _DEVICE_KIND
     if _DEVICE_KIND is None:
         try:

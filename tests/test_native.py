@@ -79,6 +79,12 @@ class TestFrameRing:
             proc.join(timeout=10)
         assert [r.frame_id for r in results] == list(range(count))
 
+    def test_non_uint8_push_rejected(self):
+        with FrameRing.create("/rgnir_test_ring_dt", (4, 4, 3),
+                              capacity=2) as r:
+            with pytest.raises(TypeError, match="uint8"):
+                r.try_push(np.zeros((4, 4, 3), np.float32))
+
     def test_shape_mismatch(self):
         with FrameRing.create("/rgnir_test_ring3", (4, 4, 3)) as r:
             with pytest.raises(ValueError):
