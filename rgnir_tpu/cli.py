@@ -216,7 +216,11 @@ def cmd_analyze(args) -> int:
 
     kinds = _parse_indices(args.indices) or tuple(k.value for k in ALL_INDICES)
     img = decode_file(args.image)
-    res = analyze_image_jit(jnp.asarray(img), kinds=kinds)
+    # Renders only matter when they will be written; the stats-only
+    # invocation skips computing full-res colormaps per kind.
+    res = analyze_image_jit(
+        jnp.asarray(img), kinds=kinds, with_renders=bool(args.out)
+    )
     out = {}
     for kind in kinds:
         out[kind] = to_analyze_index_dict(res.stats[kind], kind)

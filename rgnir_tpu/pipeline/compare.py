@@ -52,7 +52,17 @@ def comparison_analysis(
       kinds: indices to analyze.
     """
     kinds = tuple(IndexKind.parse(k) for k in kinds)
-    names = [name for name, _ in images]
+    # Stats are keyed by filename (reference contract,
+    # process-images.py:765); duplicate basenames (e.g. 2024/field.png
+    # vs 2025/field.png via the CLI) would silently overwrite each
+    # other's stats AND mislabel the figure panels, so repeats get a
+    # disambiguating suffix.
+    names: List[str] = []
+    seen_names: Dict[str, int] = {}
+    for name, _ in images:
+        n = seen_names.get(name, 0) + 1
+        seen_names[name] = n
+        names.append(name if n == 1 else f"{name} ({n})")
     arrays = [
         np.asarray(preprocess_large_image(jnp.asarray(arr), max_dim))
         for _, arr in images

@@ -108,7 +108,14 @@ def time_series_analysis(
         figure = render_time_series_figure(dates, means, mins, maxs, kind)
 
     change = None
-    if with_change and len(arrays) >= 2:
+    if (
+        with_change
+        and len(arrays) >= 2
+        # Mismatched endpoint shapes (e.g. a portrait and a landscape
+        # capture) cannot be aligned; skip the change step rather than
+        # aborting the whole analysis (table + figure stay useful).
+        and wb_arrays[0].shape == wb_arrays[-1].shape
+    ):
         def _label(d) -> str:
             return d.strftime("%Y-%m-%d") if hasattr(d, "strftime") else str(d)
 

@@ -124,15 +124,12 @@ def tune_kernels(
     fused kernel, and the radix-select byte histogram, then stores each
     winner. Returns {cache key: winning block_r}.
     """
-    import sys
-
     import numpy as np
 
     import jax
     import jax.numpy as jnp
 
-    sys.path.insert(0, str(Path(__file__).resolve().parents[2] / "tools"))
-    from tpu_microbench import chain_time_ab
+    from rgnir_tpu.utils.microbench import chain_time_ab
 
     from rgnir_tpu.config import IndexKind
     from rgnir_tpu.kernels.fused import fused_analyze_pallas

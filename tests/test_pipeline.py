@@ -178,6 +178,24 @@ class TestCompare:
         assert res.original_figure is not None
         assert res.index_figures["NDVI"].size[0] > 0
 
+    def test_duplicate_basenames_disambiguated(self, rng):
+        """Two images named field.png (different directories via the
+        CLI) must not overwrite each other's stats."""
+        from rgnir_tpu.pipeline.compare import comparison_analysis
+
+        a = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        b = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        res = comparison_analysis(
+            [("field.png", a), ("field.png", b)],
+            kinds=("NDVI",), with_figures=False,
+        )
+        assert set(res.index_stats["NDVI"]) == {"field.png", "field.png (2)"}
+        wa = golden.golden_analyze_index(
+            golden.golden_index(golden.golden_white_balance(a), "NDVI"),
+            "NDVI")
+        got = res.index_stats["NDVI"]["field.png"]
+        assert got["Mean NDVI"] == pytest.approx(wa["Mean NDVI"], abs=2e-2)
+
 
 class TestTimeSeries:
     def test_table_and_change(self, rng):
@@ -201,6 +219,14 @@ class TestTimeSeries:
         assert res.change["figure"] is not None
         assert res.change["diff"].shape == (48, 48)
         assert res.series_changes is None  # opt-in
+
+        # Mismatched endpoint shapes: the change step is skipped (not
+        # a crash) and the stats table still covers every image.
+        ragged = seq + [(datetime(2025, 9, 1),
+                         rng.integers(40, 200, (32, 48, 3), dtype=np.uint8))]
+        res_r = time_series_analysis(ragged, "NDVI")
+        assert res_r.change is None
+        assert len(res_r.table) == 4
 
         res2 = time_series_analysis(seq, "NDVI", with_series_changes=True)
         sc = res2.series_changes
