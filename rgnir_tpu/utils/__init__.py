@@ -1,7 +1,9 @@
-"""Shared utilities: structured logging, manifests, profiling hooks."""
+"""Shared utilities: structured logging, manifests, profiling hooks,
+honest device timing (microbench), measured kernel autotuning."""
 
 from rgnir_tpu.utils.logging import get_logger, log_image_record
 from rgnir_tpu.utils.manifest import Manifest
+from rgnir_tpu.utils.microbench import chain_time, chain_time_ab
 
 
 def enable_compilation_cache(path: str = "/tmp/rgnir_jax_cache") -> None:
@@ -18,5 +20,7 @@ __all__ = [
     "get_logger",
     "log_image_record",
     "Manifest",
+    "chain_time",
+    "chain_time_ab",
     "enable_compilation_cache",
 ]
