@@ -41,6 +41,8 @@ def cmd_batch(args) -> int:
     cfg = LoaderConfig()
     if args.decode_cache:
         cfg = dataclasses.replace(cfg, decode_cache_dir=args.decode_cache)
+    if args.batch_size:
+        cfg = dataclasses.replace(cfg, batch_size=args.batch_size)
     summary = batch_process(
         args.input, args.output,
         save_wb=args.wb,
@@ -77,6 +79,8 @@ def cmd_watch(args) -> int:
     cfg = LoaderConfig()
     if args.decode_cache:
         cfg = dataclasses.replace(cfg, decode_cache_dir=args.decode_cache)
+    if getattr(args, "batch_size", 0):
+        cfg = dataclasses.replace(cfg, batch_size=args.batch_size)
     idle = 0
     total_processed = 0
     rc = 0
@@ -484,6 +488,10 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--decode-cache", default="", metavar="DIR",
                    help="cache decoded images as .npy under DIR; repeat "
                         "runs over the same inputs skip image decode")
+    b.add_argument("--batch-size", type=int, default=0,
+                   help="device batch size (default 32; smaller batches "
+                        "overlap device compute with figure composition "
+                        "in --figures mode)")
     b.set_defaults(fn=cmd_batch)
 
     w = sub.add_parser(
@@ -501,6 +509,7 @@ def build_parser() -> argparse.ArgumentParser:
     w.add_argument("--max-idle", type=int, default=0,
                    help="exit after N consecutive empty polls (0 = forever)")
     w.add_argument("--decode-cache", default="", metavar="DIR")
+    w.add_argument("--batch-size", type=int, default=0)
     w.set_defaults(fn=cmd_watch)
 
     bm = sub.add_parser(
