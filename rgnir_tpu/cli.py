@@ -113,6 +113,16 @@ def cmd_watch(args) -> int:
     return rc
 
 
+def cmd_selftest(args) -> int:
+    """On-device kernel self-test: compiles every Pallas kernel on the
+    attached device and checks values against the jnp/numpy references
+    at awkward shapes. Run on new device generations or after a jax
+    upgrade (docs/DEPLOYMENT.md)."""
+    from rgnir_tpu.testing.selftest import main as selftest_main
+
+    return selftest_main()
+
+
 def cmd_bench(args) -> int:
     """Quick on-device throughput check of the fused pass.
 
@@ -511,6 +521,12 @@ def build_parser() -> argparse.ArgumentParser:
     w.add_argument("--decode-cache", default="", metavar="DIR")
     w.add_argument("--batch-size", type=int, default=0)
     w.set_defaults(fn=cmd_watch)
+
+    st = sub.add_parser(
+        "selftest", help="compile + parity-check every kernel on the "
+                         "attached device"
+    )
+    st.set_defaults(fn=cmd_selftest)
 
     bm = sub.add_parser(
         "bench", help="on-device throughput check of the fused pass"

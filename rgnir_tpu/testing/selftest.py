@@ -1,0 +1,137 @@
+"""On-device kernel self-test (Mosaic compile + value checks).
+
+Interpret-mode tests passing does NOT prove a kernel compiles under
+real Mosaic (hard-won: int8 one-hots and i1->bf16 selects pass
+interpret and HTTP-500 on the chip). This script drives every Pallas
+kernel on the attached device against its jnp/numpy reference at
+awkward (padded/ragged) shapes and prints one JSON line per check.
+
+Run after ANY kernel edit, on any new device generation, or after a
+jax upgrade:  ``rgnir-tpu selftest``  (or
+``python tools/tpu_parity_probe.py`` from a source checkout). The
+first run on a device recompiles every kernel; the persistent
+compilation cache makes reruns fast.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+FAILURES = []
+
+
+def check(name: str, ok: bool, detail: str = "") -> None:
+    print(json.dumps({"check": name, "ok": bool(ok), "detail": detail}),
+          flush=True)
+    if not ok:
+        FAILURES.append(name)
+
+
+def main() -> int:
+    from rgnir_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache("/tmp/rgnir_bench_cache")
+    FAILURES.clear()
+    rng = np.random.default_rng(7)
+    print(json.dumps({"devices": [str(d) for d in jax.devices()]}),
+          flush=True)
+
+    from rgnir_tpu.kernels import (
+        fused_analyze_pallas,
+        masked_median_pallas,
+        planar_histograms_pallas,
+        radix_order_statistic_pallas,
+    )
+    from rgnir_tpu.ops.histogram import planar_histograms
+    from rgnir_tpu.ops.wb import wb_bounds_from_histogram
+
+    # 1. histogram kernel, unaligned shape
+    img = jnp.asarray(rng.integers(0, 256, (3, 307, 450), dtype=np.uint8))
+    got = np.asarray(planar_histograms_pallas(img))
+    want = np.asarray(planar_histograms(img))
+    check("hist_unaligned", np.array_equal(got, want))
+
+    # 2. fused kernel vs jnp pipeline stats (exact integer outputs)
+    from rgnir_tpu.pipeline.fused import analyze_image
+    from rgnir_tpu.kernels.pipeline import analyze_image_kernel
+
+    hwc = jnp.asarray(rng.integers(0, 256, (301, 517, 3), dtype=np.uint8))
+    rk = analyze_image_kernel(hwc, kinds=("NDVI", "NDWI"))
+    rj = analyze_image(hwc, kinds=("NDVI", "NDWI"))
+    for kind in ("NDVI", "NDWI"):
+        sk, sj = rk.stats[kind], rj.stats[kind]
+        check(
+            f"fused_{kind}",
+            np.array_equal(np.asarray(sk.histogram), np.asarray(sj.histogram))
+            and float(sk.median) == float(sj.median)
+            and abs(float(sk.mean) - float(sj.mean)) < 1e-6
+            and np.array_equal(np.asarray(rk.renders[kind]),
+                               np.asarray(rj.renders[kind])),
+        )
+    check("fused_wb_bytes",
+          np.array_equal(np.asarray(rk.wb), np.asarray(rj.wb)))
+
+    # 3. select kernel: median + arbitrary rank vs numpy
+    x = rng.normal(size=4999).astype(np.float32)
+    check("median_odd",
+          float(masked_median_pallas(jnp.asarray(x), 4999)) ==
+          float(np.median(x)))
+    x2 = rng.choice([-1.0, 0.0, 0.0, 0.5], size=5000).astype(np.float32)
+    check("median_even_ties",
+          float(masked_median_pallas(jnp.asarray(x2), 5000)) ==
+          float(np.median(x2)))
+    r = 1234
+    check("rank_select",
+          float(radix_order_statistic_pallas(jnp.asarray(x), r)) ==
+          float(np.sort(x)[r]))
+
+    # 4. sharded (shard_map) kernel bodies on a 1-device mesh: ragged
+    # rows exercise the traced-SMEM n_live; 2-D exercises the
+    # rectangular-validity select.
+    from rgnir_tpu.parallel import analyze_mosaic
+    from rgnir_tpu.parallel.mesh import local_mesh, make_mesh
+
+    mosaic = jnp.asarray(rng.integers(0, 256, (1027, 1022, 3),
+                                      dtype=np.uint8))
+    mk = analyze_mosaic(mosaic, kinds=("NDVI",), mesh=local_mesh(),
+                        impl="kernel")
+    mj = analyze_mosaic(mosaic, kinds=("NDVI",), mesh=local_mesh(),
+                        impl="jnp")
+    check("mosaic_1d_kernel_vs_jnp",
+          float(mk.stats["NDVI"].median) == float(mj.stats["NDVI"].median)
+          and np.array_equal(np.asarray(mk.stats["NDVI"].histogram),
+                             np.asarray(mj.stats["NDVI"].histogram)))
+    mesh2 = make_mesh((1, 1), ("dr", "dc"))
+    m2k = analyze_mosaic(mosaic, kinds=("NDVI",), mesh=mesh2,
+                         impl="kernel")
+    check("mosaic_2d_kernel_vs_1d",
+          float(m2k.stats["NDVI"].median) == float(mk.stats["NDVI"].median))
+
+    # 5. sharded change detection (Pallas select inside the shard body)
+    from rgnir_tpu.parallel import change_detection_mosaic
+
+    early = np.asarray(mosaic)
+    late = np.roll(early, (4, -3), axis=(0, 1))
+    ch = change_detection_mosaic(
+        jnp.asarray(early), jnp.asarray(late), "NDVI",
+        mesh=local_mesh(), halo=16, proxy_stride=1,
+    )
+    dy, dx = (float(s) for s in np.asarray(ch.shift))
+    check("sharded_change_shift", (dy, dx) == (-4.0, 3.0),
+          f"shift=({dy},{dx})")
+
+    print(json.dumps({
+        "result": "PASS" if not FAILURES else "FAIL",
+        "failures": FAILURES,
+    }), flush=True)
+    return 1 if FAILURES else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
