@@ -7,8 +7,10 @@
 - ``fake_streamlit``: headless ``st`` API shim + AppHarness so the
   Streamlit app (rgnir_tpu.app.streamlit_app) can be driven and
   asserted on without the streamlit package.
+- ``selftest``: the on-device kernel parity sweep behind
+  ``rgnir-tpu selftest``.
 """
 
 from rgnir_tpu.testing import fake_mongo, fake_streamlit
 
-__all__ = ["fake_mongo", "fake_streamlit"]
+__all__ = ["fake_mongo", "fake_streamlit", "selftest"]
