@@ -310,3 +310,24 @@ class TestFusedPipeline:
         np.testing.assert_allclose(
             np.asarray(res.indices["NDVI"]), ref, atol=1.2e-7, rtol=0
         )
+
+
+class TestLutBakeDrift:
+    def test_rebaking_reproduces_committed_luts(self):
+        """The committed _generated_luts must match what _bake produces
+        against the installed matplotlib — catches silent colormap
+        drift across matplotlib versions (the byte-parity contract of
+        ops.colormap depends on these exact tables)."""
+        import importlib
+
+        pytest.importorskip("matplotlib")
+        from rgnir_tpu.color import _bake, _generated_luts
+
+        src = _bake.bake()
+        ns: dict = {}
+        exec(compile(src, "<baked>", "exec"), ns)
+        for name in _bake.CMAPS:
+            np.testing.assert_array_equal(
+                ns["LUTS"][name], _generated_luts.LUTS[name],
+                err_msg=f"LUT drift for {name}",
+            )
