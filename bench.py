@@ -136,7 +136,7 @@ def device_mpix_s(batch: int = 8, size: int = 1024) -> float:
 
 
 def full_config_table() -> list:
-    """The five BASELINE.json configs (quick mode), as JSON records.
+    """The six benchmark configs (quick mode), as JSON records.
 
     A single headline number is contention-sensitive on this shared
     chip; the per-config table keeps the mosaic/stream/survey paths on

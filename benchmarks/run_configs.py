@@ -1,4 +1,5 @@
-"""Benchmark the five BASELINE.json configs on the attached TPU chip.
+"""Benchmark the six configs (five from BASELINE.json + the shard_map
+production path) on the attached TPU chip.
 
 Honest timing via data-dependent chained loops + slope (see
 tools/tpu_microbench.py and .claude/skills/verify/SKILL.md for why naive
@@ -70,7 +71,7 @@ def run_config(name, shape, kinds, renders=True, ns=(20, 120), reps=4):
 
 
 def run_all(quick: bool = False):
-    """Run the five BASELINE configs; returns (records, derived-dict)."""
+    """Run the six configs; returns (records, derived-dict)."""
     RESULTS.clear()
     ns = (10, 60) if quick else (20, 120)
     reps = 3 if quick else 4
