@@ -88,8 +88,22 @@ class DecodedCache:
             self._unevicted_bytes = 0
             self._evict()
 
+    # A .tmp file older than this is an orphan from a crashed writer
+    # (live writers publish within milliseconds); the age gate avoids
+    # racing one that is mid-write.
+    _TMP_ORPHAN_AGE_S = 300.0
+
     def _evict(self) -> None:
+        import time
+
+        now = time.time()
         entries = []
+        for p in self.root.glob("*.tmp*"):
+            try:
+                if now - p.stat().st_mtime > self._TMP_ORPHAN_AGE_S:
+                    p.unlink()
+            except OSError:
+                continue
         for p in self.root.glob("*.npy"):
             try:
                 st = p.stat()

@@ -38,8 +38,10 @@ def decode_file_fast(path: Union[str, Path]) -> np.ndarray:
 
     The native path skips PIL's Image object and mode plumbing and
     releases the GIL for the whole decode; PIL covers whatever it
-    rejects (exotic color modes, off-spec files). Byte-for-byte equal
-    to :func:`decode_file` on RGB/RGBA/gray/palette inputs (tested).
+    rejects (exotic color modes, off-spec files, and ALL non-8-bit
+    inputs — libtiff/libpng rescale 16-bit samples where PIL clamps,
+    so those are rejected natively and decoded by PIL). Byte-for-byte
+    equal to :func:`decode_file` on every input (tested, incl. 16-bit).
     """
     from rgnir_tpu.native import imgio
 

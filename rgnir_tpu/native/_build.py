@@ -10,6 +10,7 @@ compiler invocation, and error capture in a single place.
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
 import threading
 from pathlib import Path
@@ -43,12 +44,21 @@ class NativeLib:
                     not self._so.exists()
                     or self._so.stat().st_mtime < self._src.stat().st_mtime
                 ):
-                    subprocess.run(
-                        ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                         str(self._src), "-o", str(self._so),
-                         *self._link_flags],
-                        check=True, capture_output=True, text=True,
-                    )
+                    # Compile to a per-pid temp path and os.replace() it
+                    # in, so a concurrent process can never dlopen a
+                    # half-written .so (and memoize that as a permanent
+                    # build failure).
+                    tmp = self._so.with_suffix(f".tmp{os.getpid()}.so")
+                    try:
+                        subprocess.run(
+                            ["g++", "-O3", "-std=c++17", "-shared",
+                             "-fPIC", str(self._src), "-o", str(tmp),
+                             *self._link_flags],
+                            check=True, capture_output=True, text=True,
+                        )
+                        os.replace(tmp, self._so)
+                    finally:
+                        tmp.unlink(missing_ok=True)
                 lib = ctypes.CDLL(str(self._so))
             except (subprocess.CalledProcessError, OSError) as e:
                 self._error = getattr(e, "stderr", None) or str(e)

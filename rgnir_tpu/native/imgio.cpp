@@ -67,14 +67,27 @@ struct TiffSilencer {
 };
 TiffSilencer g_tiff_silencer;  // process-wide, set before any TIFFOpen
 
+// Only 8-bit unsigned samples decode identically to PIL here:
+// TIFFReadRGBAImage *rescales* 16-bit samples (and converts floats)
+// while PIL clamps/copies, so anything else must route to the PIL
+// fallback (kErrFormat) rather than silently change pixel values.
+bool tiff_is_8bit_uint(TIFF* tif) {
+  uint16_t bps = 0, fmt = SAMPLEFORMAT_UINT;
+  TIFFGetFieldDefaulted(tif, TIFFTAG_BITSPERSAMPLE, &bps);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_SAMPLEFORMAT, &fmt);
+  return bps == 8 && (fmt == SAMPLEFORMAT_UINT || fmt == SAMPLEFORMAT_VOID);
+}
+
 int tiff_probe(const char* path, int* w, int* h) {
   TIFF* tif = TIFFOpen(path, "r");
   if (!tif) return kErrOpen;
   uint32_t tw = 0, th = 0;
   TIFFGetField(tif, TIFFTAG_IMAGEWIDTH, &tw);
   TIFFGetField(tif, TIFFTAG_IMAGELENGTH, &th);
+  bool ok8 = tiff_is_8bit_uint(tif);
   TIFFClose(tif);
   if (!tw || !th) return kErrDecode;
+  if (!ok8) return kErrFormat;
   *w = static_cast<int>(tw);
   *h = static_cast<int>(th);
   return 0;
@@ -83,6 +96,10 @@ int tiff_probe(const char* path, int* w, int* h) {
 int tiff_decode(const char* path, uint8_t* dst, int w, int h) {
   TIFF* tif = TIFFOpen(path, "r");
   if (!tif) return kErrOpen;
+  if (!tiff_is_8bit_uint(tif)) {
+    TIFFClose(tif);
+    return kErrFormat;
+  }
   uint32_t tw = 0, th = 0;
   TIFFGetField(tif, TIFFTAG_IMAGEWIDTH, &tw);
   TIFFGetField(tif, TIFFTAG_IMAGELENGTH, &th);
@@ -168,6 +185,12 @@ int png_probe(const char* path, int* w, int* h) {
   std::memset(&img, 0, sizeof(img));
   img.version = PNG_IMAGE_VERSION;
   if (!png_image_begin_read_from_file(&img, path)) return kErrDecode;
+  if (img.format & PNG_FORMAT_FLAG_LINEAR) {
+    // 16-bit file: the simplified API would linearize/rescale instead
+    // of clamping like PIL — route to the PIL fallback.
+    png_image_free(&img);
+    return kErrFormat;
+  }
   *w = static_cast<int>(img.width);
   *h = static_cast<int>(img.height);
   png_image_free(&img);
@@ -179,6 +202,10 @@ int png_decode(const char* path, uint8_t* dst, int w, int h) {
   std::memset(&img, 0, sizeof(img));
   img.version = PNG_IMAGE_VERSION;
   if (!png_image_begin_read_from_file(&img, path)) return kErrDecode;
+  if (img.format & PNG_FORMAT_FLAG_LINEAR) {
+    png_image_free(&img);
+    return kErrFormat;
+  }
   if (static_cast<int>(img.width) != w || static_cast<int>(img.height) != h) {
     png_image_free(&img);
     return kErrDims;

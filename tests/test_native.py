@@ -181,6 +181,46 @@ class TestImgio:
         _, status = imgio.decode_batch([p], shape=(37, 53))
         assert status == [-3]
 
+    def test_16bit_rejected_natively_pil_parity(self, imgio, tmp_path):
+        """16-bit TIFF/PNG must NOT decode natively: libtiff/libpng
+        *rescale* 16-bit samples while PIL clamps >255, so the native
+        layer returns 'unsupported format' and decode_file_fast falls
+        back to PIL — pixel values identical to the pure-PIL path
+        (advisor round-2 high finding)."""
+        from PIL import Image
+
+        from rgnir_tpu.io.decode import decode_file, decode_file_fast
+
+        hi = np.array(
+            [[0, 16, 32, 48], [255, 300, 4096, 65535]], dtype=np.uint16
+        )
+        for name, fmt in [("d16.tif", "TIFF"), ("d16.png", "PNG")]:
+            p = tmp_path / name
+            Image.fromarray(hi).save(p, format=fmt)
+            with pytest.raises(OSError, match="unsupported format"):
+                imgio.probe(p)
+            with pytest.raises(OSError, match="unsupported format"):
+                imgio.decode_file(p)
+            np.testing.assert_array_equal(
+                decode_file_fast(p), decode_file(p), err_msg=name
+            )
+        _, status = imgio.decode_batch(
+            [tmp_path / "d16.tif", tmp_path / "d16.png"], shape=(2, 4)
+        )
+        assert status == [-4, -4]
+
+    def test_float_tiff_rejected_natively(self, imgio, tmp_path):
+        """Float32 TIFFs also route to the PIL fallback (sample-format
+        gate, not just bit depth)."""
+        from PIL import Image
+
+        p = tmp_path / "f32.tif"
+        Image.fromarray(
+            np.linspace(0, 1, 12, dtype=np.float32).reshape(3, 4)
+        ).save(p)
+        with pytest.raises(OSError, match="unsupported format"):
+            imgio.probe(p)
+
     def test_decode_file_fast_fallback(self, tmp_path, img):
         """decode_file_fast: native result == PIL; non-image falls back
         to PIL's error (not a native crash)."""
