@@ -25,7 +25,11 @@ mesh:
    radix-select median).
 
 The estimated row shift is clamped to ``+/-(halo - 1)`` — the halo
-bound is the one capability limit, stated loudly in the result.
+bound is the one capability limit, and it is never silent: by default
+a saturating estimate triggers ONE re-run with a halo sized to it
+(``grow_halo``), and when that is impossible (shard too small, or
+``grow_halo=False``) the result carries ``shift_saturated=True`` plus
+the pre-clamp estimate in ``shift_raw``.
 """
 
 from __future__ import annotations
@@ -64,8 +68,10 @@ class ShardedChangeResult:
     early_index: jax.Array   # (H_pad, W) f32, row-sharded
     late_index: jax.Array    # (H_pad, W) f32, row-sharded (aligned)
     diff: jax.Array          # (H_pad, W) f32, row-sharded
-    shift: jax.Array         # (2,) f32 (dy, dx), replicated
+    shift: jax.Array         # (2,) f32 (dy, dx) APPLIED, replicated
     stats: DiffStats         # replicated
+    shift_raw: jax.Array = None      # (2,) f32 pre-clamp estimate
+    shift_saturated: jax.Array = None  # () bool: applied != estimated
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -170,6 +176,7 @@ def change_detection_mosaic(
     wb_cfg: WBConfig = WBConfig(),
     idx_cfg: IndexConfig = IndexConfig(),
     pad_to: Optional[int] = None,
+    grow_halo: bool = True,
 ) -> ShardedChangeResult:
     """Change detection on a full-resolution row-sharded mosaic pair.
 
@@ -194,10 +201,20 @@ def change_detection_mosaic(
       pad_to: force the padded row count — an int for 1-D meshes, a
         ``(rows, cols)`` pair for 2-D meshes (tests use it to compare
         runs on different mesh sizes bit-for-bit).
+      grow_halo: when the estimated shift exceeds the halo bound,
+        fetch the replicated estimate to the host and re-run once with
+        a halo sized to it (costs one host sync + one recompute, only
+        on saturation). When the needed halo exceeds the shard size —
+        or with ``grow_halo=False`` — the clamp is applied and the
+        result says so: ``shift_saturated`` is True and ``shift_raw``
+        carries the pre-clamp estimate. Never a silent wrong diff.
 
     Returns:
       :class:`ShardedChangeResult`; pixel outputs keep row padding
       (slice ``[:H]`` on the host), shift/stats replicated.
+      ``shift`` is the shift actually applied to the warp;
+      ``shift_raw`` the phase-correlation estimate; if they differ
+      (halo clamp), ``shift_saturated`` is True.
     """
     if mesh is None:
         mesh = local_mesh()
@@ -220,6 +237,7 @@ def change_detection_mosaic(
         raise ValueError(f"shape mismatch: {early.shape} vs {late.shape}")
     h, w = int(early.shape[0]), int(early.shape[1])
     n_valid = h * w
+    orig_early, orig_late = early, late  # pre-padding, for the halo retry
 
     if pad_to is None:
         hp, wp = _ceil_to(h, dr), _ceil_to(w, dc)
@@ -288,11 +306,17 @@ def change_detection_mosaic(
         shift_p = phase_correlation_shift(
             prox_e, prox_l, upsample_factor=up
         )
-        dy = jnp.clip(shift_p[0] * stride, -(halo - 1), halo - 1)
-        dx = shift_p[1] * stride
+        dy_raw = shift_p[0] * stride
+        dx_raw = shift_p[1] * stride
+        dy = jnp.clip(dy_raw, -(halo - 1), halo - 1)
+        dx = dx_raw
         if dc > 1:
-            dx = jnp.clip(dx, -(halo - 1), halo - 1)
+            dx = jnp.clip(dx_raw, -(halo - 1), halo - 1)
         shift = jnp.stack([dy, dx])
+        shift_raw = jnp.stack([dy_raw, dx_raw])
+        saturated = jnp.abs(dy_raw) > halo - 1
+        if dc > 1:
+            saturated |= jnp.abs(dx_raw) > halo - 1
 
         # -- sharded warp of the late image (row then column halos) -----
         ext = exchange_halos(wb_l, halo, ar, dim=0)
@@ -344,17 +368,37 @@ def change_detection_mosaic(
             mean=mean, std=jnp.sqrt(var), min=mn, max=mx, median=med,
             n=jnp.int32(n_valid),
         )
-        return early_idx, late_idx, diff, shift, stats
+        return early_idx, late_idx, diff, shift, stats, shift_raw, saturated
 
     spec = P(ar) if ac is None else P(ar, ac)
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(spec, spec),
-        out_specs=(spec, spec, spec, P(), P()),
+        out_specs=(spec, spec, spec, P(), P(), P(), P()),
         check_vma=False,
     )
-    early_idx, late_idx, diff, shift, stats = jax.jit(fn)(early, late)
+    early_idx, late_idx, diff, shift, stats, shift_raw, saturated = (
+        jax.jit(fn)(early, late)
+    )
+    if grow_halo and bool(saturated):
+        raw = jax.device_get(shift_raw)
+        need = abs(float(raw[0]))
+        if dc > 1:
+            need = max(need, abs(float(raw[1])))
+        import math
+
+        needed_halo = math.ceil(need) + 1
+        cap = bh if dc == 1 else min(bh, bw)
+        if needed_halo > halo and min(needed_halo, cap) > halo:
+            return change_detection_mosaic(
+                orig_early, orig_late, kind, mesh=mesh,
+                halo=min(needed_halo, cap), proxy_stride=stride,
+                upsample_factor=upsample_factor, with_wb=with_wb,
+                wb_cfg=wb_cfg, idx_cfg=idx_cfg, pad_to=pad_to,
+                grow_halo=False,
+            )
     return ShardedChangeResult(
         early_index=early_idx, late_index=late_idx, diff=diff,
-        shift=shift, stats=stats,
+        shift=shift, stats=stats, shift_raw=shift_raw,
+        shift_saturated=saturated,
     )

@@ -453,6 +453,58 @@ class TestShardedChangeDetection:
         assert np.abs(interior).max() < 1e-6
         assert abs(float(res.stats.median)) < 1e-6
 
+    def test_shift_beyond_halo_grows_and_recovers(self, rng):
+        """A true shift beyond halo-1 must never produce a silent wrong
+        diff (round-2 verdict #4): by default the halo grows and the
+        shift is still recovered exactly."""
+        from rgnir_tpu.parallel.change import change_detection_mosaic
+        from rgnir_tpu.parallel.mesh import make_mesh
+
+        h, w = 160, 120
+        roll = (12, -5)  # |dy|=12 > halo-1=3
+        early, late = self._pair(rng, h, w, roll=roll)
+        res = change_detection_mosaic(
+            jnp.asarray(early), jnp.asarray(late), "NDVI",
+            mesh=make_mesh((8,), ("d",)), halo=4, proxy_stride=1,
+        )
+        shift = np.asarray(res.shift)
+        assert shift[0] == -roll[0] and shift[1] == -roll[1]
+        assert not bool(res.shift_saturated)
+        assert np.abs(np.asarray(res.diff)[16:h - 16, 16:-16]).max() < 1e-6
+
+    def test_shift_beyond_halo_saturates_loudly(self, rng):
+        """With grow_halo=False the clamp is applied but announced:
+        shift_saturated=True and shift_raw carries the estimate."""
+        from rgnir_tpu.parallel.change import change_detection_mosaic
+        from rgnir_tpu.parallel.mesh import make_mesh
+
+        h, w = 160, 120
+        roll = (12, -5)
+        early, late = self._pair(rng, h, w, roll=roll)
+        res = change_detection_mosaic(
+            jnp.asarray(early), jnp.asarray(late), "NDVI",
+            mesh=make_mesh((8,), ("d",)), halo=4, proxy_stride=1,
+            grow_halo=False,
+        )
+        assert bool(res.shift_saturated)
+        assert np.asarray(res.shift)[0] == -3.0  # clamped to halo-1
+        raw = np.asarray(res.shift_raw)
+        assert raw[0] == -roll[0] and raw[1] == -roll[1]
+
+    def test_unsaturated_flags_false(self, rng):
+        from rgnir_tpu.parallel.change import change_detection_mosaic
+        from rgnir_tpu.parallel.mesh import make_mesh
+
+        early, late = self._pair(rng, 160, 120, roll=(2, -1))
+        res = change_detection_mosaic(
+            jnp.asarray(early), jnp.asarray(late), "NDVI",
+            mesh=make_mesh((8,), ("d",)), halo=8, proxy_stride=1,
+        )
+        assert not bool(res.shift_saturated)
+        np.testing.assert_array_equal(
+            np.asarray(res.shift), np.asarray(res.shift_raw)
+        )
+
     def test_strided_proxy_parity(self, rng):
         """stride-2 proxy: sharded == single-device, same auto stride."""
         from rgnir_tpu.parallel.change import (
