@@ -185,29 +185,30 @@ class UpdateResult:
 
 
 class Cursor:
-    def __init__(self, docs: List[Dict], projection: Optional[Dict]):
-        self._docs = docs
+    """Lazy, single-use cursor (documented pymongo semantics).
+
+    - The query does not execute at ``find()`` time: pymongo cursors
+      are lazy, the server sees the query on the first batch fetch, so
+      writes between ``find()`` and iteration ARE visible. We model
+      that by snapshotting the collection at first iteration.
+    - ``sort``/``skip``/``limit`` are applied server-side in that
+      order regardless of the order the methods were chained in.
+    - Iterating exhausts the cursor; a second pass yields nothing
+      (real cursors stream from the server once).
+    """
+
+    def __init__(self, collection: "Collection", filt: Optional[Dict],
+                 projection: Optional[Dict]):
+        self._collection = collection
+        self._filt = filt
         self._projection = projection
         self._skip = 0
         self._limit = 0
+        self._sorts: List[Tuple[str, int]] = []
+        self._exhausted = False
 
     def sort(self, key: str, direction: int = ASCENDING) -> "Cursor":
-        def k(doc: Dict) -> Any:
-            v = _get_path(doc, key)
-            return (0, v) if v is not _MISSING else (1, None)
-
-        try:
-            self._docs = sorted(
-                self._docs, key=k, reverse=(direction == DESCENDING)
-            )
-        except TypeError:  # missing values mixed in: sort present ones only
-            present = [d for d in self._docs if _get_path(d, key) is not _MISSING]
-            absent = [d for d in self._docs if _get_path(d, key) is _MISSING]
-            present.sort(
-                key=lambda d: _get_path(d, key),
-                reverse=(direction == DESCENDING),
-            )
-            self._docs = present + absent
+        self._sorts.append((key, direction))
         return self
 
     def skip(self, n: int) -> "Cursor":
@@ -219,7 +220,36 @@ class Cursor:
         return self
 
     def __iter__(self) -> Iterator[Dict]:
-        docs = self._docs[self._skip:]
+        if self._exhausted:
+            return iter(())
+        self._exhausted = True
+        with self._collection._lock:
+            docs = [
+                d for d in self._collection._docs
+                if _matches(d, self._filt)
+            ]
+        for key, direction in reversed(self._sorts):
+            # Missing fields compare as null, which sorts LOWEST in the
+            # BSON comparison order (before all numbers) — so missing
+            # docs come first ascending, last descending.
+            def k(doc: Dict, key=key) -> Any:
+                v = _get_path(doc, key)
+                return (0, None) if v is _MISSING or v is None else (1, v)
+
+            try:
+                docs = sorted(docs, key=k, reverse=(direction == DESCENDING))
+            except TypeError:  # mixed types: order present values only
+                present = [d for d in docs if k(d)[0] == 1]
+                absent = [d for d in docs if k(d)[0] == 0]
+                present.sort(
+                    key=lambda d, key=key: _get_path(d, key),
+                    reverse=(direction == DESCENDING),
+                )
+                docs = (
+                    present + absent
+                    if direction == DESCENDING else absent + present
+                )
+        docs = docs[self._skip:]
         if self._limit:
             docs = docs[: self._limit]
         return iter(_project(d, self._projection) for d in docs)
@@ -241,8 +271,10 @@ class Collection:
             raise DocumentTooLarge(
                 f"BSON document too large ({_doc_size(doc)} bytes)"
             )
+        # Real pymongo MUTATES the caller's document, adding _id when
+        # absent (documented insert_one behavior).
+        _id = doc.setdefault("_id", ObjectId())
         stored = copy.deepcopy(doc)
-        _id = stored.setdefault("_id", ObjectId())
         with self._lock:
             if any(d["_id"] == _id for d in self._docs):
                 raise DuplicateKeyError(
@@ -274,9 +306,14 @@ class Collection:
         with self._lock:
             for d in self._docs:
                 if _matches(d, filt):
+                    # modified_count counts actual changes: a $set to
+                    # the value already present reports modified 0.
+                    modified = 0
                     for path, value in update.get("$set", {}).items():
-                        _set_path(d, path, copy.deepcopy(value))
-                    return UpdateResult(1, 1)
+                        if _get_path(d, path) != value:
+                            _set_path(d, path, copy.deepcopy(value))
+                            modified = 1
+                    return UpdateResult(1, modified)
         return UpdateResult(0, 0)
 
     # .. read ..
@@ -292,9 +329,7 @@ class Collection:
     def find(
         self, filt: Optional[Dict] = None, projection: Optional[Dict] = None
     ) -> Cursor:
-        with self._lock:
-            return Cursor([d for d in self._docs if _matches(d, filt)],
-                          projection)
+        return Cursor(self, filt, projection)
 
     def count_documents(self, filt: Optional[Dict] = None) -> int:
         with self._lock:
@@ -334,7 +369,11 @@ class Collection:
                             raise NotImplementedError(
                                 f"fake_mongo accumulator {acc_op}"
                             )
-                docs = list(groups.values())
+                # $group output order is UNDEFINED in MongoDB. Emit in
+                # reversed first-seen order so any consumer accidentally
+                # relying on insertion order breaks here, not on a real
+                # server.
+                docs = list(reversed(list(groups.values())))
             elif op == "$match":
                 docs = [d for d in docs if _matches(d, spec)]
             elif op == "$sort":

@@ -60,7 +60,12 @@ class SessionState(dict):
         self[key] = value
 
     def __delattr__(self, key: str) -> None:
-        del self[key]
+        try:
+            del self[key]
+        except KeyError as e:
+            # real st.session_state: attr-style delete of a missing key
+            # raises AttributeError (dict-style raises KeyError)
+            raise AttributeError(key) from e
 
 
 class _Secrets:
