@@ -123,6 +123,82 @@ def cmd_selftest(args) -> int:
     return selftest_main()
 
 
+def cmd_warmup(args) -> int:
+    """Pre-compile the hot executables into the persistent compile
+    cache (the repo's committed ``.jax_cache``), so a cold machine's
+    first ``bench.py``/driver run compiles nothing.
+
+    Compiling the Pallas-heavy paths through the tunneled TPU takes
+    minutes per executable (round-2 bench recorded an 807 s cold
+    start); this one-shot pays that cost explicitly and commits the
+    result. Warms, in order: the bench headline loop, the six-config
+    table, and the driver's ``entry()`` forward. From an installed
+    wheel (no repo checkout) it warms the package pipeline at the same
+    shapes instead.
+    """
+    import importlib.util
+    import sys
+    import time
+
+    import jax
+
+    from rgnir_tpu.utils.compile_cache import (
+        default_cache_dir, enable_persistent_cache,
+    )
+
+    cache = enable_persistent_cache()
+    repo = default_cache_dir().parent
+    t0 = time.time()
+    warmed = []
+    if (repo / "bench.py").exists() and not args.package_only:
+        sys.path.insert(0, str(repo))
+        sys.path.insert(0, str(repo / "benchmarks"))
+        import bench
+
+        bench.device_mpix_s()
+        warmed.append("bench_headline")
+        import run_configs
+
+        run_configs.run_all(quick=True)
+        warmed.append("config_table")
+        spec = importlib.util.spec_from_file_location(
+            "_graft_entry_warm", repo / "__graft_entry__.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        fn, fargs = mod.entry()
+        jax.block_until_ready(jax.jit(fn)(*fargs))
+        warmed.append("graft_entry")
+    else:
+        import jax.numpy as jnp
+        import numpy as np
+
+        from rgnir_tpu.pipeline.dispatch import analyze_image_auto
+
+        rng = np.random.default_rng(0)
+        for shape, kinds, renders in [
+            ((8, 1024, 1024, 3), ("NDVI",), True),
+            ((32, 512, 512, 3), ("NDVI", "GNDVI", "NDWI"), True),
+            ((4096, 4096, 3), ("NDVI",), True),
+        ]:
+            img = jnp.asarray(rng.integers(0, 256, shape, dtype=np.uint8))
+            res = analyze_image_auto(img, kinds=kinds, with_renders=renders)
+            jax.block_until_ready(res.wb)
+            warmed.append(f"pipeline{shape}")
+    n_entries = len(list(cache.glob("*"))) if cache else 0
+    size_mb = (
+        sum(f.stat().st_size for f in cache.glob("*")) / 1e6 if cache else 0
+    )
+    print(json.dumps({
+        "warmed": warmed,
+        "cache_dir": str(cache),
+        "entries": n_entries,
+        "cache_mb": round(size_mb, 1),
+        "seconds": round(time.time() - t0, 1),
+    }))
+    return 0
+
+
 def cmd_bench(args) -> int:
     """Quick on-device throughput check of the fused pass.
 
@@ -351,6 +427,24 @@ def cmd_mosaic(args) -> int:
     from rgnir_tpu.ops.stats import to_analyze_index_dict
 
     kinds = _parse_indices(args.indices) or tuple(k.value for k in ALL_INDICES)
+    if args.streamed:
+        # Host-streamed band reduction: exact global stats for mosaics
+        # larger than HBM (pipeline/gigapixel.py). Stats-only.
+        from rgnir_tpu.pipeline.gigapixel import analyze_mosaic_streamed
+
+        if args.image.endswith(".npy"):
+            mosaic = np.load(args.image, mmap_mode="r")
+        else:
+            mosaic = decode_file(args.image)
+        sres = analyze_mosaic_streamed(
+            mosaic, kinds=kinds, band_rows=args.band_rows
+        )
+        out = {
+            kind: to_analyze_index_dict(sres.stats[kind], kind)
+            for kind in kinds
+        }
+        print(json.dumps(out, indent=2))
+        return 0
     mosaic = decode_file(args.image)
     res = analyze_mosaic(mosaic, kinds=kinds, with_renders=bool(args.out))
     out = {
@@ -528,6 +622,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     st.set_defaults(fn=cmd_selftest)
 
+    wu = sub.add_parser(
+        "warmup",
+        help="pre-compile hot paths into the persistent compile cache",
+    )
+    wu.add_argument(
+        "--package-only", action="store_true",
+        help="warm the package pipeline shapes even in a repo checkout",
+    )
+    wu.set_defaults(fn=cmd_warmup)
+
     bm = sub.add_parser(
         "bench", help="on-device throughput check of the fused pass"
     )
@@ -590,9 +694,14 @@ def build_parser() -> argparse.ArgumentParser:
     d.set_defaults(fn=cmd_change)
 
     m = sub.add_parser("mosaic", help="sharded whole-mosaic analysis")
-    m.add_argument("image")
+    m.add_argument("image", help="image file, or .npy (memmapped) with --streamed")
     m.add_argument("--indices", default="")
     m.add_argument("--out", default="")
+    m.add_argument(
+        "--streamed", action="store_true",
+        help="host-streamed band reduction (exact stats at any size)",
+    )
+    m.add_argument("--band-rows", type=int, default=2048)
     m.set_defaults(fn=cmd_mosaic)
 
     t = sub.add_parser(

@@ -8,10 +8,15 @@ report (process-ndvi.py:75-110), batch directory processing
 """
 
 from rgnir_tpu.pipeline.fused import AnalyzeResult, analyze_image
+from rgnir_tpu.pipeline.gigapixel import (
+    StreamedMosaicResult, analyze_mosaic_streamed,
+)
 
 __all__ = [
     "AnalyzeResult",
     "analyze_image",
+    "StreamedMosaicResult",
+    "analyze_mosaic_streamed",
     # Submodules (imported lazily by callers to keep import light):
     # batch, single, compare, timeseries, change, export, streaming
 ]

@@ -1,0 +1,343 @@
+"""True-gigapixel single-chip analysis: host-streamed band reduction.
+
+``parallel.mosaic.analyze_mosaic`` needs the whole mosaic resident in
+HBM, which caps a 16 GB chip around ~1.3 GPix of uint8 input plus f32
+index/render maps — BASELINE config 5's "gigapixel survey" could never
+actually run at gigapixels on one chip. This module removes the memory
+wall entirely: the mosaic streams through the device in row bands and
+NOTHING per-pixel is ever materialized for the whole image.
+
+The TPU-native key insight (an extension of ops/histogram's order-
+statistic trick): white balance is a per-channel *byte LUT* (the
+percentile stretch maps uint8 -> uint8), and every normalized-
+difference index is an elementwise function of TWO white-balanced
+bytes. Therefore the **256 x 256 joint histogram of the two raw source
+channels** determines the index map's exact value *multiset*:
+
+    stats(index(WB(img))) == stats over { v[a, b] with weight J[a, b] }
+    v[a, b] = index(LUT_A[a], LUT_B[b])     (the same f32 ops, 65536x)
+
+and the joint histogram J is a pure contraction —
+``J = onehot(A)^T @ onehot(B)`` — i.e. one (256, N) x (N, 256) matmul
+per band chunk that runs on the MXU at bf16. One streaming pass over
+the data yields *bit-exact* global WB bounds (marginals of J are the
+channel histograms), mean/median/min/max/coverage/50-bin histogram of
+every requested index — identical values to the all-in-HBM path,
+because both paths evaluate the same f32 index function on the same
+multiset of byte pairs.
+
+Host -> device transfer is double-buffered: band i+1's ``device_put``
+is issued before band i's reduction is awaited, so transfer and MXU
+work overlap. Accumulation is int32 on device (exact: a band holds
+< 2^31 pixels) and int64 on the host across bands (exact at any
+mosaic size).
+
+Reference semantics covered: fix_white_balance
+(process-images.py:424-447), calculate_index (449-490), analyze_index
+(492-513) — at a scale the reference (1024-px alignment cap, one PIL
+image in RAM) cannot reach.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Iterable, Iterator, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rgnir_tpu.config import IndexConfig, IndexKind, WBConfig
+from rgnir_tpu.ops.histogram import percentiles_from_histogram
+from rgnir_tpu.ops.indices import BAND_INDICES, index_from_bands
+from rgnir_tpu.ops.stats import IndexStats
+from rgnir_tpu.ops.wb import apply_white_balance_planar
+
+# Pixels per one-hot chunk: the (chunk, 256) bf16 one-hots stay ~16 MB
+# (VMEM-friendly after XLA tiling) and integer counts stay far below
+# f32's 2^24 exact range.
+_CHUNK = 1 << 17
+
+
+def _pair_layout(
+    kinds: Sequence[IndexKind],
+) -> Tuple[Tuple[Tuple[int, int], ...], Dict[IndexKind, Tuple[int, bool]]]:
+    """Unordered channel pairs to histogram + per-kind (pair, swapped).
+
+    NDWI's (G, NIR) is the transpose of GNDVI's (NIR, G) — one joint
+    histogram serves both.
+    """
+    pairs = []
+    lookup: Dict[IndexKind, Tuple[int, bool]] = {}
+    for kind in kinds:
+        ia, ib = BAND_INDICES[kind]
+        key, swapped = ((ia, ib), False) if ia <= ib else ((ib, ia), True)
+        if key not in pairs:
+            pairs.append(key)
+        lookup[kind] = (pairs.index(key), swapped)
+    return tuple(pairs), lookup
+
+
+@functools.partial(jax.jit, static_argnames=("pairs",), donate_argnums=(1,))
+def _band_joint_hists(
+    band: jax.Array,
+    acc: jax.Array,
+    pairs: Tuple[Tuple[int, int], ...],
+) -> jax.Array:
+    """Accumulate (P, 256, 256) joint histograms of a uint8 band.
+
+    ``band``: (N, 3) uint8 (flattened pixels, padded with (0,0,0) rows
+    — the caller subtracts the pad count from bin [0, 0]).
+    ``acc``: (P, 256, 256) int32, donated.
+
+    Each chunk builds bf16 one-hots per referenced channel and runs one
+    (256, chunk) x (chunk, 256) MXU contraction per pair; counts are
+    exact (chunk < 2^24) and accumulate in int32.
+    """
+    n = band.shape[0]
+    n_pad = -n % _CHUNK
+    if n_pad:
+        band = jnp.concatenate(
+            [band, jnp.zeros((n_pad, 3), dtype=band.dtype)]
+        )
+    chunks = band.reshape(-1, _CHUNK, 3)
+    iota = jnp.arange(256, dtype=jnp.int32)
+    channels = sorted({c for p in pairs for c in p})
+
+    def body(carry, chunk):
+        oh = {
+            c: (chunk[:, c].astype(jnp.int32)[:, None] == iota).astype(
+                jnp.bfloat16
+            )
+            for c in channels
+        }
+        hs = [
+            jax.lax.dot_general(
+                oh[ia], oh[ib],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            for ia, ib in pairs
+        ]
+        return carry + jnp.stack(hs), None
+
+    acc, _ = jax.lax.scan(body, acc, chunks)
+    return acc
+
+
+def _np_fixed_bins(
+    values: np.ndarray, counts: np.ndarray, bins: int, lo: float, hi: float
+) -> np.ndarray:
+    """Weighted replica of ops.histogram.histogram_fixed_bins for the
+    65536-value grid: the exact f32-edge searchsorted rule
+    ``bin = #(interior/final edges <= v)``, which that op's affine fast
+    path is certified equal to."""
+    v = values.astype(np.float32)
+    edges = np.linspace(lo, hi, bins + 1).astype(np.float32)
+    idx = np.minimum(
+        (v[:, None] >= edges[None, 1:]).sum(axis=1, dtype=np.int64),
+        bins - 1,
+    )
+    in_range = (v >= edges[0]) & (v <= edges[-1])
+    out = np.zeros(bins, dtype=np.int64)
+    np.add.at(out, idx[in_range], counts[in_range])
+    return out
+
+
+def _grid_stats(
+    v: np.ndarray,
+    counts: np.ndarray,
+    kind: IndexKind,
+    cfg: IndexConfig,
+) -> IndexStats:
+    """Exact IndexStats of the value multiset {v[i] x counts[i]}.
+
+    Value-level results (min/max/median) are bit-identical to the
+    in-HBM path; mean/std are float64-summed over the 65536-bin grid
+    (MORE accurate than the device's f32 tree reduction — tests bound
+    the difference at ~1e-6).
+    """
+    c = counts.astype(np.int64)
+    n = int(c.sum())
+    live = c > 0
+    vf64 = v.astype(np.float64)
+    mean = float((vf64 * c).sum() / n)
+    var = float((np.square(vf64 - mean) * c).sum() / n)
+    mn = float(v[live].min())
+    mx = float(v[live].max())
+    above = int(c[v > np.float32(kind.coverage_threshold)].sum())
+
+    # np.median parity: average of the two middle order statistics in
+    # f32 (the same convention as ops.select.masked_median).
+    order = np.argsort(v, kind="stable")
+    csum = np.cumsum(c[order])
+    k1, k2 = (n - 1) // 2, n // 2
+    i1 = int(np.searchsorted(csum, k1 + 1))
+    i2 = int(np.searchsorted(csum, k2 + 1))
+    median = float(
+        (v[order[i1]].astype(np.float32) + v[order[i2]].astype(np.float32))
+        / np.float32(2.0)
+    )
+
+    hist = _np_fixed_bins(v, c, cfg.hist_bins, cfg.clip_lo, cfg.clip_hi)
+    return IndexStats(
+        mean=np.float32(mean),
+        median=np.float32(median),
+        std=np.float32(np.sqrt(var)),
+        min=np.float32(mn),
+        max=np.float32(mx),
+        coverage_pct=np.float32(above) / np.float32(n) * np.float32(100.0),
+        histogram=hist.astype(np.int64),
+        n=np.int64(n),
+    )
+
+
+class StreamedMosaicResult:
+    """Exact global statistics of a streamed mosaic.
+
+    Attributes:
+      stats: kind name -> IndexStats (numpy scalars; feed
+        ``ops.stats.to_analyze_index_dict`` as usual).
+      wb_lo / wb_hi: per-referenced-channel stretch bounds (indexable
+        by channel number; channels never referenced are NaN).
+      n_pixels: total pixels streamed (int).
+      bands: number of bands processed.
+    """
+
+    def __init__(self, stats, wb_lo, wb_hi, n_pixels, bands):
+        self.stats = stats
+        self.wb_lo = wb_lo
+        self.wb_hi = wb_hi
+        self.n_pixels = n_pixels
+        self.bands = bands
+
+
+def iter_row_bands(
+    mosaic: np.ndarray, band_rows: int
+) -> Iterator[np.ndarray]:
+    """Slice an (H, W, 3) array-like (ndarray / np.memmap) into row
+    bands without copying."""
+    for r0 in range(0, mosaic.shape[0], band_rows):
+        yield mosaic[r0:r0 + band_rows]
+
+
+def analyze_mosaic_streamed(
+    bands: Union[np.ndarray, Iterable[np.ndarray]],
+    kinds: Sequence[Union[IndexKind, str]] = (IndexKind.NDVI,),
+    band_rows: int = 2048,
+    wb_cfg: WBConfig = WBConfig(),
+    idx_cfg: IndexConfig = IndexConfig(),
+    with_wb: bool = True,
+) -> StreamedMosaicResult:
+    """Exact WB + index statistics of a mosaic of ANY size on one chip.
+
+    Args:
+      bands: the mosaic — either a host (H, W, 3) uint8 array-like
+        (sliced into ``band_rows`` bands; np.memmap streams from disk)
+        or an iterable yielding (h_i, W, 3) uint8 bands (a decoder, a
+        tile server, a synthetic generator).
+      kinds: indices to analyze (one streaming pass covers all).
+      band_rows: rows per band when ``bands`` is an array.
+      with_wb: apply the reference's global percentile stretch before
+        the index (process-images.py:893-902 flow).
+
+    Returns:
+      :class:`StreamedMosaicResult` with exact global statistics.
+    """
+    kinds = tuple(IndexKind.parse(k) for k in kinds)
+    pairs, lookup = _pair_layout(kinds)
+    if isinstance(bands, np.ndarray) or hasattr(bands, "shape"):
+        bands = iter_row_bands(bands, band_rows)
+
+    acc = jnp.zeros((len(pairs), 256, 256), dtype=jnp.int32)
+    total = np.zeros((len(pairs), 256, 256), dtype=np.int64)
+    pad_total = 0
+    n_pixels = 0
+    n_bands = 0
+
+    # Double buffer: issue band i+1's transfer before awaiting band i's
+    # reduction; JAX dispatch is async so the copy and the MXU overlap.
+    # int32 on-device accumulation is exact within a flush window of
+    # 2^31 pixels; flush to the int64 host total before overflow.
+    flush_at = (1 << 31) - (1 << 26)
+    since_flush = 0
+    pending = None
+    for band in bands:
+        band = np.ascontiguousarray(band)
+        if band.ndim != 3 or band.shape[-1] != 3 or band.dtype != np.uint8:
+            raise ValueError(
+                f"bands must be (h, w, 3) uint8, got {band.shape} {band.dtype}"
+            )
+        n = band.shape[0] * band.shape[1]
+        flat = band.reshape(-1, 3)
+        nxt = jax.device_put(flat)
+        if pending is not None:
+            acc = _band_joint_hists(pending, acc, pairs)
+        if since_flush + n > flush_at:
+            total += np.asarray(acc).astype(np.int64)
+            acc = jnp.zeros((len(pairs), 256, 256), dtype=jnp.int32)
+            since_flush = 0
+        pending = nxt
+        since_flush += n
+        n_pixels += n
+        pad_total += -n % _CHUNK
+        n_bands += 1
+    if pending is not None:
+        acc = _band_joint_hists(pending, acc, pairs)
+    total += np.asarray(acc).astype(np.int64)
+    if n_pixels == 0:
+        raise ValueError("no bands")
+    # Chunk padding added (0,0,0) pixels: every pair counted them in
+    # bin [0, 0].
+    total[:, 0, 0] -= pad_total
+
+    # --- tiny 65536-bin closure: WB LUTs, value grids, exact stats ----
+    channels = sorted({c for p in pairs for c in p})
+    marg: Dict[int, np.ndarray] = {}
+    for pi, (ia, ib) in enumerate(pairs):
+        marg.setdefault(ia, total[pi].sum(axis=1))
+        marg.setdefault(ib, total[pi].sum(axis=0))
+    wb_lo = np.full(3, np.nan, np.float32)
+    wb_hi = np.full(3, np.nan, np.float32)
+    luts: Dict[int, np.ndarray] = {}
+    for ch in channels:
+        if with_wb:
+            hist_c = jnp.asarray(marg[ch].astype(np.int32))[None, :]
+            lo, hi = (
+                percentiles_from_histogram(
+                    hist_c, (wb_cfg.p_low, wb_cfg.p_high), n=n_pixels
+                )[..., i] for i in (0, 1)
+            )
+            # The SAME rescale op as the full-image path, applied to the
+            # 256-value byte grid -> the exact uint8 LUT the in-HBM path
+            # realizes pixelwise.
+            lut = apply_white_balance_planar(
+                jnp.arange(256, dtype=jnp.uint8).reshape(1, 1, 256),
+                lo, hi, cfg=wb_cfg,
+            )
+            wb_lo[ch] = float(lo[0])
+            wb_hi[ch] = float(hi[0])
+            luts[ch] = np.asarray(lut).reshape(256)
+        else:
+            luts[ch] = np.arange(256, dtype=np.uint8)
+
+    stats: Dict[str, IndexStats] = {}
+    for kind in kinds:
+        pi, swapped = lookup[kind]
+        ia, ib = BAND_INDICES[kind]
+        grid_a = luts[ia][:, None] * np.ones((1, 256), np.uint8)
+        grid_b = luts[ib][None, :] * np.ones((256, 1), np.uint8)
+        v = np.asarray(
+            index_from_bands(
+                jnp.asarray(grid_a), jnp.asarray(grid_b), cfg=idx_cfg
+            )
+        )
+        joint = total[pi].T if swapped else total[pi]
+        stats[kind.value] = _grid_stats(
+            v.reshape(-1), joint.reshape(-1), kind, idx_cfg
+        )
+    return StreamedMosaicResult(
+        stats=stats, wb_lo=wb_lo, wb_hi=wb_hi,
+        n_pixels=n_pixels, bands=n_bands,
+    )

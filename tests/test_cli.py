@@ -119,6 +119,37 @@ class TestCli:
         out = json.loads(capsys.readouterr().out)
         assert "Mean NDVI" in out["NDVI"]
 
+    def test_mosaic_streamed_matches_in_memory(
+        self, image_file, capsys, monkeypatch
+    ):
+        from rgnir_tpu.pipeline import gigapixel
+
+        monkeypatch.setattr(gigapixel, "_CHUNK", 4096)
+        rc = main(["mosaic", str(image_file), "--indices", "NDVI"])
+        in_mem = json.loads(capsys.readouterr().out)
+        rc2 = main(["mosaic", str(image_file), "--indices", "NDVI",
+                    "--streamed", "--band-rows", "7"])
+        streamed = json.loads(capsys.readouterr().out)
+        assert rc == rc2 == 0
+        assert streamed["NDVI"]["Median NDVI"] == in_mem["NDVI"]["Median NDVI"]
+        assert abs(
+            streamed["NDVI"]["Mean NDVI"] - in_mem["NDVI"]["Mean NDVI"]
+        ) < 1e-5
+
+    def test_mosaic_streamed_npy_memmap(self, tmp_path, rng, capsys,
+                                        monkeypatch):
+        from rgnir_tpu.pipeline import gigapixel
+
+        monkeypatch.setattr(gigapixel, "_CHUNK", 4096)
+        img = rng.integers(0, 256, (40, 32, 3), dtype=np.uint8)
+        p = tmp_path / "m.npy"
+        np.save(p, img)
+        rc = main(["mosaic", str(p), "--streamed", "--indices", "NDVI",
+                   "--band-rows", "16"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert "Mean NDVI" in out["NDVI"]
+
     def test_change(self, tmp_path, rgnir_image, capsys):
         early = tmp_path / "early.png"
         late = tmp_path / "late.png"

@@ -1,0 +1,155 @@
+"""Streamed gigapixel band reduction == the in-HBM path, exactly.
+
+The joint-histogram closure (pipeline/gigapixel.py) claims BIT-EXACT
+value-level statistics (min/max/median, 50-bin histogram, WB bounds)
+and float64-or-better mean/std versus running WB -> index -> stats on
+the whole image in memory. These tests check that on the actual op
+implementations (not reimplementations), at awkward sizes that
+exercise chunk padding, multi-band splits, and the transpose-shared
+joint histogram.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rgnir_tpu.config import IndexKind, WBConfig
+from rgnir_tpu.ops.indices import compute_index
+from rgnir_tpu.ops.stats import index_stats
+from rgnir_tpu.ops.wb import white_balance
+from rgnir_tpu.pipeline import gigapixel
+from rgnir_tpu.pipeline.gigapixel import (
+    analyze_mosaic_streamed, iter_row_bands,
+)
+
+
+@pytest.fixture(autouse=True)
+def small_chunk(monkeypatch):
+    # The (chunk, 256) one-hot contraction is sized for the MXU; on the
+    # CPU test platform shrink it so tests run in seconds. Padding and
+    # multi-chunk paths are exercised MORE this way, not less.
+    monkeypatch.setattr(gigapixel, "_CHUNK", 4096)
+
+
+def _mosaic(rng, h, w):
+    # Structured + noisy content so percentiles/medians are nontrivial.
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = 110 + 70 * np.sin(xx / 13.0) + 50 * np.cos(yy / 7.0)
+    img = np.stack(
+        [base, 0.7 * base + 30, 1.2 * base - 10], axis=-1
+    ) + rng.normal(0, 25, (h, w, 3))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _reference_stats(img, kind, with_wb=True):
+    x = jnp.asarray(img)
+    if with_wb:
+        x = white_balance(x)
+    idx = compute_index(x, kind)
+    return index_stats(idx, kind)
+
+
+class TestStreamedExactness:
+    @pytest.mark.parametrize("kind", ["NDVI", "GNDVI", "NDWI"])
+    def test_matches_in_memory_path(self, rng, kind):
+        img = _mosaic(rng, 123, 157)  # odd sizes: chunk padding active
+        res = analyze_mosaic_streamed(img, kinds=(kind,), band_rows=40)
+        ref = _reference_stats(img, kind)
+        got = res.stats[kind]
+        # Value-level stats: bit-exact (same f32 value multiset).
+        assert float(got.min) == float(ref.min)
+        assert float(got.max) == float(ref.max)
+        assert float(got.median) == float(ref.median)
+        np.testing.assert_array_equal(
+            np.asarray(got.histogram, dtype=np.int64),
+            np.asarray(ref.histogram, dtype=np.int64),
+        )
+        assert int(got.n) == int(ref.n)
+        # Accumulated moments: streamed is f64-summed, device is f32.
+        np.testing.assert_allclose(float(got.mean), float(ref.mean), atol=2e-6)
+        np.testing.assert_allclose(float(got.std), float(ref.std), atol=2e-6)
+        np.testing.assert_allclose(
+            float(got.coverage_pct), float(ref.coverage_pct), atol=1e-4
+        )
+
+    def test_three_kinds_one_pass_shares_transposed_hist(self, rng):
+        img = _mosaic(rng, 96, 120)
+        res = analyze_mosaic_streamed(
+            img, kinds=("NDVI", "GNDVI", "NDWI"), band_rows=33
+        )
+        for kind in ("NDVI", "GNDVI", "NDWI"):
+            ref = _reference_stats(img, kind)
+            got = res.stats[kind]
+            assert float(got.median) == float(ref.median), kind
+            assert float(got.min) == float(ref.min), kind
+            np.testing.assert_allclose(
+                float(got.mean), float(ref.mean), atol=2e-6, err_msg=kind
+            )
+
+    def test_wb_bounds_match_full_histogram(self, rng):
+        from rgnir_tpu.ops.histogram import channel_histograms
+        from rgnir_tpu.ops.wb import wb_bounds_from_histogram
+
+        img = _mosaic(rng, 77, 91)
+        res = analyze_mosaic_streamed(img, kinds=("NDVI",), band_rows=19)
+        hist = channel_histograms(jnp.asarray(img))
+        lo, hi = wb_bounds_from_histogram(
+            hist, n=img.shape[0] * img.shape[1], cfg=WBConfig()
+        )
+        for ch in (0, 2):  # NDVI references R and NIR
+            assert res.wb_lo[ch] == float(lo[ch])
+            assert res.wb_hi[ch] == float(hi[ch])
+        assert np.isnan(res.wb_lo[1])  # G never referenced
+
+    def test_band_iterable_equals_array_slicing(self, rng):
+        img = _mosaic(rng, 101, 64)
+
+        def gen():
+            yield img[:37]
+            yield img[37:38]
+            yield img[38:]
+
+        a = analyze_mosaic_streamed(img, kinds=("NDVI",), band_rows=50)
+        b = analyze_mosaic_streamed(gen(), kinds=("NDVI",))
+        for field in ("mean", "median", "std", "min", "max", "coverage_pct"):
+            assert float(getattr(a.stats["NDVI"], field)) == float(
+                getattr(b.stats["NDVI"], field)
+            ), field
+        assert b.bands == 3
+
+    def test_without_wb(self, rng):
+        img = _mosaic(rng, 60, 80)
+        res = analyze_mosaic_streamed(
+            img, kinds=("NDVI",), band_rows=60, with_wb=False
+        )
+        ref = _reference_stats(img, "NDVI", with_wb=False)
+        assert float(res.stats["NDVI"].median) == float(ref.median)
+        np.testing.assert_allclose(
+            float(res.stats["NDVI"].mean), float(ref.mean), atol=2e-6
+        )
+
+    def test_memmap_streams_from_disk(self, rng, tmp_path):
+        img = _mosaic(rng, 90, 70)
+        p = tmp_path / "mosaic.dat"
+        mm = np.memmap(p, dtype=np.uint8, mode="w+", shape=img.shape)
+        mm[:] = img
+        mm.flush()
+        ro = np.memmap(p, dtype=np.uint8, mode="r", shape=img.shape)
+        res = analyze_mosaic_streamed(ro, kinds=("NDVI",), band_rows=32)
+        ref = _reference_stats(img, "NDVI")
+        assert float(res.stats["NDVI"].median) == float(ref.median)
+
+    def test_rejects_bad_band(self, rng):
+        with pytest.raises(ValueError, match="uint8"):
+            analyze_mosaic_streamed(
+                iter([np.zeros((4, 4, 3), np.float32)]), kinds=("NDVI",)
+            )
+        with pytest.raises(ValueError, match="no bands"):
+            analyze_mosaic_streamed(iter([]), kinds=("NDVI",))
+
+    def test_iter_row_bands_views(self, rng):
+        img = _mosaic(rng, 10, 8)
+        bands = list(iter_row_bands(img, 4))
+        assert [b.shape[0] for b in bands] == [4, 4, 2]
+        assert bands[0].base is img  # no copies
