@@ -88,11 +88,6 @@ def device_mpix_s(batch: int = 8, size: int = 1024) -> float:
     imgs = rng.integers(0, 256, (batch, size, size, 3), dtype=np.uint8)
     x = jax.device_put(jnp.asarray(imgs))
 
-    # Persistent compile cache: the Pallas loop takes minutes to compile
-    # through the tunnel; cache it across bench runs.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/rgnir_bench_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
     @jax.jit
     def run(img, n):
         # n is traced -> ONE compilation serves every iteration count.
@@ -163,7 +158,12 @@ def full_config_table() -> list:
 def main() -> None:
     import jax
 
-    _log(f"devices: {jax.devices()}")
+    from rgnir_tpu.utils.compile_cache import enable_persistent_cache
+
+    # The cache ships WITH the repo (committed, warmed by `rgnir-tpu
+    # warmup`): a cold machine's first bench run compiles nothing.
+    cache = enable_persistent_cache()
+    _log(f"devices: {jax.devices()} | compile cache: {cache}")
     dev = device_mpix_s()
     base_img = np.random.default_rng(1).integers(
         0, 256, (1024, 1024, 3), dtype=np.uint8

@@ -109,7 +109,8 @@ def hist_variant(img_pl, block_r: int, variant: str):
 
 
 def main() -> None:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/rgnir_bench_cache")
+    from rgnir_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     rng = np.random.default_rng(0)
     imgs = jax.device_put(jnp.asarray(

@@ -199,7 +199,8 @@ def ge_v(idx_flat, edges, dtype: str):
 
 
 def main() -> None:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/rgnir_bench_cache")
+    from rgnir_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     rng = np.random.default_rng(0)
     imgs = jax.device_put(jnp.asarray(

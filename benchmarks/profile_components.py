@@ -44,7 +44,8 @@ KINDS = tuple(IndexKind.parse(k) for k in ("NDVI", "GNDVI", "NDWI"))
 def main() -> None:
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     size = int(sys.argv[2]) if len(sys.argv) > 2 else 512
-    jax.config.update("jax_compilation_cache_dir", "/tmp/rgnir_bench_cache")
+    from rgnir_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     rng = np.random.default_rng(0)

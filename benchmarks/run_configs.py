@@ -72,6 +72,9 @@ def run_config(name, shape, kinds, renders=True, ns=(20, 120), reps=4):
 
 def run_all(quick: bool = False):
     """Run the six configs; returns (records, derived-dict)."""
+    from rgnir_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     RESULTS.clear()
     ns = (10, 60) if quick else (20, 120)
     reps = 3 if quick else 4

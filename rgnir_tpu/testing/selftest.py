@@ -36,7 +36,7 @@ def check(name: str, ok: bool, detail: str = "") -> None:
 def main() -> int:
     from rgnir_tpu.utils import enable_compilation_cache
 
-    enable_compilation_cache("/tmp/rgnir_bench_cache")
+    enable_compilation_cache()
     FAILURES.clear()
     rng = np.random.default_rng(7)
     print(json.dumps({"devices": [str(d) for d in jax.devices()]}),

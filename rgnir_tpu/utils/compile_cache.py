@@ -1,0 +1,55 @@
+"""Persistent XLA compilation cache, pre-seedable as a repo artifact.
+
+First compilation of the Pallas-heavy paths through this environment's
+tunneled TPU takes *minutes per executable* (the round-2 bench recorded
+807 s of cold compile). A ``/tmp`` cache dies with the machine, so the
+cache lives in the repo checkout itself (``<repo>/.jax_cache``) and the
+warmed entries are committed — a cold machine with a fresh clone hits
+the cache on its very first ``bench.py`` run.
+
+Every entry point that compiles the hot paths (bench.py,
+benchmarks/run_configs.py, ``__graft_entry__``, the CLI) calls
+:func:`enable_persistent_cache` before its first ``jit``; the location
+can be overridden with ``RGNIR_COMPILE_CACHE_DIR`` (set it to an empty
+string to disable). ``rgnir-tpu warmup`` pre-compiles the bench +
+pipeline variants into the cache explicitly.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional
+
+
+def default_cache_dir() -> Path:
+    """``<repo>/.jax_cache`` when running from a checkout (this file is
+    at ``<repo>/rgnir_tpu/utils/``), else ``~/.cache/rgnir_tpu/jax``."""
+    repo = Path(__file__).resolve().parents[2]
+    if (repo / "pyproject.toml").exists():
+        return repo / ".jax_cache"
+    return Path.home() / ".cache" / "rgnir_tpu" / "jax"
+
+
+def enable_persistent_cache(cache_dir: Optional[os.PathLike] = None) -> Optional[Path]:
+    """Point JAX's persistent compilation cache at the repo artifact.
+
+    Idempotent; returns the cache dir (or None when disabled via
+    ``RGNIR_COMPILE_CACHE_DIR=""``). Safe to call before or after
+    backend init — the config is read at compile time.
+    """
+    import jax
+
+    if cache_dir is None:
+        env = os.environ.get("RGNIR_COMPILE_CACHE_DIR")
+        if env is not None:
+            if not env:
+                return None
+            cache_dir = Path(env)
+        else:
+            cache_dir = default_cache_dir()
+    cache_dir = Path(cache_dir)
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return cache_dir
