@@ -110,23 +110,125 @@ class StreamAnalyzer:
             return self._inflight.popleft()
         return None
 
+    def flush_partial(self) -> None:
+        """Dispatch a partially-filled batch now (latency policy hook).
+
+        Pads the staged frames to the compiled batch shape with zero
+        frames — whose results are dropped — so no new executable
+        compiles. Used by the multi-ring demux when frames have waited
+        longer than its latency budget; harmless when nothing is
+        staged.
+        """
+        if not self._staged:
+            return
+        real = len(self._staged)
+        while len(self._staged) < self.batch:
+            self._staged.append(
+                np.zeros(self.frame_shape + (3,), np.uint8)
+            )
+        drop_after = self._next_id + real
+        self._dispatch_staged()
+        self._next_id = drop_after
+        while self._inflight and self._inflight[-1].frame_id >= drop_after:
+            self._inflight.pop()
+
+    def pop_ready(self):
+        """Yield completed results beyond the pipelining depth (never
+        blocks the device: FrameResult arrays are fetched lazily)."""
+        while len(self._inflight) > self.depth * self.batch:
+            yield self._inflight.popleft()
+
     def drain(self):
         """Flush any partial batch, then yield all remaining results."""
-        if self._staged:
-            # Pad the tail batch to the compiled shape with zero frames
-            # (their results are dropped) so no new executable compiles.
-            real = len(self._staged)
-            while len(self._staged) < self.batch:
-                self._staged.append(
-                    np.zeros(self.frame_shape + (3,), np.uint8)
-                )
-            drop_after = self._next_id + real
-            self._dispatch_staged()
-            self._next_id = drop_after
-            while self._inflight and self._inflight[-1].frame_id >= drop_after:
-                self._inflight.pop()
+        self.flush_partial()
         while self._inflight:
             yield self._inflight.popleft()
+
+    def run_from_rings(
+        self,
+        rings: Sequence,
+        max_frames: Optional[int] = None,
+        idle_sleep_s: float = 0.0005,
+        max_latency_s: float = 0.05,
+    ):
+        """Demultiplex N producer rings into this (batched) analyzer.
+
+        The production multi-camera topology: one shared-memory
+        FrameRing per producer process, one batched device pipeline.
+        Yields ``(stream_index, per_stream_seq, FrameResult)`` tuples.
+
+        Policies:
+          - **Fairness**: round-robin, at most one frame per ring per
+            sweep — a fast producer cannot starve a slow one, and
+            per-stream order is preserved exactly (ring order is
+            submission order is result order).
+          - **Latency**: when a partial batch has waited longer than
+            ``max_latency_s`` with no new frames arriving, it is
+            flushed (padded to the compiled batch shape) rather than
+            held until the batch fills — bounded latency under bursty
+            or unbalanced producers.
+          - **EOF**: a ring is retired after its producer's
+            ``finish()`` flag is observed AND one further empty pop
+            proves it drained (the release/acquire ordering of
+            fr_finish guarantees no frame can be missed). The
+            generator ends when every ring has retired (or after
+            ``max_frames`` total frames).
+        """
+        import time as _time
+
+        n_rings = len(rings)
+        seqs = [0] * n_rings
+        eof_seen = [False] * n_rings
+        done = [False] * n_rings
+        order: Deque[Tuple[int, int]] = collections.deque()
+        consumed = 0
+        staged_since: Optional[float] = None
+
+        def route(result):
+            si, seq = order.popleft()
+            return si, seq, result
+
+        while not all(done):
+            if max_frames is not None and consumed >= max_frames:
+                break
+            progress = False
+            for si, ring in enumerate(rings):
+                if done[si]:
+                    continue
+                frame = ring.try_pop()
+                if frame is None:
+                    if eof_seen[si]:
+                        done[si] = True
+                    elif getattr(ring, "eof", False):
+                        eof_seen[si] = True  # re-pop once more next sweep
+                    continue
+                eof_seen[si] = False
+                progress = True
+                order.append((si, seqs[si]))
+                seqs[si] += 1
+                consumed += 1
+                if staged_since is None:
+                    staged_since = _time.monotonic()
+                result = self.submit(frame)
+                if not self._staged:
+                    staged_since = None
+                if result is not None:
+                    yield route(result)
+                if max_frames is not None and consumed >= max_frames:
+                    break
+            if not progress:
+                if (
+                    staged_since is not None
+                    and _time.monotonic() - staged_since > max_latency_s
+                ):
+                    self.flush_partial()
+                    staged_since = None
+                    for r in self.pop_ready():
+                        yield route(r)
+                elif not all(done):
+                    _time.sleep(idle_sleep_s)
+        for r in self.drain():
+            yield route(r)
 
     def run_from_ring(self, ring, max_frames: Optional[int] = None,
                       idle_sleep_s: float = 0.0005):

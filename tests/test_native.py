@@ -13,6 +13,26 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+def _producer_striped(name, shape, count, sid, finish=True):
+    """Producer whose frame content encodes (stream, seq): the first
+    ``k = 3*sid + seq + 1`` rows have NIR=255/R=0 (NDVI ~ 1 there,
+    0 elsewhere), so vegetation coverage == k/H exactly — the consumer
+    can verify each result routed to the right (stream, seq)."""
+    ring = FrameRing.open(name, shape)
+    sent = 0
+    while sent < count:
+        frame = np.zeros(shape, dtype=np.uint8)
+        k = 3 * sid + sent + 1
+        frame[:k, :, 2] = 255
+        if ring.try_push(frame):
+            sent += 1
+        else:
+            time.sleep(0.0005)
+    if finish:
+        ring.finish()
+    ring.close()
+
+
 def _producer(name, shape, count, finish=False):
     ring = FrameRing.open(name, shape)
     rng = np.random.default_rng(0)
@@ -78,6 +98,73 @@ class TestFrameRing:
             results = list(analyzer.run_from_ring(ring))  # must terminate
             proc.join(timeout=10)
         assert [r.frame_id for r in results] == list(range(count))
+
+    def test_multi_ring_demux_ordered_lossless(self):
+        """4 producer PROCESSES -> 4 rings -> one batched analyzer
+        (run_from_rings): every frame of every stream is delivered, in
+        per-stream order, routed to the right stream — verified from
+        the frame CONTENT (coverage encodes (stream, seq))."""
+        from rgnir_tpu.pipeline.streaming import StreamAnalyzer
+
+        shape, count, n_streams = (32, 16, 3), 5, 4
+        h = shape[0]
+        ctx = mp.get_context("spawn")
+        rings, procs = [], []
+        try:
+            for si in range(n_streams):
+                name = f"/rgnir_demux_{si}"
+                rings.append(FrameRing.create(name, shape, capacity=3))
+                p = ctx.Process(
+                    target=_producer_striped, args=(name, shape, count, si)
+                )
+                p.start()
+                procs.append(p)
+            analyzer = StreamAnalyzer(
+                frame_shape=shape[:2], kinds=("NDVI",), batch=8
+            )
+            got = list(analyzer.run_from_rings(rings, max_latency_s=0.02))
+            for p in procs:
+                p.join(timeout=10)
+        finally:
+            for r in rings:
+                r.close()
+        assert len(got) == n_streams * count  # lossless
+        per_stream = {si: [] for si in range(n_streams)}
+        for si, seq, res in got:
+            per_stream[si].append((seq, res))
+        for si in range(n_streams):
+            seqs = [seq for seq, _ in per_stream[si]]
+            assert seqs == list(range(count)), f"stream {si} order"
+            for seq, res in per_stream[si]:
+                cov = float(res.stats["NDVI"].coverage_pct)
+                k = round(cov * h / 100.0)
+                assert k == 3 * si + seq + 1, (si, seq, cov)
+
+    def test_multi_ring_partial_batch_via_max_frames(self):
+        """A batch-8 analyzer fed only 3 frames still delivers all 3
+        (latency flush + drain padding), with correct routing."""
+        from rgnir_tpu.pipeline.streaming import StreamAnalyzer
+
+        shape = (32, 16, 3)
+        with FrameRing.create("/rgnir_demux_p0", shape, capacity=4) as r0, \
+                FrameRing.create("/rgnir_demux_p1", shape, capacity=4) as r1:
+            for seq in range(2):
+                frame = np.zeros(shape, np.uint8)
+                frame[:seq + 1, :, 2] = 255
+                assert r0.try_push(frame)
+            frame = np.zeros(shape, np.uint8)
+            frame[:4, :, 2] = 255  # stream 1, k = 3*1+0+1 = 4
+            assert r1.try_push(frame)
+            analyzer = StreamAnalyzer(
+                frame_shape=shape[:2], kinds=("NDVI",), batch=8
+            )
+            got = list(analyzer.run_from_rings([r0, r1], max_frames=3))
+        assert sorted((si, seq) for si, seq, _ in got) == [
+            (0, 0), (0, 1), (1, 0)
+        ]
+        for si, seq, res in got:
+            k = round(float(res.stats["NDVI"].coverage_pct) * 32 / 100.0)
+            assert k == 3 * si + seq + 1
 
     def test_non_uint8_push_rejected(self):
         with FrameRing.create("/rgnir_test_ring_dt", (4, 4, 3),
