@@ -1,0 +1,161 @@
+"""Roofline accounting for the benchmark configs (round-2 verdict #3).
+
+For each config this derives, from the kernel structure (term-by-term,
+auditable below), the HBM bytes moved per input pixel and the VPU
+elementwise ops per input pixel, then combines them with the measured
+throughput (BENCH_r*.json or a run_configs JSON line) into implied
+bandwidth / compute rates and percent-of-peak. The point is to answer
+"is it actually fast or just faster than NumPy": which resource binds,
+how saturated it is, and therefore where the next optimization must go.
+
+Peaks (TPU v5e, one chip):
+  - HBM: 819 GB/s (public spec).
+  - MXU: 197 TFLOP/s bf16. The one-hot contractions use it at a few
+    percent; it is never the binding resource for these kernels and is
+    reported only as a sanity column.
+  - VPU: modeled as 8x128 lanes x 4 ALUs x ~1.75 GHz ~= 7.2e12
+    elementwise ops/s. This is an architectural upper bound; real
+    achievable VPU throughput on mixed compare/select/add streams is
+    commonly ~half that, so the table reports utilization against BOTH
+    (columns vpu%_peak and vpu%_half).
+
+Per-pixel term derivations (see kernels/fused.py, kernels/select.py,
+kernels/hist.py; K = number of index kinds, R = renders on/off):
+
+HBM bytes/pixel:
+  hist kernel        : read u8 image            -> 3
+  fused kernel       : read image 3, write wb 3,
+                       write index maps 4K, write renders 3K*R
+  two-pass variance  : read index maps          -> 4K
+  median select      : rounds * read index maps -> 4K * rounds
+                       (rounds = 3 with the fused round-0 histogram,
+                        4 without)
+  even-n successor   : read index maps          -> 4K
+  bench-loop carry   : wb xor render read+write -> ~9 (renders) / ~6
+
+VPU ops/pixel (elementwise lane ops; compares/selects/adds ~1 each):
+  white balance      : ~6 per channel           -> 18
+  index              : ~7 per kind              -> 7K
+  stats partials     : sum/sumsq/min/max/above  -> ~10K
+  50-bin histogram   : 64-edge ge matrix + row
+                       reduce                   -> ~128K   (largest!)
+  colormap render    : i256 + two 16-one-hots +
+                       3-channel lo-reduce      -> ~85K * R
+  median select      : key build + prefix mask +
+                       byte + two 16-one-hots   -> ~45K * rounds
+  variance pass      : ~4K ; successor min: ~3K
+
+Usage:
+  python benchmarks/roofline.py BENCH_r03.json       # annotate a bench
+  python benchmarks/roofline.py                      # latest BENCH_r*
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import sys
+from pathlib import Path
+
+HBM_PEAK = 819e9           # bytes/s
+VPU_PEAK = 7.2e12          # modeled elementwise ops/s (see docstring)
+MXU_PEAK = 197e12          # bf16 FLOP/s
+
+
+def model(kinds: int, renders: bool, select_rounds: int = 3,
+          sharded: bool = False):
+    """(bytes/px, vpu ops/px, mxu flops/px) for one analyze step."""
+    k, r = kinds, (1 if renders else 0)
+    bytes_px = (
+        3                      # hist kernel image read
+        + 3 + 3 + 4 * k + 3 * k * r   # fused: read, wb, idx, renders
+        + 4 * k                # variance pass
+        + 4 * k * select_rounds
+        + 4 * k                # even-n successor min
+        + (9 if renders else 6)  # bench-loop carry traffic
+    )
+    vpu_px = (
+        18 + 7 * k + 10 * k
+        + 128 * k              # 50-bin exact-edge ge matrix
+        + 85 * k * r           # colormap render
+        + 45 * k * select_rounds
+        + 4 * k + 3 * k
+    )
+    # MXU: nibble one-hot contractions. Per 16-wide dot pair: 2*16*16
+    # MACs per pixel-column ~= 1024 flops/px for hist+render+select.
+    mxu_px = 1024.0 * k * (1 + r + select_rounds / 2)
+    if sharded:
+        vpu_px += 10 * k       # psum/collective epilogue (negligible)
+    return bytes_px, vpu_px, mxu_px
+
+
+# config name -> (kinds, renders, sharded)
+CONFIGS = {
+    "1_single_512_ndvi_stats": (1, False, False),
+    "2_batch32_3idx_renders": (3, True, False),
+    "3_mosaic_4096_fused": (1, True, False),
+    "4_stream_1080p_3idx": (3, False, False),
+    "5_survey_8192_fused": (1, False, False),
+    "6_mosaic_4096_shardmap_kernel": (1, False, True),
+}
+
+
+def annotate(records, select_rounds: int = 3):
+    rows = []
+    for rec in records:
+        name = rec.get("config")
+        if name not in CONFIGS:
+            continue
+        kinds, renders, sharded = CONFIGS[name]
+        b_px, v_px, m_px = model(kinds, renders, select_rounds, sharded)
+        pix_s = rec["mpix_per_s"] * 1e6
+        hbm = b_px * pix_s
+        vpu = v_px * pix_s
+        mxu = m_px * pix_s
+        rows.append({
+            "config": name,
+            "mpix_s": rec["mpix_per_s"],
+            "bytes_px": b_px,
+            "vpu_ops_px": v_px,
+            "hbm_gb_s": round(hbm / 1e9, 1),
+            "hbm_pct": round(100 * hbm / HBM_PEAK, 1),
+            "vpu_tops": round(vpu / 1e12, 2),
+            "vpu_pct_peak": round(100 * vpu / VPU_PEAK, 1),
+            "vpu_pct_half": round(100 * vpu / (VPU_PEAK / 2), 1),
+            "mxu_pct": round(100 * mxu / MXU_PEAK, 1),
+            "binding": (
+                "VPU" if vpu / VPU_PEAK > hbm / HBM_PEAK else "HBM"
+            ),
+        })
+    return rows
+
+
+def main() -> None:
+    if len(sys.argv) > 1:
+        path = Path(sys.argv[1])
+    else:
+        candidates = sorted(glob.glob(
+            str(Path(__file__).resolve().parent.parent / "BENCH_r*.json")
+        ))
+        if not candidates:
+            raise SystemExit("no BENCH_r*.json found")
+        path = Path(candidates[-1])
+    data = json.loads(path.read_text())
+    records = data["configs"] if isinstance(data, dict) else data
+    rows = annotate(records)
+    print(f"# roofline vs {path.name}")
+    hdr = ("| config | MPix/s | B/px | VPUops/px | HBM GB/s (%) | "
+           "VPU Top/s (%peak / %half) | MXU % | binding |")
+    print(hdr)
+    print("|" + "---|" * 8)
+    for r in rows:
+        print(
+            f"| {r['config']} | {r['mpix_s']} | {r['bytes_px']} | "
+            f"{r['vpu_ops_px']} | {r['hbm_gb_s']} ({r['hbm_pct']}%) | "
+            f"{r['vpu_tops']} ({r['vpu_pct_peak']}% / {r['vpu_pct_half']}%) | "
+            f"{r['mxu_pct']}% | {r['binding']} |"
+        )
+
+
+if __name__ == "__main__":
+    main()

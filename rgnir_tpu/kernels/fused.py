@@ -54,7 +54,11 @@ S_SUM, S_SUMSQ, S_MIN, S_MAX, S_ABOVE = 0, 1, 2, 3, 4
 S_HIST = 64  # 50 bins at [64:114]
 
 # Exact f32 histogram edges (np.histogram parity), padded to 64, fed
-# through SMEM.
+# through SMEM. The (-1, 1, 50) binning is NOT affine-certifiable
+# (np.linspace's f32 edges are not exact 0.04 multiples — 34 of 100
+# boundary checks fail, verified 2026-08-17), so the kernel must count
+# against the exact edges; a floor((v+1)*25) shortcut would silently
+# diverge from np.histogram at edge-straddling pixels.
 _EDGES50_PAD = np.concatenate(
     [np.linspace(-1.0, 1.0, 51).astype(np.float32),
      np.full(13, np.inf, np.float32)]
@@ -70,12 +74,12 @@ def _fused_kernel(
     wb_ref, idx_ref, *out_rest,
     kinds: Tuple[IndexKind, ...],
     with_renders: bool,
+    with_round0: bool,
 ):
-    if with_renders:
-        rgb_ref, stats_ref = out_rest
-    else:
-        (stats_ref,) = out_rest
-        rgb_ref = None
+    out_rest = list(out_rest)
+    rgb_ref = out_rest.pop(0) if with_renders else None
+    stats_ref = out_rest.pop(0)
+    r0_ref = out_rest.pop(0) if with_round0 else None
     step = pl.program_id(0)
     c, br, wc = img_ref.shape
     n = br * wc
@@ -92,6 +96,8 @@ def _fused_kernel(
         init = jnp.where(lane == S_MIN, jnp.inf, init)
         init = jnp.where(lane == S_MAX, -jnp.inf, init)
         stats_ref[...] = init
+        if r0_ref is not None:
+            r0_ref[...] = jnp.zeros_like(r0_ref)
 
     pos = (
         jax.lax.broadcasted_iota(jnp.int32, (br, wc), 0) * wc
@@ -144,7 +150,9 @@ def _fused_kernel(
         # against the exact f32 edges — one ge matrix, lane-reduced on
         # the VPU (an M=1 MXU dot leaves the systolic array idle and
         # measured ~8% slower, benchmarks/exp_int8.py); the wrapper
-        # differences adjacent C into bins (right-closed last).
+        # differences adjacent C into bins (right-closed last). The
+        # edges must be exact (see _EDGES50_PAD note): affine binning
+        # is not certifiable for this range.
         edges_col = jnp.concatenate(
             [edges_ref[j].reshape(1, 1) for j in range(51)]
             + [jnp.full((13, 1), jnp.inf, jnp.float32)],
@@ -169,6 +177,31 @@ def _fused_kernel(
             row,
         )
         add_rows.append(row)
+
+        # --- radix-select round 0 (top-byte histogram) -----------------
+        # The median select (kernels/select.py) re-reads the index maps
+        # once per radix round; its round 0 needs no prefix, so emit its
+        # byte histogram HERE while idx is still in VMEM — one fewer
+        # full HBM pass downstream. Same key/one-hot construction as
+        # _byte_hist_kernel (invalid -> byte 256, matching nothing).
+        if r0_ref is not None:
+            bits = jax.lax.bitcast_convert_type(idx, jnp.uint32)
+            keys = jnp.where(
+                bits >> 31 == 1, ~bits, bits | jnp.uint32(0x80000000)
+            )
+            kbyte = (keys >> jnp.uint32(24)).astype(jnp.int32)
+            kbyte = jnp.where(valid, kbyte, 256).reshape(1, n)
+            r0_hi = jnp.where(
+                (kbyte >> 4) == nib_col, jnp.float32(1), jnp.float32(0)
+            )
+            r0_lo = jnp.where(
+                (kbyte & 15) == nib_col, jnp.float32(1), jnp.float32(0)
+            )
+            r0_ref[k] += jax.lax.dot_general(
+                r0_hi, r0_lo,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
 
         # --- colormap render (nibble one-hot MXU LUT) ------------------
         if not with_renders:
@@ -211,7 +244,9 @@ def _fused_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kinds", "block_r", "interpret", "with_renders"),
+    static_argnames=(
+        "kinds", "block_r", "interpret", "with_renders", "with_round0",
+    ),
 )
 def _fused_call(
     img_pl: jax.Array,
@@ -221,6 +256,7 @@ def _fused_call(
     interpret: bool,
     n_valid=None,
     with_renders: bool = True,
+    with_round0: bool = False,
 ):
     c, h, w = img_pl.shape
     k = len(kinds)
@@ -244,7 +280,8 @@ def _fused_call(
     )
     grid = (rows // block_r,)
     kernel = functools.partial(
-        _fused_kernel, kinds=kinds, with_renders=with_renders
+        _fused_kernel, kinds=kinds, with_renders=with_renders,
+        with_round0=with_round0,
     )
     out = pl.pallas_call(
         kernel,
@@ -271,6 +308,9 @@ def _fused_call(
                else [])
             + [pl.BlockSpec((k, 128), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)]
+            + ([pl.BlockSpec((k, 16, 16), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)] if with_round0
+               else [])
         ),
         out_shape=tuple(
             [
@@ -280,6 +320,8 @@ def _fused_call(
             + ([jax.ShapeDtypeStruct((k, c, rows, _LANES), jnp.uint8)]
                if with_renders else [])
             + [jax.ShapeDtypeStruct((k, 128), jnp.float32)]
+            + ([jax.ShapeDtypeStruct((k, 16, 16), jnp.int32)]
+               if with_round0 else [])
         ),
         interpret=interpret,
     )(
@@ -287,11 +329,12 @@ def _fused_call(
         jnp.asarray(_EDGES50_PAD),
         jnp.asarray(n_valid, jnp.int32).reshape(1),
     )
-    if with_renders:
-        wb, idx, rgb, stats = out
-    else:
-        wb, idx, stats = out
-        rgb = None
+    out = list(out)
+    wb = out.pop(0)
+    idx = out.pop(0)
+    rgb = out.pop(0) if with_renders else None
+    stats = out.pop(0)
+    r0 = out.pop(0).reshape(k, 256) if with_round0 else None
     # unflatten + drop tail padding (XLA-side reshapes, contiguous)
     wb = wb.reshape(c, -1)[:, :n].reshape(c, h, w)
     idx = idx.reshape(k, -1)[:, :n].reshape(k, h, w)
@@ -305,6 +348,8 @@ def _fused_call(
     stats = stats.at[:, S_HIST:S_HIST + 49].set(bins)
     stats = stats.at[:, S_HIST + 49].set(cum[:, 49])
     stats = stats.at[:, S_HIST + 50:].set(0.0)
+    if with_round0:
+        return wb, idx, rgb, stats, r0
     return wb, idx, rgb, stats
 
 
@@ -317,6 +362,7 @@ def fused_analyze_pallas(
     interpret: Optional[bool] = None,
     n_valid=None,
     with_renders: bool = True,
+    with_round0: bool = False,
 ):
     """Fused WB+index+stats+render of a planar ``(3, H, W)`` uint8 image.
 
@@ -324,7 +370,11 @@ def fused_analyze_pallas(
     ``n_valid`` (int or traced): count of valid row-major pixels for
     stats masking (sharded callers pass their shard's live count).
     Returns ``(wb_planar u8, index (K,H,W) f32, rgb (K,3,H,W) u8,
-    stats_partials (K,128) f32)`` with the S_* layout of this module.
+    stats_partials (K,128) f32)`` with the S_* layout of this module;
+    with ``with_round0`` a fifth element — the median radix-select's
+    round-0 byte histogram, ``(K, 256) int32`` — is appended (feed it
+    to ``kernels.select.masked_median_pallas(round0_hist=...)`` to skip
+    one full read of the index maps).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -332,5 +382,5 @@ def fused_analyze_pallas(
     bounds = jnp.stack([lo.astype(jnp.float32), hi.astype(jnp.float32)])
     return _fused_call(
         img_pl, bounds, kinds, block_r, interpret, n_valid,
-        with_renders=with_renders,
+        with_renders=with_renders, with_round0=with_round0,
     )

@@ -44,8 +44,13 @@ def _core(img_hwc: jax.Array, kinds: Tuple[IndexKind, ...],
     pl_img = jnp.moveaxis(img_hwc, -1, -3)
     hist = planar_histograms_pallas(pl_img)
     lo, hi = wb_bounds_from_histogram(hist, n=h * w, cfg=wb_cfg)
+    # with_round0: the fused kernel emits the median select's round-0
+    # byte histogram while the index maps are in VMEM, saving the
+    # select one full HBM pass. Its in-VMEM f32 accumulation is exact
+    # below 2^24 counts per bin; larger images take the 4-round path.
     return fused_analyze_pallas(
-        pl_img, lo, hi, kinds, with_renders=with_renders
+        pl_img, lo, hi, kinds, with_renders=with_renders,
+        with_round0=h * w < 2**24,
     )
 
 
@@ -68,19 +73,22 @@ def analyze_image_kernel(
     n = h * w
 
     if batched:
-        wb_pl, idx, rgb, stats = jax.vmap(
-            lambda x: _core(x, kinds, cfg, with_renders)
-        )(img)
+        out = jax.vmap(lambda x: _core(x, kinds, cfg, with_renders))(img)
         # leading batch: wb_pl (B,3,H,W), idx (B,K,H,W), stats (B,K,128)
-        wb = jnp.moveaxis(wb_pl, -3, -1)
     else:
-        wb_pl, idx, rgb, stats = _core(img, kinds, cfg, with_renders)
-        wb = jnp.moveaxis(wb_pl, -3, -1)
+        out = _core(img, kinds, cfg, with_renders)
+    wb_pl, idx, rgb, stats = out[:4]
+    r0 = out[4] if len(out) > 4 else None
+    wb = jnp.moveaxis(wb_pl, -3, -1)
 
     # One radix-select launch covers every (batch, kind) median: the
     # select kernel batches through its leading grid dimension, so
-    # fusing B*K selections into one call saves K*4 kernel dispatches.
-    meds = masked_median_pallas(idx, n, reduce_ndim=2)  # (B,K) or (K,)
+    # fusing B*K selections into one call saves K*4 kernel dispatches;
+    # the fused kernel's round-0 histogram saves one of the four data
+    # passes on top.
+    meds = masked_median_pallas(
+        idx, n, reduce_ndim=2, round0_hist=r0
+    )  # (B,K) or (K,)
 
     # Two-pass variance: the kernel's one-pass E[x^2]-E[x]^2 partials
     # cancel catastrophically for tightly clustered indices (std error

@@ -49,7 +49,7 @@ def _byte_hist_kernel(
     the data before the rounds. Padding is masked positionally against
     the SMEM ``nvalid_ref`` scalar (traced — per-shard dynamic row
     counts cost no recompiles), so the pad fill value is irrelevant.
-    out_ref: (1, 16, 16) f32 accumulated."""
+    out_ref: (1, 16, 16) int32 accumulated."""
     bi = pl.program_id(0)
     step = pl.program_id(1)
     _, br, wc = vals_ref.shape
@@ -95,11 +95,15 @@ def _byte_hist_kernel(
         (brow >> 4) == nib_col, jnp.float32(1), jnp.float32(0)
     )
     oh_lo = jnp.where((brow & 15) == nib_col, jnp.float32(1), jnp.float32(0))
+    # int32 accumulation: per-block dot counts are exact in f32
+    # (block < 2^24 elements) and the cross-block int32 sum stays exact
+    # to 2^31 — an f32 accumulator would silently round once any bin
+    # exceeds 2^24 (e.g. a constant 32 MPix mosaic).
     out_ref[0] += jax.lax.dot_general(
         oh_hi, oh_lo,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    ).astype(jnp.int32)
 
 
 @functools.partial(
@@ -134,10 +138,10 @@ def _byte_hist(
         ],
         out_specs=pl.BlockSpec((1, 16, 16), lambda bi, i: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 16, 16), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, 16, 16), jnp.int32),
         interpret=interpret,
     )(vals, prefix, nv)
-    return out.reshape(b, 256).astype(jnp.int32)
+    return out.reshape(b, 256)
 
 
 def _select_batched(
@@ -146,14 +150,26 @@ def _select_batched(
     n_valid: int,
     block_r: int,
     interpret: bool,
+    round0_hist: Optional[jax.Array] = None,
 ):
-    """4 radix rounds; returns (key (B,), eq_minus_rank (B,))."""
+    """4 radix rounds; returns (key (B,), eq_minus_rank (B,)).
+
+    ``round0_hist``: optional precomputed (B, 256) int32 byte histogram
+    of ``(key >> 24) & 255`` over the valid values (what the fused
+    kernel emits with ``with_round0``) — round 0 then costs no data
+    pass at all, only the O(256) cdf scan.
+    """
     b = vals.shape[0]
     prefix = jnp.zeros((b,), jnp.uint32)
     rk = jnp.asarray(rank, jnp.int32)
     eq_minus_rank = None
     for shift in (24, 16, 8, 0):
-        hist = _byte_hist(vals, prefix, shift, n_valid, block_r, interpret)
+        if shift == 24 and round0_hist is not None:
+            hist = round0_hist
+        else:
+            hist = _byte_hist(
+                vals, prefix, shift, n_valid, block_r, interpret
+            )
         cdf = jnp.cumsum(hist, axis=-1)  # (B, 256)
         sel = jnp.sum((cdf <= rk[:, None]).astype(jnp.int32), axis=-1)
         below = jnp.take_along_axis(
@@ -216,6 +232,7 @@ def masked_median_pallas(
     reduce_ndim: int = 1,
     block_r=None,
     interpret: Optional[bool] = None,
+    round0_hist: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Exact median (numpy even-n semantics) via the kernel radix-select.
 
@@ -223,6 +240,10 @@ def masked_median_pallas(
     single min over values strictly greater than the selected one
     (float order == key order on non-NaN data), taken over the unpadded
     input so no key array is ever materialized.
+
+    ``round0_hist``: optional ``batch_shape + (256,)`` int32 top-byte
+    key histogram emitted by the fused kernel (``with_round0``) — skips
+    round 0's full data pass.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -237,8 +258,9 @@ def masked_median_pallas(
     rows = _pack_rows(flat, block_r)
     b = rows.shape[0]
     rank = jnp.full((b,), (n_valid - 1) // 2, jnp.int32)
+    r0 = None if round0_hist is None else round0_hist.reshape(-1, 256)
     key_lo, eq_minus_rank = _select_batched(
-        rows, rank, n_valid, block_r, interpret
+        rows, rank, n_valid, block_r, interpret, round0_hist=r0
     )
     lo = f32_from_ordered_u32(key_lo)
     if n_valid % 2 == 1:

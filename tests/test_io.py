@@ -304,8 +304,13 @@ class TestVizSmoke:
             reused = tmp_path / f"re_{i}.png"
             save_index_figure(arr, "NDVI", one_shot)
             writer.write(arr, "NDVI", reused)
-            a = np.asarray(Image.open(one_shot))
-            b = np.asarray(Image.open(reused))
+            a = np.asarray(Image.open(one_shot).convert("RGB"))
+            b = np.asarray(Image.open(reused).convert("RGB"))
+            # one-shot saves RGBA with opaque alpha; the blit writer
+            # saves RGB directly — pixel content must match exactly.
+            assert np.asarray(Image.open(one_shot))[..., 3:].min(
+                initial=255
+            ) == 255
             assert a.shape == b.shape
             np.testing.assert_array_equal(a, b)
 

@@ -111,6 +111,39 @@ class TestFusedKernel:
                 np.asarray(st.histogram),
             )
 
+    def test_round0_hist_matches_select_round0(self, rng):
+        """The fused kernel's with_round0 output must equal the select
+        kernel's own round-0 byte histogram (shift 24, empty prefix) so
+        skipping that round changes nothing."""
+        from rgnir_tpu.kernels.select import (
+            _pack_rows, _byte_hist, masked_median_pallas,
+        )
+
+        img_hwc = rng.integers(0, 256, (37, 53, 3), dtype=np.uint8)
+        pl_img = jnp.moveaxis(jnp.asarray(img_hwc), -1, -3)
+        hist = planar_histograms(pl_img)
+        n = 37 * 53
+        lo, hi = wb_bounds_from_histogram(hist, n=n)
+        kinds = ("NDVI", "NDWI")
+        wb, idx, rgb, stats, r0 = fused_analyze_pallas(
+            pl_img, lo, hi, kinds, block_r=4, with_round0=True
+        )
+        assert r0.shape == (2, 256)
+        flat = idx.reshape(2, -1)
+        rows = _pack_rows(flat, 4)
+        ref_hist = _byte_hist(
+            rows, jnp.zeros((2,), jnp.uint32), 24, n, 4, True
+        )
+        np.testing.assert_array_equal(np.asarray(r0), np.asarray(ref_hist))
+        # and the median via the precomputed round 0 is bit-identical
+        med_skip = masked_median_pallas(
+            idx, n, reduce_ndim=2, round0_hist=r0
+        )
+        med_full = masked_median_pallas(idx, n, reduce_ndim=2)
+        np.testing.assert_array_equal(
+            np.asarray(med_skip), np.asarray(med_full)
+        )
+
     def test_unaligned_and_stats_masking(self, rng):
         img_hwc = rng.integers(0, 256, (41, 77, 3), dtype=np.uint8)
         pl_img = jnp.moveaxis(jnp.asarray(img_hwc), -1, -3)
