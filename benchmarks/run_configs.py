@@ -121,7 +121,49 @@ def run_all(quick: bool = False):
         "6_mosaic_4096_shardmap_kernel", (4096, 4096, 3), ("NDVI",),
         ns=ns if quick else (10, 110), reps=reps,
     )
+    # 7. TRUE gigapixel on one chip: 32768^2 = 1.07 GPix host-streamed
+    #    through the joint-histogram band reduction — larger than HBM
+    #    could hold as index/render maps, exact global stats
+    #    (pipeline/gigapixel.py; BASELINE config 5's name made honest).
+    run_streamed_config("7_gigapixel_stream_32768", 32768)
     return list(RESULTS), derived
+
+
+def run_streamed_config(name, side, band_rows=4096):
+    """One-shot wall-clock of the streamed gigapixel path (it is a
+    single pass by construction — the 32-band stream amortizes tunnel
+    dispatch latency, so slope timing is unnecessary). The synthetic
+    mosaic is generated up front (host RAM) so the timing covers
+    device_put + device reduction + the 65536-bin closure only."""
+    from rgnir_tpu.pipeline.gigapixel import analyze_mosaic_streamed
+
+    rng = np.random.default_rng(0)
+    rows = [
+        rng.integers(0, 256, (band_rows, side, 3), dtype=np.uint8)
+        for _ in range(side // band_rows)
+    ]
+
+    def bands():
+        for r in rows:
+            yield r
+
+    # warm the compiled band reduction on one band so the one-shot
+    # timing below measures the steady path, not compilation
+    analyze_mosaic_streamed(iter(rows[:1]), kinds=("NDVI",))
+    t0 = time.perf_counter()
+    res = analyze_mosaic_streamed(bands(), kinds=("NDVI",))
+    dt = time.perf_counter() - t0
+    mpix = side * side / 1e6
+    rec = {
+        "config": name,
+        "ms_per_step": round(dt * 1e3, 1),
+        "mpix_per_step": round(float(mpix), 2),
+        "mpix_per_s": round(float(mpix / dt), 1),
+        "ndvi_median": float(res.stats["NDVI"].median),
+    }
+    RESULTS.append(rec)
+    print(json.dumps(rec), flush=True)
+    return rec
 
 
 def run_sharded_config(name, shape, kinds, ns=(10, 60), reps=3):
@@ -179,6 +221,8 @@ def main() -> None:
         "5_survey_8192_fused": "8192² survey mosaic, fused WB+NDVI",
         "6_mosaic_4096_shardmap_kernel":
             "4096² via shard_map Pallas shard body (1-device TPU mesh)",
+        "7_gigapixel_stream_32768":
+            "32768² (1.07 GPix) host-streamed joint-hist band reduction",
     }
     for i, rec in enumerate(RESULTS, 1):
         lines.append(
