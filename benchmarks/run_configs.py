@@ -33,10 +33,17 @@ from rgnir_tpu.pipeline.dispatch import analyze_image_auto  # noqa: E402
 RESULTS = []
 
 
-def _body(kinds, renders=True):
+def _body(kinds, renders=True, hist=False):
+    # hist=False is the reference-parity stat set: analyze_index
+    # (process-images.py:492-513) computes mean/median/min/max/coverage
+    # and NO histogram — only the single-report flow (config 1) builds
+    # the 50-bin histogram. Configs pay for exactly what the reference
+    # capability they mirror computes.
     def body(i, carry):
         img, acc = carry
-        r = analyze_image_auto(img, kinds=kinds, with_renders=renders)
+        r = analyze_image_auto(
+            img, kinds=kinds, with_renders=renders, with_hist=hist
+        )
         first = kinds[0]
         # The carry must depend on the step's FULL compute, or XLA's
         # while-loop invariant code motion hoists the whole pass out of
@@ -50,14 +57,17 @@ def _body(kinds, renders=True):
     return body
 
 
-def run_config(name, shape, kinds, renders=True, ns=(20, 120), reps=4):
+def run_config(name, shape, kinds, renders=True, hist=False,
+               ns=(20, 120), reps=4):
     rng = np.random.default_rng(0)
     img = jax.device_put(
         jnp.asarray(rng.integers(0, 256, shape, dtype=np.uint8))
     )
     batch = shape[0] if len(shape) == 4 else 1
     acc0 = jnp.zeros(batch) if len(shape) == 4 else jnp.zeros(())
-    ms = chain_time(_body(kinds, renders), (img, acc0), ns=ns, reps=reps)
+    ms = chain_time(
+        _body(kinds, renders, hist), (img, acc0), ns=ns, reps=reps
+    )
     mpix = np.prod(shape[:-1]) / 1e6
     rec = {
         "config": name,
@@ -82,7 +92,8 @@ def run_all(quick: bool = False):
     # 1. single 512x512: WB + NDVI + stats (process-ndvi path w/ WB)
     run_config(
         "1_single_512_ndvi_stats", (512, 512, 3), ("NDVI",),
-        renders=False, ns=(20, 120) if quick else (50, 450), reps=reps,
+        renders=False, hist=True,  # the report flow DOES build the 50-bin hist
+        ns=(20, 120) if quick else (50, 450), reps=reps,
     )
     # 2. batch of 32 frames, all 3 indices + renders
     run_config(

@@ -58,7 +58,13 @@ S_HIST = 64  # 50 bins at [64:114]
 # (np.linspace's f32 edges are not exact 0.04 multiples — 34 of 100
 # boundary checks fail, verified 2026-08-17), so the kernel must count
 # against the exact edges; a floor((v+1)*25) shortcut would silently
-# diverge from np.histogram at edge-straddling pixels.
+# diverge from np.histogram at edge-straddling pixels. A two-level
+# rank + one-hot edge-gather variant (fewer VPU ops on paper) was
+# built and REVERTED: it relies on a cross-sublane (8, n) reduce and a
+# (n,) -> (br, wc) reshape that real Mosaic silently miscompiles
+# (bit-parity failure on chip, 2026-08-17) — the ge
+# matrix stays, and workloads that do not need the histogram skip the
+# section entirely (with_hist=False).
 _EDGES50_PAD = np.concatenate(
     [np.linspace(-1.0, 1.0, 51).astype(np.float32),
      np.full(13, np.inf, np.float32)]
@@ -75,6 +81,7 @@ def _fused_kernel(
     kinds: Tuple[IndexKind, ...],
     with_renders: bool,
     with_round0: bool,
+    with_hist: bool = True,
 ):
     out_rest = list(out_rest)
     rgb_ref = out_rest.pop(0) if with_renders else None
@@ -150,32 +157,42 @@ def _fused_kernel(
         # against the exact f32 edges — one ge matrix, lane-reduced on
         # the VPU (an M=1 MXU dot leaves the systolic array idle and
         # measured ~8% slower, benchmarks/exp_int8.py); the wrapper
-        # differences adjacent C into bins (right-closed last). The
-        # edges must be exact (see _EDGES50_PAD note): affine binning
-        # is not certifiable for this range.
-        edges_col = jnp.concatenate(
-            [edges_ref[j].reshape(1, 1) for j in range(51)]
-            + [jnp.full((13, 1), jnp.inf, jnp.float32)],
-            axis=0,
-        )  # (64, 1)
-        idx_row = idx_m.reshape(1, n)  # padding = -2.0 < every edge
-        ge = jnp.where(
-            idx_row >= edges_col,
-            jnp.float32(1), jnp.float32(0),
-        )  # (64, n); exact 0/1 counts in f32
-        cum = jnp.sum(ge, axis=1).reshape(1, 64)
+        # differences adjacent C into bins (right-closed last).
+        # Optional (with_hist): the reference's analyze_index
+        # (process-images.py:492-513) computes NO histogram — only the
+        # single-report flow does — so stats-parity workloads skip the
+        # section (and its ~128 VPU ops/pixel, the kernel's largest
+        # single cost) entirely. A two-level-rank variant with fewer
+        # ops was reverted: real Mosaic silently miscompiled its
+        # cross-sublane reduce / (n,)->(br,wc) reshape (bit-parity
+        # failure on chip, 2026-08-17).
+        cum = None
+        if with_hist:
+            edges_col = jnp.concatenate(
+                [edges_ref[j].reshape(1, 1) for j in range(51)]
+                + [jnp.full((13, 1), jnp.inf, jnp.float32)],
+                axis=0,
+            )  # (64, 1)
+            idx_row = idx_m.reshape(1, n)  # padding -2.0 < every edge
+            ge = jnp.where(
+                idx_row >= edges_col,
+                jnp.float32(1), jnp.float32(0),
+            )  # (64, n); exact 0/1 counts in f32
+            cum = jnp.sum(ge, axis=1).reshape(1, 64)
+
         lane1 = lane[:1]  # (1, 128)
         row = jnp.where(lane1 == S_SUM, s_sum, 0.0)
         row = jnp.where(lane1 == S_SUMSQ, s_sumsq, row)
         row = jnp.where(lane1 == S_ABOVE, s_above, row)
-        # lanes [64:128) hold the cumulative histogram counts
-        row = jnp.where(
-            lane1 >= S_HIST,
-            jnp.concatenate(
-                [jnp.zeros((1, 64), jnp.float32), cum], axis=1
-            ),
-            row,
-        )
+        if cum is not None:
+            # lanes [64:128) hold the cumulative histogram counts
+            row = jnp.where(
+                lane1 >= S_HIST,
+                jnp.concatenate(
+                    [jnp.zeros((1, 64), jnp.float32), cum], axis=1
+                ),
+                row,
+            )
         add_rows.append(row)
 
         # --- radix-select round 0 (top-byte histogram) -----------------
@@ -246,6 +263,7 @@ def _fused_kernel(
     jax.jit,
     static_argnames=(
         "kinds", "block_r", "interpret", "with_renders", "with_round0",
+        "with_hist",
     ),
 )
 def _fused_call(
@@ -257,6 +275,7 @@ def _fused_call(
     n_valid=None,
     with_renders: bool = True,
     with_round0: bool = False,
+    with_hist: bool = True,
 ):
     c, h, w = img_pl.shape
     k = len(kinds)
@@ -281,7 +300,7 @@ def _fused_call(
     grid = (rows // block_r,)
     kernel = functools.partial(
         _fused_kernel, kinds=kinds, with_renders=with_renders,
-        with_round0=with_round0,
+        with_round0=with_round0, with_hist=with_hist,
     )
     out = pl.pallas_call(
         kernel,
@@ -341,13 +360,16 @@ def _fused_call(
     if rgb is not None:
         rgb = rgb.reshape(k, c, -1)[:, :, :n].reshape(k, c, h, w)
     # Convert cumulative >=-edge counts into per-bin counts:
-    # hist[i] = C[i] - C[i+1] for i < 49; hist[49] = C[49] (right-closed,
-    # values above edge 50 are impossible for clipped indices).
-    cum = stats[:, S_HIST:S_HIST + 51]
-    bins = cum[:, :49] - cum[:, 1:50]
-    stats = stats.at[:, S_HIST:S_HIST + 49].set(bins)
-    stats = stats.at[:, S_HIST + 49].set(cum[:, 49])
-    stats = stats.at[:, S_HIST + 50:].set(0.0)
+    # hist[i] = C[i] - C[i+1] for i < 49; hist[49] = C[49]
+    # (right-closed; values above edge 50 are impossible for clipped
+    # indices). With with_hist=False the lanes stay zero — callers
+    # surface histogram=None, never silent zero counts.
+    if with_hist:
+        cum = stats[:, S_HIST:S_HIST + 51]
+        bins = cum[:, :49] - cum[:, 1:50]
+        stats = stats.at[:, S_HIST:S_HIST + 49].set(bins)
+        stats = stats.at[:, S_HIST + 49].set(cum[:, 49])
+        stats = stats.at[:, S_HIST + 50:].set(0.0)
     if with_round0:
         return wb, idx, rgb, stats, r0
     return wb, idx, rgb, stats
@@ -363,6 +385,7 @@ def fused_analyze_pallas(
     n_valid=None,
     with_renders: bool = True,
     with_round0: bool = False,
+    with_hist: bool = True,
 ):
     """Fused WB+index+stats+render of a planar ``(3, H, W)`` uint8 image.
 
@@ -383,4 +406,5 @@ def fused_analyze_pallas(
     return _fused_call(
         img_pl, bounds, kinds, block_r, interpret, n_valid,
         with_renders=with_renders, with_round0=with_round0,
+        with_hist=with_hist,
     )

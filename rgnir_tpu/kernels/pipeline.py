@@ -39,32 +39,39 @@ from rgnir_tpu.pipeline.fused import AnalyzeResult
 
 
 def _core(img_hwc: jax.Array, kinds: Tuple[IndexKind, ...],
-          wb_cfg: WBConfig, with_renders: bool):
+          wb_cfg: WBConfig, with_renders: bool, with_hist: bool):
     h, w = img_hwc.shape[0], img_hwc.shape[1]
     pl_img = jnp.moveaxis(img_hwc, -1, -3)
     hist = planar_histograms_pallas(pl_img)
     lo, hi = wb_bounds_from_histogram(hist, n=h * w, cfg=wb_cfg)
     # with_round0: the fused kernel emits the median select's round-0
     # byte histogram while the index maps are in VMEM, saving the
-    # select one full HBM pass. Its in-VMEM f32 accumulation is exact
-    # below 2^24 counts per bin; larger images take the 4-round path.
+    # select one full HBM pass (int32 accumulation — exact).
     return fused_analyze_pallas(
         pl_img, lo, hi, kinds, with_renders=with_renders,
-        with_round0=h * w < 2**24,
+        with_round0=True, with_hist=with_hist,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("kinds", "with_renders"))
+@functools.partial(
+    jax.jit, static_argnames=("kinds", "with_renders", "with_hist")
+)
 def analyze_image_kernel(
     img: jax.Array,
     kinds: Tuple[str, ...] = tuple(k.value for k in ALL_INDICES),
     with_renders: bool = True,
+    with_hist: bool = True,
 ) -> AnalyzeResult:
     """Kernel-backed fused analysis of ``(H, W, 3)`` or ``(B, H, W, 3)``.
 
     Variance is two-pass (centered on the kernel's exact mean) — see
     the inline note below; all other stats come straight from the
     kernel partials, and medians from the batched radix-select kernel.
+
+    ``with_hist=False`` skips the 50-bin index histogram and returns
+    ``IndexStats.histogram=None`` (explicit, never silent zeros) — the
+    reference's analyze_index (process-images.py:492-513) computes no
+    histogram, so stats-parity workloads need not pay for one.
     """
     kinds = tuple(IndexKind.parse(k) for k in kinds)
     cfg = WBConfig()
@@ -73,10 +80,12 @@ def analyze_image_kernel(
     n = h * w
 
     if batched:
-        out = jax.vmap(lambda x: _core(x, kinds, cfg, with_renders))(img)
+        out = jax.vmap(
+            lambda x: _core(x, kinds, cfg, with_renders, with_hist)
+        )(img)
         # leading batch: wb_pl (B,3,H,W), idx (B,K,H,W), stats (B,K,128)
     else:
-        out = _core(img, kinds, cfg, with_renders)
+        out = _core(img, kinds, cfg, with_renders, with_hist)
     wb_pl, idx, rgb, stats = out[:4]
     r0 = out[4] if len(out) > 4 else None
     wb = jnp.moveaxis(wb_pl, -3, -1)
@@ -119,7 +128,10 @@ def analyze_image_kernel(
             min=s[..., S_MIN],
             max=s[..., S_MAX],
             coverage_pct=s[..., S_ABOVE] / n * 100.0,
-            histogram=s[..., S_HIST:S_HIST + 50].astype(jnp.int32),
+            histogram=(
+                s[..., S_HIST:S_HIST + 50].astype(jnp.int32)
+                if with_hist else None
+            ),
             n=jnp.full(mean.shape, n, jnp.int32),
         )
     return AnalyzeResult(

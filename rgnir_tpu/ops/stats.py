@@ -54,13 +54,16 @@ def _masked_median(x2d: jax.Array, mask2d: Optional[jax.Array], n: int) -> jax.A
     return _radix_median(x2d, n, mask=mask2d)
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "cfg", "n_valid"))
+@functools.partial(
+    jax.jit, static_argnames=("kind", "cfg", "n_valid", "with_hist")
+)
 def index_stats(
     index: jax.Array,
     kind: Union[IndexKind, str],
     cfg: IndexConfig = IndexConfig(),
     mask: Optional[jax.Array] = None,
     n_valid: Optional[int] = None,
+    with_hist: bool = True,
 ) -> IndexStats:
     """Full statistics of an ``(..., H, W)`` index map.
 
@@ -101,9 +104,16 @@ def index_stats(
         )
 
     median = _masked_median(flat, mflat, n)
-    hist = histogram_fixed_bins(
-        x, bins=cfg.hist_bins, lo=cfg.clip_lo, hi=cfg.clip_hi,
-        mask=mask, reduce_axes=(-2, -1),
+    # with_hist=False: the reference's analyze_index
+    # (process-images.py:492-513) computes no histogram; callers that
+    # only need its stat set skip the 50-bin pass and get histogram=None
+    # (explicit, never silent zeros).
+    hist = (
+        histogram_fixed_bins(
+            x, bins=cfg.hist_bins, lo=cfg.clip_lo, hi=cfg.clip_hi,
+            mask=mask, reduce_axes=(-2, -1),
+        )
+        if with_hist else None
     )
     return IndexStats(
         mean=mean,

@@ -33,10 +33,20 @@ def analyze_image_auto(
     img: jax.Array,
     kinds: Tuple[str, ...] = tuple(k.value for k in ALL_INDICES),
     with_renders: bool = True,
+    with_hist: bool = True,
 ) -> AnalyzeResult:
-    """analyze_image with automatic implementation choice."""
+    """analyze_image with automatic implementation choice.
+
+    ``with_hist=False`` -> IndexStats.histogram is None (the
+    reference's analyze_index stat set; see kernels/pipeline.py).
+    """
     if use_kernels():
         from rgnir_tpu.kernels.pipeline import analyze_image_kernel
 
-        return analyze_image_kernel(img, kinds=kinds, with_renders=with_renders)
-    return analyze_image_jit(img, kinds=kinds, with_renders=with_renders)
+        return analyze_image_kernel(
+            img, kinds=kinds, with_renders=with_renders,
+            with_hist=with_hist,
+        )
+    return analyze_image_jit(
+        img, kinds=kinds, with_renders=with_renders, with_hist=with_hist
+    )

@@ -48,6 +48,7 @@ def analyze_image(
     with_wb: bool = True,
     mask: Optional[jax.Array] = None,
     n_valid: Optional[int] = None,
+    with_hist: bool = True,
 ) -> AnalyzeResult:
     """Fused WB -> indices -> stats -> colormap on ``(..., H, W, 3)`` uint8.
 
@@ -84,7 +85,8 @@ def analyze_image(
         )
         indices[kind.value] = idx
         stats[kind.value] = index_stats(
-            idx, kind, cfg=idx_cfg, mask=mask, n_valid=n_valid
+            idx, kind, cfg=idx_cfg, mask=mask, n_valid=n_valid,
+            with_hist=with_hist,
         )
         if with_renders:
             renders[kind.value] = render_colormap(idx, kind)
@@ -95,15 +97,18 @@ def analyze_image(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kinds", "with_renders", "with_wb")
+    jax.jit,
+    static_argnames=("kinds", "with_renders", "with_wb", "with_hist"),
 )
 def analyze_image_jit(
     img: jax.Array,
     kinds: Tuple[str, ...] = tuple(k.value for k in ALL_INDICES),
     with_renders: bool = True,
     with_wb: bool = True,
+    with_hist: bool = True,
 ) -> AnalyzeResult:
     """jit wrapper with default configs (the common entry point)."""
     return analyze_image(
-        img, kinds=kinds, with_renders=with_renders, with_wb=with_wb
+        img, kinds=kinds, with_renders=with_renders, with_wb=with_wb,
+        with_hist=with_hist,
     )

@@ -54,6 +54,7 @@ class StreamAnalyzer:
         with_renders: bool = False,
         depth: int = 2,
         batch: int = 1,
+        with_hist: bool = False,
     ):
         self.kinds = tuple(IndexKind.parse(k).value for k in kinds)
         self.with_renders = with_renders
@@ -67,8 +68,11 @@ class StreamAnalyzer:
         def step(frames):
             from rgnir_tpu.pipeline.dispatch import analyze_image_auto
 
+            # with_hist=False by default: per-frame stream consumers
+            # read the analyze_index stat dict, which has no histogram.
             res = analyze_image_auto(
-                frames, kinds=self.kinds, with_renders=with_renders
+                frames, kinds=self.kinds, with_renders=with_renders,
+                with_hist=with_hist,
             )
             return res.stats, res.renders
 

@@ -144,6 +144,36 @@ class TestFusedKernel:
             np.asarray(med_skip), np.asarray(med_full)
         )
 
+    def test_with_hist_false_none_not_zeros(self, rng):
+        """with_hist=False (the reference analyze_index stat set) must
+        return histogram=None — explicit absence, never silent zeros —
+        with every other stat identical to the with_hist=True run."""
+        import jax
+
+        from rgnir_tpu.kernels.pipeline import analyze_image_kernel
+
+        img = jnp.asarray(
+            rng.integers(0, 256, (2, 64, 96, 3), dtype=np.uint8)
+        )
+        full = analyze_image_kernel(img, kinds=("NDVI", "NDWI"))
+        slim = analyze_image_kernel(
+            img, kinds=("NDVI", "NDWI"), with_hist=False
+        )
+        for kind in ("NDVI", "NDWI"):
+            assert slim.stats[kind].histogram is None
+            assert full.stats[kind].histogram is not None
+            for f in ("mean", "median", "std", "min", "max",
+                      "coverage_pct"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(slim.stats[kind], f)),
+                    np.asarray(getattr(full.stats[kind], f)), err_msg=f,
+                )
+        # jnp path mirrors the contract
+        from rgnir_tpu.pipeline.fused import analyze_image_jit
+
+        jslim = analyze_image_jit(img, kinds=("NDVI",), with_hist=False)
+        assert jslim.stats["NDVI"].histogram is None
+
     def test_unaligned_and_stats_masking(self, rng):
         img_hwc = rng.integers(0, 256, (41, 77, 3), dtype=np.uint8)
         pl_img = jnp.moveaxis(jnp.asarray(img_hwc), -1, -3)
