@@ -82,6 +82,8 @@ def _fused_kernel(
     with_renders: bool,
     with_round0: bool,
     with_hist: bool = True,
+    render_mode: str = "dots",
+    round0_kinds: Optional[Tuple[bool, ...]] = None,
 ):
     out_rest = list(out_rest)
     rgb_ref = out_rest.pop(0) if with_renders else None
@@ -201,7 +203,12 @@ def _fused_kernel(
         # byte histogram HERE while idx is still in VMEM — one fewer
         # full HBM pass downstream. Same key/one-hot construction as
         # _byte_hist_kernel (invalid -> byte 256, matching nothing).
-        if r0_ref is not None:
+        # ``round0_kinds`` masks kinds whose median is DERIVED from an
+        # antipodal partner (NDWI = -GNDVI exactly; kernels/pipeline
+        # _median_plan) — their select never runs, so their round-0
+        # one-hots (~64 VPU element-ops/px) are skipped and the output
+        # row stays zero.
+        if r0_ref is not None and (round0_kinds is None or round0_kinds[k]):
             bits = jax.lax.bitcast_convert_type(idx, jnp.uint32)
             keys = jnp.where(
                 bits >> 31 == 1, ~bits, bits | jnp.uint32(0x80000000)
@@ -231,21 +238,106 @@ def _fused_kernel(
         oh_hiT = jnp.where(
             (i256 >> 4) == nib_col, jnp.float32(1), jnp.float32(0)
         )  # (16, n)
-        oh_loT = jnp.where(
-            (i256 & 15) == nib_col, jnp.float32(1), jnp.float32(0)
-        )  # (16, n)
-        for ch in range(3):
-            # candT[l, i] = lut[hi_i, l, ch]: contract the hi one-hot.
-            # lut_ref layout (K, 3, 16{hi}, 16{lo}).
+        if render_mode == "packed":
+            # Packed-LUT gather: the three channel bytes ride ONE f32 as
+            # r*65536 + g*256 + b (< 2^24, f32-exact). One HIGHEST-
+            # precision MXU contraction of the hi one-hot (Mosaic's
+            # 3-pass f32 decomposition is exact here: the one-hot picks
+            # a single 24-bit-int row per column — verified bit-exact on
+            # real Mosaic, benchmarks/exp_render.py), then a 4-level
+            # binary select tree gathers the lo nibble (15 broadcast
+            # selects vs a 16-row multiply-reduce per channel). Replaces
+            # 3 dots + 3 multiply-reduces + the lo one-hot (~100 fewer
+            # VPU ops/pixel/kind on paper) but MEASURES SLOWER than
+            # "dots" (4.71 vs 3.22 ms at config-2 shapes): the select
+            # tree's (half,n) splits force sublane relayouts Mosaic
+            # can't fuse. Kept bit-identical for A/B only.
             candT = jax.lax.dot_general(
-                lut_ref[k, ch], oh_hiT,
+                lut_ref[k], oh_hiT,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (16{lo}, n)
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (16{lo}, n) packed values
+            lo_nib = i256 & 15  # (1, n)
+            t = candT
+            for bit in (3, 2, 1, 0):
+                half = t.shape[0] // 2
+                t = jnp.where(
+                    (lo_nib & (1 << bit)) != 0, t[half:], t[:half]
+                )
+            packed = t.astype(jnp.int32)  # (1, n)
+            for ch, sh in ((0, 16), (1, 8), (2, 0)):
+                rgb_ref[k, ch] = (
+                    ((packed >> sh) & 255)
+                    .reshape(br, wc).astype(jnp.uint8)
+                )
+        elif render_mode == "packed_mr":
+            # Packed LUT + multiply-reduce gather: ONE HIGHEST-precision
+            # MXU contraction of the hi one-hot against the 24-bit-int
+            # packed table (bit-exact on real Mosaic, probed by
+            # benchmarks/exp_render.py), then the SAME lo one-hot
+            # multiply-reduce idiom as "dots" — exact because every
+            # column has exactly one nonzero term (0*v = ±0 and v + ±0
+            # are exact in f32 at any magnitude). Replaces 3 dots + 3
+            # multiply-reduces with 1 dot + 1 multiply-reduce, with no
+            # select-tree relayouts (~60 fewer VPU element-ops/px/kind
+            # than "dots").
+            candT = jax.lax.dot_general(
+                lut_ref[k], oh_hiT,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (16{lo}, n) packed values
+            oh_loT = jnp.where(
+                (i256 & 15) == nib_col, jnp.float32(1), jnp.float32(0)
+            )  # (16, n)
             val = jnp.sum(oh_loT * candT, axis=0, keepdims=True)  # (1, n)
-            rgb_ref[k, ch] = (
-                val.reshape(br, wc).astype(jnp.int32).astype(jnp.uint8)
-            )
+            packed = val.astype(jnp.int32)
+            for ch, sh in ((0, 16), (1, 8), (2, 0)):
+                rgb_ref[k, ch] = (
+                    ((packed >> sh) & 255)
+                    .reshape(br, wc).astype(jnp.uint8)
+                )
+        elif render_mode == "tree":
+            # Per-channel byte dots (bf16-exact operands, as in "dots")
+            # but the lo-nibble gather runs as a 4-level binary select
+            # tree: 15 broadcast selects per channel replace BOTH the
+            # lo one-hot (32 ops, built once) and the 16-row
+            # multiply-reduce (31 ops per channel). Also MEASURES
+            # SLOWER than "dots" (4.05 vs 3.22 ms) for the same
+            # relayout reason — kept for A/B only.
+            lo_nib = i256 & 15
+            for ch in range(3):
+                candT = jax.lax.dot_general(
+                    lut_ref[k, ch], oh_hiT,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (16{lo}, n)
+                t = candT
+                for bit in (3, 2, 1, 0):
+                    half = t.shape[0] // 2
+                    t = jnp.where(
+                        (lo_nib & (1 << bit)) != 0, t[half:], t[:half]
+                    )
+                rgb_ref[k, ch] = (
+                    t.reshape(br, wc).astype(jnp.int32).astype(jnp.uint8)
+                )
+        else:
+            oh_loT = jnp.where(
+                (i256 & 15) == nib_col, jnp.float32(1), jnp.float32(0)
+            )  # (16, n)
+            for ch in range(3):
+                # candT[l, i] = lut[hi_i, l, ch]: contract the hi
+                # one-hot. lut_ref layout (K, 3, 16{hi}, 16{lo}).
+                candT = jax.lax.dot_general(
+                    lut_ref[k, ch], oh_hiT,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (16{lo}, n)
+                val = jnp.sum(oh_loT * candT, axis=0, keepdims=True)
+                rgb_ref[k, ch] = (
+                    val.reshape(br, wc).astype(jnp.int32).astype(jnp.uint8)
+                )
 
     # single full-tensor stats update (Mosaic allows no scalar stores)
     old = stats_ref[...]
@@ -263,7 +355,7 @@ def _fused_kernel(
     jax.jit,
     static_argnames=(
         "kinds", "block_r", "interpret", "with_renders", "with_round0",
-        "with_hist",
+        "with_hist", "render_mode", "round0_kinds",
     ),
 )
 def _fused_call(
@@ -276,6 +368,8 @@ def _fused_call(
     with_renders: bool = True,
     with_round0: bool = False,
     with_hist: bool = True,
+    render_mode: str = "dots",
+    round0_kinds: Optional[Tuple[bool, ...]] = None,
 ):
     c, h, w = img_pl.shape
     k = len(kinds)
@@ -287,20 +381,38 @@ def _fused_call(
         block_r = auto_block_r(n, cap=32, kernel="fused")
     flat = flatten_to_rows(img_pl, block_r)  # (C, R, 1024)
     rows = flat.shape[-2]
-    # (K, 3, 16{hi}, 16{lo}) byte tables
-    luts = np.stack(
-        [
-            get_lut(kind.cmap_name)[:, :3]
-            .reshape(16, 16, 3)
-            .transpose(2, 0, 1)
-            .astype(np.float32)
-            for kind in kinds
-        ]
-    )
+    if render_mode in ("packed", "packed_mr"):
+        # (K, 16{hi}, 16{lo}) tables of r*65536 + g*256 + b (f32-exact
+        # 24-bit ints; unpacked in-kernel after the lo-nibble gather)
+        luts = np.stack(
+            [
+                get_lut(kind.cmap_name)[:, :3]
+                .astype(np.int64)
+                .reshape(16, 16, 3)
+                @ np.array([65536, 256, 1], np.int64)
+                for kind in kinds
+            ]
+        ).astype(np.float32)
+        lut_spec = pl.BlockSpec((k, 16, 16), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        # (K, 3, 16{hi}, 16{lo}) byte tables
+        luts = np.stack(
+            [
+                get_lut(kind.cmap_name)[:, :3]
+                .reshape(16, 16, 3)
+                .transpose(2, 0, 1)
+                .astype(np.float32)
+                for kind in kinds
+            ]
+        )
+        lut_spec = pl.BlockSpec((k, 3, 16, 16), lambda i: (0, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
     grid = (rows // block_r,)
     kernel = functools.partial(
         _fused_kernel, kinds=kinds, with_renders=with_renders,
         with_round0=with_round0, with_hist=with_hist,
+        render_mode=render_mode, round0_kinds=round0_kinds,
     )
     out = pl.pallas_call(
         kernel,
@@ -309,8 +421,7 @@ def _fused_call(
             pl.BlockSpec((c, block_r, _LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, c), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((k, 3, 16, 16), lambda i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            lut_spec,
             pl.BlockSpec((64,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
         ],
@@ -386,6 +497,8 @@ def fused_analyze_pallas(
     with_renders: bool = True,
     with_round0: bool = False,
     with_hist: bool = True,
+    render_mode: str = "dots",
+    round0_kinds: Optional[Tuple[bool, ...]] = None,
 ):
     """Fused WB+index+stats+render of a planar ``(3, H, W)`` uint8 image.
 
@@ -398,13 +511,29 @@ def fused_analyze_pallas(
     round-0 byte histogram, ``(K, 256) int32`` — is appended (feed it
     to ``kernels.select.masked_median_pallas(round0_hist=...)`` to skip
     one full read of the index maps).
+
+    ``render_mode``: ``"dots"`` (default) — per-channel byte-LUT MXU
+    dots + lo one-hot multiply-reduce, the measured winner. The two
+    "fewer VPU ops" candidates are kept bit-identical for A/B but LOSE
+    on real Mosaic (config-2 shapes, same-window slopes: dots 3.22 ms,
+    ``"tree"`` 4.05, ``"packed"`` 4.71 — the select trees introduce
+    sublane relayouts that cost more than the ops they save; see
+    benchmarks/exp_render.py and the kernel comments).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     kinds = tuple(IndexKind.parse(kd) for kd in kinds)
     bounds = jnp.stack([lo.astype(jnp.float32), hi.astype(jnp.float32)])
+    if round0_kinds is not None:
+        round0_kinds = tuple(bool(b) for b in round0_kinds)
+        if len(round0_kinds) != len(kinds):
+            raise ValueError(
+                f"round0_kinds has {len(round0_kinds)} entries for "
+                f"{len(kinds)} kinds"
+            )
     return _fused_call(
         img_pl, bounds, kinds, block_r, interpret, n_valid,
         with_renders=with_renders, with_round0=with_round0,
-        with_hist=with_hist,
+        with_hist=with_hist, render_mode=render_mode,
+        round0_kinds=round0_kinds,
     )

@@ -33,13 +33,53 @@ from rgnir_tpu.kernels.fused import (
 )
 from rgnir_tpu.kernels.hist import planar_histograms_pallas
 from rgnir_tpu.kernels.select import masked_median_pallas
+from rgnir_tpu.ops.indices import BAND_INDICES
 from rgnir_tpu.ops.stats import IndexStats
 from rgnir_tpu.ops.wb import wb_bounds_from_histogram
 from rgnir_tpu.pipeline.fused import AnalyzeResult
 
 
+def _median_plan(kinds: Tuple[IndexKind, ...]):
+    """Antipodal-kind median plan.
+
+    A kind whose band pair is the SWAP of an earlier kind's has an
+    exactly negated index map: numerators negate exactly and the eps
+    denominators are identical because f32 addition is commutative
+    ((g - n)/(g + n + eps) == -((n - g)/(n + g + eps)) bitwise; NDWI vs
+    GNDVI, ops/indices.py). Since f32 negation commutes exactly with
+    every reduction add and with the even-n midpoint average, the
+    derived kind's median is the exact negation of its partner's — its
+    radix-select rounds, round-0 histogram, successor pass, and
+    variance pass can all be skipped.
+
+    Returns ``(nc, slots)`` — the first ``nc`` kinds are canonical and
+    ``slots[k] = (canonical position, negate)`` — or ``None`` when
+    nothing is derivable or the canonical kinds are not a prefix of the
+    tuple (the kernel's take_prefix layout needs a prefix; any order of
+    ALL_INDICES with NDWI after GNDVI qualifies).
+    """
+    pair_slot = {}
+    slots = []
+    canon_positions = []
+    for k, kind in enumerate(kinds):
+        ia, ib = BAND_INDICES[kind]
+        if (ib, ia) in pair_slot:
+            slots.append((pair_slot[(ib, ia)], True))
+        elif (ia, ib) in pair_slot:
+            slots.append((pair_slot[(ia, ib)], False))
+        else:
+            pair_slot[(ia, ib)] = len(canon_positions)
+            slots.append((len(canon_positions), False))
+            canon_positions.append(k)
+    nc = len(canon_positions)
+    if nc == len(kinds) or canon_positions != list(range(nc)):
+        return None
+    return nc, tuple(slots)
+
+
 def _core(img_hwc: jax.Array, kinds: Tuple[IndexKind, ...],
-          wb_cfg: WBConfig, with_renders: bool, with_hist: bool):
+          wb_cfg: WBConfig, with_renders: bool, with_hist: bool,
+          round0_kinds=None):
     h, w = img_hwc.shape[0], img_hwc.shape[1]
     pl_img = jnp.moveaxis(img_hwc, -1, -3)
     hist = planar_histograms_pallas(pl_img)
@@ -50,6 +90,7 @@ def _core(img_hwc: jax.Array, kinds: Tuple[IndexKind, ...],
     return fused_analyze_pallas(
         pl_img, lo, hi, kinds, with_renders=with_renders,
         with_round0=True, with_hist=with_hist,
+        round0_kinds=round0_kinds,
     )
 
 
@@ -79,34 +120,55 @@ def analyze_image_kernel(
     h, w = img.shape[-3], img.shape[-2]
     n = h * w
 
+    # Antipodal-kind plan: derived kinds (e.g. NDWI given GNDVI) skip
+    # their round-0 histogram in the fused kernel, their radix-select
+    # rounds (take_prefix — skipped rows never leave HBM), their
+    # successor pass, and their variance pass; the median is the exact
+    # negation and the variance is bitwise identical (see _median_plan).
+    plan = _median_plan(kinds)
+    nk = len(kinds)
+    if plan is not None:
+        nc, slots = plan
+        round0_kinds = (True,) * nc + (False,) * (nk - nc)
+        take_prefix = (nk, nc)
+    else:
+        nc, slots = nk, tuple((k, False) for k in range(nk))
+        round0_kinds = None
+        take_prefix = None
+
     if batched:
         out = jax.vmap(
-            lambda x: _core(x, kinds, cfg, with_renders, with_hist)
+            lambda x: _core(x, kinds, cfg, with_renders, with_hist,
+                            round0_kinds)
         )(img)
         # leading batch: wb_pl (B,3,H,W), idx (B,K,H,W), stats (B,K,128)
     else:
-        out = _core(img, kinds, cfg, with_renders, with_hist)
+        out = _core(img, kinds, cfg, with_renders, with_hist, round0_kinds)
     wb_pl, idx, rgb, stats = out[:4]
     r0 = out[4] if len(out) > 4 else None
     wb = jnp.moveaxis(wb_pl, -3, -1)
 
-    # One radix-select launch covers every (batch, kind) median: the
-    # select kernel batches through its leading grid dimension, so
-    # fusing B*K selections into one call saves K*4 kernel dispatches;
-    # the fused kernel's round-0 histogram saves one of the four data
-    # passes on top.
-    meds = masked_median_pallas(
-        idx, n, reduce_ndim=2, round0_hist=r0
-    )  # (B,K) or (K,)
+    # One radix-select launch covers every canonical (batch, kind)
+    # median: the select kernel batches through its leading grid
+    # dimension, so fusing B*nc selections into one call saves K*4
+    # kernel dispatches; the fused kernel's round-0 histogram saves one
+    # of the four data passes on top.
+    r0c = None if r0 is None else r0[..., :nc, :]
+    meds_c = masked_median_pallas(
+        idx, n, reduce_ndim=2, round0_hist=r0c, take_prefix=take_prefix
+    )  # (B,nc) or (nc,)
 
     # Two-pass variance: the kernel's one-pass E[x^2]-E[x]^2 partials
     # cancel catastrophically for tightly clustered indices (std error
     # up to ~3e-4 — visible at the reference's 4-decimal reporting). One
     # extra fused read of the index maps restores the jnp path's
-    # accuracy.
+    # accuracy. Only canonical kinds pay the pass: a derived kind's
+    # centered squares are bitwise identical to its partner's.
     means_all = stats[..., S_SUM] / n                      # (B,K) or (K,)
-    centered = idx - means_all[..., None, None]
-    vars_all = jnp.mean(jnp.square(centered), axis=(-2, -1))
+    centered = (
+        idx[..., :nc, :, :] - means_all[..., :nc, None, None]
+    )
+    vars_c = jnp.mean(jnp.square(centered), axis=(-2, -1))
 
     indices: Dict[str, jax.Array] = {}
     renders: Dict[str, jax.Array] = {}
@@ -119,8 +181,11 @@ def analyze_image_kernel(
             renders[kind.value] = jnp.moveaxis(rgb_k, -3, -1)
         s = stats[:, k] if batched else stats[k]
         mean = means_all[..., k]
-        var = vars_all[..., k]
-        med = meds[:, k] if batched else meds[k]
+        slot, negate = slots[k]
+        var = vars_c[..., slot]
+        med = meds_c[..., slot]
+        if negate:
+            med = -med
         out_stats[kind.value] = IndexStats(
             mean=mean,
             median=med,

@@ -18,7 +18,7 @@ jnp — it is O(256) work. Parity: bit-exact with ops.select
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +41,10 @@ def _byte_hist_kernel(
     vals_ref, prefix_ref, nvalid_ref, out_ref, *, shift: int, block_r: int,
     row_major_cols: Optional[int] = None,
 ):
+    # Note: with take_prefix, the grid batch index bi runs over the
+    # SELECTED rows only; the vals BlockSpec index_map translates it to
+    # the underlying (group-strided) input row, so this kernel body is
+    # oblivious to the mapping.
     """Grid: (B, num_row_blocks). vals_ref: (1, block_r, 1024) float32 of
     one batch element (row-major flattened values; width 1024 mirrors
     the fused kernel's proven reshape-to-(1,n) layout). The
@@ -108,19 +112,35 @@ def _byte_hist_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("shift", "block_r", "interpret", "row_major_cols"),
+    static_argnames=(
+        "shift", "block_r", "interpret", "row_major_cols", "take_prefix",
+    ),
 )
 def _byte_hist(
     vals: jax.Array,    # (B, R, 1024) float32
-    prefix: jax.Array,  # (B,) uint32
+    prefix: jax.Array,  # (Bsel,) uint32
     shift: int,
     n_valid,            # int / traced scalar, or [rows_live, cols_live]
     block_r: int,
     interpret: bool,
     row_major_cols: Optional[int] = None,
+    take_prefix: Optional[Tuple[int, int]] = None,
 ) -> jax.Array:
+    """Per-row byte histograms; ``take_prefix=(group, take)`` views the
+    B input rows as ``B//group`` groups and histograms only the first
+    ``take`` rows of each group (Bsel = B//group*take) — the BlockSpec
+    index_map does the group-strided row translation, so skipped rows'
+    data is never fetched from HBM."""
     b, r, _ = vals.shape
-    grid = (b, _cdiv(r, block_r))
+    if take_prefix is not None:
+        group, take = take_prefix
+        assert b % group == 0 and 0 < take <= group, (b, take_prefix)
+        b_sel = b // group * take
+        vals_map = lambda bi, i: ((bi // take) * group + (bi % take), i, 0)
+    else:
+        b_sel = b
+        vals_map = lambda bi, i: (bi, i, 0)
+    grid = (b_sel, _cdiv(r, block_r))
     nv = jnp.asarray(n_valid, jnp.int32).reshape(-1)
     out = pl.pallas_call(
         functools.partial(
@@ -129,37 +149,44 @@ def _byte_hist(
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_r, 1024), lambda bi, i: (bi, i, 0),
+            pl.BlockSpec((1, block_r, 1024), vals_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b,), lambda bi, i: (0,),
+            pl.BlockSpec((b_sel,), lambda bi, i: (0,),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((int(nv.shape[0]),), lambda bi, i: (0,),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 16, 16), lambda bi, i: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 16, 16), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b_sel, 16, 16), jnp.int32),
         interpret=interpret,
     )(vals, prefix, nv)
-    return out.reshape(b, 256)
+    return out.reshape(b_sel, 256)
 
 
 def _select_batched(
     vals: jax.Array,  # (B, R, 1024) float32, padding masked by n_valid
-    rank: jax.Array,  # (B,) int32
+    rank: jax.Array,  # (Bsel,) int32
     n_valid: int,
     block_r: int,
     interpret: bool,
     round0_hist: Optional[jax.Array] = None,
+    take_prefix: Optional[Tuple[int, int]] = None,
 ):
-    """4 radix rounds; returns (key (B,), eq_minus_rank (B,)).
+    """4 radix rounds; returns (key (Bsel,), eq_minus_rank (Bsel,)).
 
-    ``round0_hist``: optional precomputed (B, 256) int32 byte histogram
-    of ``(key >> 24) & 255`` over the valid values (what the fused
-    kernel emits with ``with_round0``) — round 0 then costs no data
-    pass at all, only the O(256) cdf scan.
+    ``round0_hist``: optional precomputed (Bsel, 256) int32 byte
+    histogram of ``(key >> 24) & 255`` over the valid values (what the
+    fused kernel emits with ``with_round0``) — round 0 then costs no
+    data pass at all, only the O(256) cdf scan.
+
+    ``take_prefix=(group, take)``: select only the first ``take`` rows
+    of each ``group`` consecutive input rows (see _byte_hist); rank and
+    round0_hist are already Bsel-sized.
     """
     b = vals.shape[0]
+    if take_prefix is not None:
+        b = b // take_prefix[0] * take_prefix[1]
     prefix = jnp.zeros((b,), jnp.uint32)
     rk = jnp.asarray(rank, jnp.int32)
     eq_minus_rank = None
@@ -168,7 +195,8 @@ def _select_batched(
             hist = round0_hist
         else:
             hist = _byte_hist(
-                vals, prefix, shift, n_valid, block_r, interpret
+                vals, prefix, shift, n_valid, block_r, interpret,
+                take_prefix=take_prefix,
             )
         cdf = jnp.cumsum(hist, axis=-1)  # (B, 256)
         sel = jnp.sum((cdf <= rk[:, None]).astype(jnp.int32), axis=-1)
@@ -233,6 +261,7 @@ def masked_median_pallas(
     block_r=None,
     interpret: Optional[bool] = None,
     round0_hist: Optional[jax.Array] = None,
+    take_prefix: Optional[Tuple[int, int]] = None,
 ) -> jax.Array:
     """Exact median (numpy even-n semantics) via the kernel radix-select.
 
@@ -241,9 +270,17 @@ def masked_median_pallas(
     (float order == key order on non-NaN data), taken over the unpadded
     input so no key array is ever materialized.
 
-    ``round0_hist``: optional ``batch_shape + (256,)`` int32 top-byte
-    key histogram emitted by the fused kernel (``with_round0``) — skips
-    round 0's full data pass.
+    ``round0_hist``: optional int32 top-byte key histogram emitted by
+    the fused kernel (``with_round0``) — skips round 0's full data
+    pass; with ``take_prefix`` its batch shape is the SELECTED batch.
+
+    ``take_prefix=(group, take)``: the flattened batch is viewed as
+    groups of ``group`` consecutive elements and medians are computed
+    only for the first ``take`` of each (the antipodal-kind plan of
+    kernels/pipeline: a derived kind's median is the exact negation of
+    its partner's, so its radix rounds and successor pass are skipped
+    — skipped rows are never read from HBM). Returns shape
+    ``batch[:-1] + (take,)`` (the last batch dim must equal ``group``).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -257,14 +294,29 @@ def masked_median_pallas(
     flat = vals.reshape((-1, n)).astype(jnp.float32)
     rows = _pack_rows(flat, block_r)
     b = rows.shape[0]
+    if take_prefix is not None:
+        group, take = take_prefix
+        if not batch or batch[-1] != group:
+            raise ValueError(
+                f"take_prefix group {group} must equal the last batch "
+                f"dim, got batch {batch}"
+            )
+        b = b // group * take
+        out_batch = batch[:-1] + (take,)
+        # Successor/flat reads below see only selected rows; the slice
+        # fuses into its consumer (no (Bsel, n) copy materializes).
+        flat = flat.reshape(-1, group, n)[:, :take].reshape(b, n)
+    else:
+        out_batch = batch
     rank = jnp.full((b,), (n_valid - 1) // 2, jnp.int32)
     r0 = None if round0_hist is None else round0_hist.reshape(-1, 256)
     key_lo, eq_minus_rank = _select_batched(
-        rows, rank, n_valid, block_r, interpret, round0_hist=r0
+        rows, rank, n_valid, block_r, interpret, round0_hist=r0,
+        take_prefix=take_prefix,
     )
     lo = f32_from_ordered_u32(key_lo)
     if n_valid % 2 == 1:
-        return lo.reshape(batch)
+        return lo.reshape(out_batch)
     # Successor in float domain (key order == float order on non-NaN
     # data): min of values strictly greater than lo over the UNPADDED
     # flat array — no key materialization needed.
@@ -272,7 +324,7 @@ def masked_median_pallas(
         jnp.where(flat > lo[:, None], flat, jnp.inf), axis=1
     )
     hi = jnp.where(eq_minus_rank >= 2, lo, nxt)
-    return ((lo + hi) * 0.5).reshape(batch)
+    return ((lo + hi) * 0.5).reshape(out_batch)
 
 
 def masked_median_pallas_sharded(

@@ -77,6 +77,43 @@ def main() -> int:
     check("fused_wb_bytes",
           np.array_equal(np.asarray(rk.wb), np.asarray(rj.wb)))
 
+    # 2b. batched 3-kind run: exercises the antipodal median plan
+    # (NDWI derived from GNDVI — round0_kinds skip in the fused kernel
+    # + the select's take_prefix group-strided index_map) and the
+    # packed_mr render LUT contraction, all on real Mosaic.
+    bhwc = jnp.asarray(rng.integers(0, 256, (3, 161, 253, 3),
+                                    dtype=np.uint8))
+    rbk = analyze_image_kernel(bhwc, kinds=("NDVI", "GNDVI", "NDWI"))
+    rbj = analyze_image(bhwc, kinds=("NDVI", "GNDVI", "NDWI"))
+    check(
+        "antipodal_medians",
+        all(
+            np.array_equal(np.asarray(rbk.stats[kd].median),
+                           np.asarray(rbj.stats[kd].median))
+            and np.allclose(np.asarray(rbk.stats[kd].std),
+                            np.asarray(rbj.stats[kd].std), atol=1e-6)
+            for kd in ("NDVI", "GNDVI", "NDWI")
+        ),
+    )
+    rpm = fused_analyze_pallas(
+        jnp.moveaxis(hwc, -1, -3),
+        *wb_bounds_from_histogram(
+            planar_histograms(jnp.moveaxis(hwc, -1, -3)), n=301 * 517
+        ),
+        ("NDVI", "NDWI"), render_mode="packed_mr",
+    )
+    rdots = fused_analyze_pallas(
+        jnp.moveaxis(hwc, -1, -3),
+        *wb_bounds_from_histogram(
+            planar_histograms(jnp.moveaxis(hwc, -1, -3)), n=301 * 517
+        ),
+        ("NDVI", "NDWI"), render_mode="dots",
+    )
+    check(
+        "render_packed_mr_exact",
+        np.array_equal(np.asarray(rpm[2]), np.asarray(rdots[2])),
+    )
+
     # 3. select kernel: median + arbitrary rank vs numpy
     x = rng.normal(size=4999).astype(np.float32)
     check("median_odd",

@@ -111,6 +111,28 @@ class TestFusedKernel:
                 np.asarray(st.histogram),
             )
 
+    def test_render_modes_identical(self, rng):
+        """The packed-LUT render (one HIGHEST-precision contraction of
+        a 24-bit-int packed table + lo-nibble select tree) must be
+        bit-identical to the original three-per-channel-dot path at an
+        unaligned shape. Real-Mosaic exactness of the packed dot is
+        probed by benchmarks/exp_render.py and rgnir-tpu selftest."""
+        img = jnp.asarray(
+            rng.integers(0, 256, (3, 97, 333), dtype=np.uint8)
+        )
+        hist = planar_histograms(img)
+        lo, hi = wb_bounds_from_histogram(hist, n=97 * 333)
+        kinds = ("NDVI", "GNDVI", "NDWI")
+        outs = {
+            mode: fused_analyze_pallas(
+                img, lo, hi, kinds, block_r=8, render_mode=mode
+            )
+            for mode in ("packed", "dots", "tree", "packed_mr")
+        }
+        for mode in ("packed", "tree", "packed_mr"):
+            for a, b in zip(outs[mode], outs["dots"]):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_round0_hist_matches_select_round0(self, rng):
         """The fused kernel's with_round0 output must equal the select
         kernel's own round-0 byte histogram (shift 24, empty prefix) so
