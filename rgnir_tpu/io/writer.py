@@ -17,15 +17,40 @@ import numpy as np
 from PIL import Image
 
 
+def _native_png(arr: np.ndarray, level: int = 1) -> Optional[bytes]:
+    """Native libpng encode (filter NONE, zlib ``level``) for
+    ``(H, W, 3)`` uint8 arrays — 2-4x faster than PIL's adaptive-filter
+    encoder at ~25% larger files (pixel-identical; round-tripped in
+    tests/test_native.py). Returns None when inapplicable so callers
+    fall through to PIL."""
+    if arr.ndim != 3 or arr.shape[-1] != 3 or arr.dtype != np.uint8:
+        return None
+    from rgnir_tpu.native import imgio
+
+    if not imgio.native_available():
+        return None
+    return imgio.encode_png_rgb(arr, level)
+
+
 def encode_png(array: np.ndarray) -> bytes:
+    arr = np.asarray(array)
+    data = _native_png(arr)
+    if data is not None:
+        return data
     buf = io.BytesIO()
-    Image.fromarray(np.asarray(array)).save(buf, format="PNG")
+    Image.fromarray(arr).save(buf, format="PNG")
     return buf.getvalue()
 
 
 def _write_array(path: Path, array: np.ndarray) -> Path:
     path.parent.mkdir(parents=True, exist_ok=True)
-    Image.fromarray(np.asarray(array)).save(path)
+    arr = np.asarray(array)
+    if path.suffix.lower() == ".png":
+        data = _native_png(arr)
+        if data is not None:
+            path.write_bytes(data)
+            return path
+    Image.fromarray(arr).save(path)
     return path
 
 

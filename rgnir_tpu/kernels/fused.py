@@ -84,6 +84,7 @@ def _fused_kernel(
     with_hist: bool = True,
     render_mode: str = "dots",
     round0_kinds: Optional[Tuple[bool, ...]] = None,
+    packed_out: bool = False,
 ):
     out_rest = list(out_rest)
     rgb_ref = out_rest.pop(0) if with_renders else None
@@ -118,6 +119,7 @@ def _fused_kernel(
 
     # --- white balance (3 bands) ---------------------------------------
     wb = []
+    wb_i32 = []
     for ch in range(c):
         # Mosaic lacks direct u8<->f32 casts; hop through int32.
         x = img_ref[ch].astype(jnp.int32).astype(jnp.float32)
@@ -128,8 +130,17 @@ def _fused_kernel(
         corrected = jnp.clip(corrected, 0.0, 255.0)
         # the uint8 value as float (truncation), reused by the indices
         wbf = jnp.floor(corrected)
-        wb_ref[ch] = wbf.astype(jnp.int32).astype(jnp.uint8)
+        if packed_out:
+            wb_i32.append(wbf.astype(jnp.int32))
+        else:
+            wb_ref[ch] = wbf.astype(jnp.int32).astype(jnp.uint8)
         wb.append(wbf)
+    if packed_out:
+        # One i32 store of r | g<<8 | b<<16 replaces three u8 stores
+        # and their 4:1 lane-packing cast chains; the caller recovers
+        # HWC u8 by bitcast+slice (free, and it also replaces the
+        # downstream planar->HWC transpose pass).
+        wb_ref[...] = wb_i32[0] | (wb_i32[1] << 8) | (wb_i32[2] << 16)
 
     nib_col = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
 
@@ -326,6 +337,7 @@ def _fused_kernel(
             oh_loT = jnp.where(
                 (i256 & 15) == nib_col, jnp.float32(1), jnp.float32(0)
             )  # (16, n)
+            ch_i32 = []
             for ch in range(3):
                 # candT[l, i] = lut[hi_i, l, ch]: contract the hi
                 # one-hot. lut_ref layout (K, 3, 16{hi}, 16{lo}).
@@ -335,9 +347,16 @@ def _fused_kernel(
                     preferred_element_type=jnp.float32,
                 )  # (16{lo}, n)
                 val = jnp.sum(oh_loT * candT, axis=0, keepdims=True)
-                rgb_ref[k, ch] = (
-                    val.reshape(br, wc).astype(jnp.int32).astype(jnp.uint8)
-                )
+                if packed_out:
+                    ch_i32.append(val.astype(jnp.int32))
+                else:
+                    rgb_ref[k, ch] = (
+                        val.reshape(br, wc)
+                        .astype(jnp.int32).astype(jnp.uint8)
+                    )
+            if packed_out:
+                packed = ch_i32[0] | (ch_i32[1] << 8) | (ch_i32[2] << 16)
+                rgb_ref[k] = packed.reshape(br, wc)
 
     # single full-tensor stats update (Mosaic allows no scalar stores)
     old = stats_ref[...]
@@ -355,7 +374,7 @@ def _fused_kernel(
     jax.jit,
     static_argnames=(
         "kinds", "block_r", "interpret", "with_renders", "with_round0",
-        "with_hist", "render_mode", "round0_kinds",
+        "with_hist", "render_mode", "round0_kinds", "packed_out",
     ),
 )
 def _fused_call(
@@ -370,6 +389,7 @@ def _fused_call(
     with_hist: bool = True,
     render_mode: str = "dots",
     round0_kinds: Optional[Tuple[bool, ...]] = None,
+    packed_out: bool = False,
 ):
     c, h, w = img_pl.shape
     k = len(kinds)
@@ -413,7 +433,23 @@ def _fused_call(
         _fused_kernel, kinds=kinds, with_renders=with_renders,
         with_round0=with_round0, with_hist=with_hist,
         render_mode=render_mode, round0_kinds=round0_kinds,
+        packed_out=packed_out,
     )
+    if packed_out:
+        wb_spec = pl.BlockSpec((block_r, _LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+        wb_shape = jax.ShapeDtypeStruct((rows, _LANES), jnp.int32)
+        rgb_spec = pl.BlockSpec((k, block_r, _LANES), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+        rgb_shape = jax.ShapeDtypeStruct((k, rows, _LANES), jnp.int32)
+    else:
+        wb_spec = pl.BlockSpec((c, block_r, _LANES), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM)
+        wb_shape = jax.ShapeDtypeStruct((c, rows, _LANES), jnp.uint8)
+        rgb_spec = pl.BlockSpec((k, c, block_r, _LANES),
+                                lambda i: (0, 0, i, 0),
+                                memory_space=pltpu.VMEM)
+        rgb_shape = jax.ShapeDtypeStruct((k, c, rows, _LANES), jnp.uint8)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -427,15 +463,11 @@ def _fused_call(
         ],
         out_specs=tuple(
             [
-                pl.BlockSpec((c, block_r, _LANES), lambda i: (0, i, 0),
-                             memory_space=pltpu.VMEM),
+                wb_spec,
                 pl.BlockSpec((k, block_r, _LANES), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM),
             ]
-            + ([pl.BlockSpec((k, c, block_r, _LANES),
-                             lambda i: (0, 0, i, 0),
-                             memory_space=pltpu.VMEM)] if with_renders
-               else [])
+            + ([rgb_spec] if with_renders else [])
             + [pl.BlockSpec((k, 128), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)]
             + ([pl.BlockSpec((k, 16, 16), lambda i: (0, 0, 0),
@@ -444,11 +476,10 @@ def _fused_call(
         ),
         out_shape=tuple(
             [
-                jax.ShapeDtypeStruct((c, rows, _LANES), jnp.uint8),
+                wb_shape,
                 jax.ShapeDtypeStruct((k, rows, _LANES), jnp.float32),
             ]
-            + ([jax.ShapeDtypeStruct((k, c, rows, _LANES), jnp.uint8)]
-               if with_renders else [])
+            + ([rgb_shape] if with_renders else [])
             + [jax.ShapeDtypeStruct((k, 128), jnp.float32)]
             + ([jax.ShapeDtypeStruct((k, 16, 16), jnp.int32)]
                if with_round0 else [])
@@ -466,10 +497,16 @@ def _fused_call(
     stats = out.pop(0)
     r0 = out.pop(0).reshape(k, 256) if with_round0 else None
     # unflatten + drop tail padding (XLA-side reshapes, contiguous)
-    wb = wb.reshape(c, -1)[:, :n].reshape(c, h, w)
+    if packed_out:
+        wb = wb.reshape(-1)[:n].reshape(h, w)
+    else:
+        wb = wb.reshape(c, -1)[:, :n].reshape(c, h, w)
     idx = idx.reshape(k, -1)[:, :n].reshape(k, h, w)
     if rgb is not None:
-        rgb = rgb.reshape(k, c, -1)[:, :, :n].reshape(k, c, h, w)
+        if packed_out:
+            rgb = rgb.reshape(k, -1)[:, :n].reshape(k, h, w)
+        else:
+            rgb = rgb.reshape(k, c, -1)[:, :, :n].reshape(k, c, h, w)
     # Convert cumulative >=-edge counts into per-bin counts:
     # hist[i] = C[i] - C[i+1] for i < 49; hist[49] = C[49]
     # (right-closed; values above edge 50 are impossible for clipped
@@ -499,6 +536,7 @@ def fused_analyze_pallas(
     with_hist: bool = True,
     render_mode: str = "dots",
     round0_kinds: Optional[Tuple[bool, ...]] = None,
+    packed_out: bool = False,
 ):
     """Fused WB+index+stats+render of a planar ``(3, H, W)`` uint8 image.
 
@@ -513,12 +551,25 @@ def fused_analyze_pallas(
     one full read of the index maps).
 
     ``render_mode``: ``"dots"`` (default) — per-channel byte-LUT MXU
-    dots + lo one-hot multiply-reduce, the measured winner. The two
+    dots + lo one-hot multiply-reduce, the measured winner. The three
     "fewer VPU ops" candidates are kept bit-identical for A/B but LOSE
-    on real Mosaic (config-2 shapes, same-window slopes: dots 3.22 ms,
-    ``"tree"`` 4.05, ``"packed"`` 4.71 — the select trees introduce
-    sublane relayouts that cost more than the ops they save; see
+    on real Mosaic (config-2 shapes, same-window slopes: dots 3.18 ms,
+    ``"tree"`` 3.99, ``"packed_mr"`` 4.56, ``"packed"`` 4.58 — select
+    trees introduce sublane relayouts, and the HIGHEST-precision packed
+    dot's operand splitting outweighs the ops it saves; see
     benchmarks/exp_render.py and the kernel comments).
+
+    ``packed_out``: wb and renders come back as ``(H, W)`` /
+    ``(K, H, W)`` int32 with bytes ``r | g<<8 | b<<16`` — one in-kernel
+    i32 store per pixel instead of three u8 lane-packing stores, and
+    the caller recovers HWC u8 via :func:`unpack_rgb_hwc` (a bitcast +
+    slice that also replaces the planar->HWC transpose pass). Kept
+    OFF by default: it LOSES the same-window real-Mosaic A/B
+    (benchmarks/exp_packed.py, config-2 shapes: packed 5.85 ms vs
+    planar 5.19) — the i32 stores move 4 B/px where the planar path
+    moves 3, and the minor-dim 4->3 bitcast/slice recovery relayout
+    outweighs the saved 4:1 lane-packing casts. Bit-identical parity
+    is pinned by tests/test_kernels.py::test_packed_out_parity.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -531,9 +582,20 @@ def fused_analyze_pallas(
                 f"round0_kinds has {len(round0_kinds)} entries for "
                 f"{len(kinds)} kinds"
             )
+    if packed_out and render_mode != "dots":
+        raise ValueError("packed_out requires render_mode='dots'")
     return _fused_call(
         img_pl, bounds, kinds, block_r, interpret, n_valid,
         with_renders=with_renders, with_round0=with_round0,
         with_hist=with_hist, render_mode=render_mode,
-        round0_kinds=round0_kinds,
+        round0_kinds=round0_kinds, packed_out=packed_out,
     )
+
+
+def unpack_rgb_hwc(packed: jax.Array) -> jax.Array:
+    """``(..., H, W) int32`` of ``r | g<<8 | b<<16`` -> ``(..., H, W, 3)``
+    uint8 — a bitcast + slice (XLA fuses it into consumers; no
+    transpose pass). Byte order is asserted by the packed_out parity
+    tests on both CPU and real TPU."""
+    b = jax.lax.bitcast_convert_type(packed, jnp.uint8)  # (..., H, W, 4)
+    return b[..., :3]

@@ -30,6 +30,7 @@ from rgnir_tpu.kernels.fused import (
     S_SUM,
     S_SUMSQ,
     fused_analyze_pallas,
+    unpack_rgb_hwc,
 )
 from rgnir_tpu.kernels.hist import planar_histograms_pallas
 from rgnir_tpu.kernels.select import masked_median_pallas
@@ -79,7 +80,7 @@ def _median_plan(kinds: Tuple[IndexKind, ...]):
 
 def _core(img_hwc: jax.Array, kinds: Tuple[IndexKind, ...],
           wb_cfg: WBConfig, with_renders: bool, with_hist: bool,
-          round0_kinds=None):
+          round0_kinds=None, packed_out: bool = False):
     h, w = img_hwc.shape[0], img_hwc.shape[1]
     pl_img = jnp.moveaxis(img_hwc, -1, -3)
     hist = planar_histograms_pallas(pl_img)
@@ -90,18 +91,20 @@ def _core(img_hwc: jax.Array, kinds: Tuple[IndexKind, ...],
     return fused_analyze_pallas(
         pl_img, lo, hi, kinds, with_renders=with_renders,
         with_round0=True, with_hist=with_hist,
-        round0_kinds=round0_kinds,
+        round0_kinds=round0_kinds, packed_out=packed_out,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kinds", "with_renders", "with_hist")
+    jax.jit,
+    static_argnames=("kinds", "with_renders", "with_hist", "packed_out"),
 )
 def analyze_image_kernel(
     img: jax.Array,
     kinds: Tuple[str, ...] = tuple(k.value for k in ALL_INDICES),
     with_renders: bool = True,
     with_hist: bool = True,
+    packed_out: bool = False,
 ) -> AnalyzeResult:
     """Kernel-backed fused analysis of ``(H, W, 3)`` or ``(B, H, W, 3)``.
 
@@ -139,14 +142,18 @@ def analyze_image_kernel(
     if batched:
         out = jax.vmap(
             lambda x: _core(x, kinds, cfg, with_renders, with_hist,
-                            round0_kinds)
+                            round0_kinds, packed_out)
         )(img)
         # leading batch: wb_pl (B,3,H,W), idx (B,K,H,W), stats (B,K,128)
+        # (packed_out: wb (B,H,W) i32, rgb (B,K,H,W) i32)
     else:
-        out = _core(img, kinds, cfg, with_renders, with_hist, round0_kinds)
+        out = _core(img, kinds, cfg, with_renders, with_hist, round0_kinds,
+                    packed_out)
     wb_pl, idx, rgb, stats = out[:4]
     r0 = out[4] if len(out) > 4 else None
-    wb = jnp.moveaxis(wb_pl, -3, -1)
+    # packed_out: HWC u8 via bitcast+slice (no transpose pass); else the
+    # planar->HWC moveaxis (a real transpose on device).
+    wb = unpack_rgb_hwc(wb_pl) if packed_out else jnp.moveaxis(wb_pl, -3, -1)
 
     # One radix-select launch covers every canonical (batch, kind)
     # median: the select kernel batches through its leading grid
@@ -178,7 +185,10 @@ def analyze_image_kernel(
         indices[kind.value] = idx_k
         if with_renders:
             rgb_k = rgb[:, k] if batched else rgb[k]
-            renders[kind.value] = jnp.moveaxis(rgb_k, -3, -1)
+            renders[kind.value] = (
+                unpack_rgb_hwc(rgb_k) if packed_out
+                else jnp.moveaxis(rgb_k, -3, -1)
+            )
         s = stats[:, k] if batched else stats[k]
         mean = means_all[..., k]
         slot, negate = slots[k]

@@ -235,9 +235,69 @@ int png_decode(const char* path, uint8_t* dst, int w, int h) {
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// PNG encoding (to memory). PIL's encoder spends most of its time on
+// adaptive per-row filter selection (it tries all five filters); for
+// figure/render output we pin filter NONE + a caller-chosen zlib level,
+// which measured 2-4x faster at ~25% larger files (pixels identical —
+// tests/test_native.py round-trips through PIL).
+struct MemOut {
+  uint8_t* buf;
+  long cap;
+  long len;
+};
+
+void mem_write(png_structp png, png_bytep data, png_size_t n) {
+  MemOut* m = static_cast<MemOut*>(png_get_io_ptr(png));
+  if (m->len + static_cast<long>(n) > m->cap) {
+    png_error(png, "output capacity exceeded");
+  }
+  std::memcpy(m->buf + m->len, data, n);
+  m->len += static_cast<long>(n);
+}
+
+void mem_flush(png_structp) {}
+
 }  // namespace
 
 extern "C" {
+
+// Encode (h, w, 3) row-major RGB bytes as a PNG into ``out`` (capacity
+// ``cap``); writes the byte count to ``out_len``. ``level``: zlib
+// 0-9. Returns 0, or kErrDecode on any libpng error (including
+// capacity overflow — size the buffer ~ w*h*3 + h + 64KiB).
+int ii_encode_png_rgb(const uint8_t* rgb, int w, int h, int level,
+                      uint8_t* out, long cap, long* out_len) {
+  if (w <= 0 || h <= 0 || level < 0 || level > 9) return kErrFormat;
+  png_structp png =
+      png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return kErrDecode;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_write_struct(&png, nullptr);
+    return kErrDecode;
+  }
+  MemOut m{out, cap, 0};
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info);
+    return kErrDecode;
+  }
+  png_set_write_fn(png, &m, mem_write, mem_flush);
+  png_set_compression_level(png, level);
+  png_set_filter(png, 0, PNG_FILTER_NONE);
+  png_set_IHDR(png, info, w, h, 8, PNG_COLOR_TYPE_RGB,
+               PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
+               PNG_FILTER_TYPE_DEFAULT);
+  png_write_info(png, info);
+  const size_t stride = static_cast<size_t>(w) * 3;
+  for (int y = 0; y < h; ++y) {
+    png_write_row(png, const_cast<png_bytep>(rgb + stride * y));
+  }
+  png_write_end(png, info);
+  png_destroy_write_struct(&png, &info);
+  *out_len = m.len;
+  return 0;
+}
 
 int ii_probe(const char* path, int* w, int* h) {
   int err;

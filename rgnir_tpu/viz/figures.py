@@ -9,6 +9,7 @@ path. Agg-only (no interactive backend).
 from __future__ import annotations
 
 import io
+from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
@@ -141,9 +142,19 @@ class IndexFigureWriter:
         canvas.restore_region(bg)
         ax.draw_artist(im)
         buf = np.asarray(canvas.buffer_rgba())
-        Image.fromarray(buf[..., :3]).save(
-            str(path), "PNG", compress_level=self.compress_level
-        )
+        rgb = np.ascontiguousarray(buf[..., :3])
+        # Native libpng (filter NONE) halves the encode half of the
+        # per-figure floor vs PIL's adaptive-filter encoder; identical
+        # pixels (tests/test_io.py drives this path and compares).
+        from rgnir_tpu.io.writer import _native_png
+
+        data = _native_png(rgb, self.compress_level)
+        if data is not None:
+            Path(path).write_bytes(data)
+        else:
+            Image.fromarray(rgb).save(
+                str(path), "PNG", compress_level=self.compress_level
+            )
 
 
 def render_comparison_figure(

@@ -133,6 +133,32 @@ class TestFusedKernel:
             for a, b in zip(outs[mode], outs["dots"]):
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.parametrize("batched", [False, True])
+    def test_packed_out_parity(self, rng, batched):
+        """packed_out=True (one i32 ``r|g<<8|b<<16`` store per pixel +
+        bitcast HWC recovery) must be bitwise identical to the planar
+        u8 path across wb, indices, renders, and stats."""
+        from rgnir_tpu.kernels.pipeline import analyze_image_kernel
+
+        shape = (2, 65, 197, 3) if batched else (65, 197, 3)
+        img = jnp.asarray(rng.integers(0, 256, shape, dtype=np.uint8))
+        kinds = ("NDVI", "NDWI")
+        a = analyze_image_kernel(img, kinds=kinds, packed_out=True)
+        b = analyze_image_kernel(img, kinds=kinds, packed_out=False)
+        np.testing.assert_array_equal(np.asarray(a.wb), np.asarray(b.wb))
+        for k in kinds:
+            np.testing.assert_array_equal(
+                np.asarray(a.indices[k]), np.asarray(b.indices[k])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(a.renders[k]), np.asarray(b.renders[k])
+            )
+            for f in ("mean", "median", "min", "max", "std"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(a.stats[k], f)),
+                    np.asarray(getattr(b.stats[k], f)),
+                )
+
     def test_round0_hist_matches_select_round0(self, rng):
         """The fused kernel's with_round0 output must equal the select
         kernel's own round-0 byte histogram (shift 24, empty prefix) so

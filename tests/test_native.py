@@ -308,6 +308,25 @@ class TestImgio:
         with pytest.raises(OSError, match="unsupported format"):
             imgio.probe(p)
 
+    @pytest.mark.parametrize("level", [0, 1, 6])
+    def test_encode_png_rgb_pil_roundtrip(self, imgio, img, level):
+        """Native libpng encode (filter NONE) must round-trip through
+        PIL to identical pixels at every zlib level the writers use."""
+        import io as _io
+
+        from PIL import Image
+
+        data = imgio.encode_png_rgb(img, level)
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        back = np.asarray(Image.open(_io.BytesIO(data)))
+        np.testing.assert_array_equal(back, img)
+
+    def test_encode_png_rgb_rejects_bad_input(self, imgio, img):
+        with pytest.raises(ValueError):
+            imgio.encode_png_rgb(img[..., 0])  # not 3-channel
+        with pytest.raises(ValueError):
+            imgio.encode_png_rgb(img.astype(np.uint16))
+
     def test_decode_file_fast_fallback(self, tmp_path, img):
         """decode_file_fast: native result == PIL; non-image falls back
         to PIL's error (not a native crash)."""
