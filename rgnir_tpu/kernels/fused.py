@@ -82,9 +82,10 @@ def _fused_kernel(
     with_renders: bool,
     with_round0: bool,
     with_hist: bool = True,
-    render_mode: str = "dots",
+    render_mode: str = "planes",
     round0_kinds: Optional[Tuple[bool, ...]] = None,
     packed_out: bool = False,
+    round0_digit: str = "key",
 ):
     out_rest = list(out_rest)
     rgb_ref = out_rest.pop(0) if with_renders else None
@@ -219,19 +220,69 @@ def _fused_kernel(
         # _median_plan) — their select never runs, so their round-0
         # one-hots (~64 VPU element-ops/px) are skipped and the output
         # row stays zero.
-        if r0_ref is not None and (round0_kinds is None or round0_kinds[k]):
-            bits = jax.lax.bitcast_convert_type(idx, jnp.uint32)
-            keys = jnp.where(
-                bits >> 31 == 1, ~bits, bits | jnp.uint32(0x80000000)
+        emit_r0 = r0_ref is not None and (
+            round0_kinds is None or round0_kinds[k]
+        )
+        # --- render byte + shared one-hots ------------------------------
+        # round0_digit="q24": the select's round-0 digit is the RENDER
+        # byte i256 (the top byte of the 24-bit quantized key — see
+        # select.py key_mode="q24"), so one masked one-hot pair serves
+        # BOTH the colormap gather and the round-0 histogram; the whole
+        # round-0 section collapses to one extra MXU dot when renders
+        # are on. Invalid pixels carry i256=256 (hi one-hot all-zero:
+        # counts nothing, renders 0 — padding is sliced off anyway).
+        need_i256 = with_renders or (emit_r0 and round0_digit == "q24")
+        oh_hiT = oh_loT = None
+        if need_i256:
+            i256 = jnp.minimum(
+                jnp.floor(
+                    (idx + 1.0) * jnp.float32(128.0)
+                ).astype(jnp.int32),
+                255,
             )
-            kbyte = (keys >> jnp.uint32(24)).astype(jnp.int32)
-            kbyte = jnp.where(valid, kbyte, 256).reshape(1, n)
-            r0_hi = jnp.where(
-                (kbyte >> 4) == nib_col, jnp.float32(1), jnp.float32(0)
-            )
-            r0_lo = jnp.where(
-                (kbyte & 15) == nib_col, jnp.float32(1), jnp.float32(0)
-            )
+            i256 = jnp.maximum(i256, 0)
+            if round0_digit == "q24":
+                i256 = jnp.where(valid, i256, 256)
+            i256 = i256.reshape(1, n)
+            oh_hiT = jnp.where(
+                (i256 >> 4) == nib_col, jnp.float32(1), jnp.float32(0)
+            )  # (16, n)
+            if (
+                with_renders
+                and render_mode in ("dots", "packed_mr", "planes")
+            ) or (emit_r0 and round0_digit == "q24"):
+                oh_loT = jnp.where(
+                    (i256 & 15) == nib_col, jnp.float32(1), jnp.float32(0)
+                )  # (16, n)
+
+        # --- radix-select round 0 (top-byte histogram) -----------------
+        # The median select (kernels/select.py) re-reads the index maps
+        # once per radix round; its round 0 needs no prefix, so emit its
+        # byte histogram HERE while idx is still in VMEM — one fewer
+        # full HBM pass downstream. ``round0_kinds`` masks kinds whose
+        # median is DERIVED from an antipodal partner (NDWI = -GNDVI
+        # exactly; kernels/pipeline._median_plan) — their select never
+        # runs, so their round-0 one-hots are skipped and the output
+        # row stays zero.
+        if emit_r0:
+            if round0_digit == "q24":
+                r0_hi, r0_lo = oh_hiT, oh_loT
+            else:
+                # f32 bit-key top byte (general-values path); same
+                # key/one-hot construction as _byte_hist_kernel
+                # (invalid -> byte 256, matching nothing).
+                bits = jax.lax.bitcast_convert_type(idx, jnp.uint32)
+                keys = jnp.where(
+                    bits >> 31 == 1, ~bits, bits | jnp.uint32(0x80000000)
+                )
+                kbyte = (keys >> jnp.uint32(24)).astype(jnp.int32)
+                kbyte = jnp.where(valid, kbyte, 256).reshape(1, n)
+                r0_hi = jnp.where(
+                    (kbyte >> 4) == nib_col, jnp.float32(1), jnp.float32(0)
+                )
+                r0_lo = jnp.where(
+                    (kbyte & 15) == nib_col, jnp.float32(1), jnp.float32(0)
+                )
             r0_ref[k] += jax.lax.dot_general(
                 r0_hi, r0_lo,
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -241,14 +292,6 @@ def _fused_kernel(
         # --- colormap render (nibble one-hot MXU LUT) ------------------
         if not with_renders:
             continue
-        i256 = jnp.minimum(
-            jnp.floor((idx + 1.0) * jnp.float32(128.0)).astype(jnp.int32),
-            255,
-        )
-        i256 = jnp.maximum(i256, 0).reshape(1, n)
-        oh_hiT = jnp.where(
-            (i256 >> 4) == nib_col, jnp.float32(1), jnp.float32(0)
-        )  # (16, n)
         if render_mode == "packed":
             # Packed-LUT gather: the three channel bytes ride ONE f32 as
             # r*65536 + g*256 + b (< 2^24, f32-exact). One HIGHEST-
@@ -282,6 +325,40 @@ def _fused_kernel(
                     ((packed >> sh) & 255)
                     .reshape(br, wc).astype(jnp.uint8)
                 )
+        elif render_mode == "planes":
+            # Byte-plane packed LUT, DEFAULT-precision dot. lut_ref[k]
+            # is (16{hi}, 48): columns [0,16) hold r*65536 for each lo
+            # nibble, [16,32) g*256, [32,48) b. Every entry is
+            # bf16-EXACT (a byte times a power of two needs 8 mantissa
+            # bits), and the one-hot is 0/1, so Mosaic's default 1-pass
+            # bf16 matmul truncates nothing — same exactness argument
+            # as the "dots" byte tables, no Precision API. ONE dot
+            # yields all three planes; their f32 sum (< 2^24) is the
+            # exact packed value; ONE lo multiply-reduce + byte unpack
+            # replaces the three per-channel multiply-reduces
+            # (~180 fewer VPU element-ops/px/kind than "dots").
+            candT = jax.lax.dot_general(
+                lut_ref[k], oh_hiT,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (48, n): three (16{lo}, n) planes
+            cand = candT[0:16] + candT[16:32] + candT[32:48]
+            val = jnp.sum(oh_loT * cand, axis=0, keepdims=True)  # (1, n)
+            packed = val.astype(jnp.int32)
+            if packed_out:
+                # r|g<<8|b<<16 little-endian layout for unpack_rgb_hwc
+                po = (
+                    ((packed >> 16) & 255)
+                    | (packed & 0xFF00)
+                    | ((packed & 255) << 16)
+                )
+                rgb_ref[k] = po.reshape(br, wc)
+            else:
+                for ch, sh in ((0, 16), (1, 8), (2, 0)):
+                    rgb_ref[k, ch] = (
+                        ((packed >> sh) & 255)
+                        .reshape(br, wc).astype(jnp.uint8)
+                    )
         elif render_mode == "packed_mr":
             # Packed LUT + multiply-reduce gather: ONE HIGHEST-precision
             # MXU contraction of the hi one-hot against the 24-bit-int
@@ -299,9 +376,6 @@ def _fused_kernel(
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )  # (16{lo}, n) packed values
-            oh_loT = jnp.where(
-                (i256 & 15) == nib_col, jnp.float32(1), jnp.float32(0)
-            )  # (16, n)
             val = jnp.sum(oh_loT * candT, axis=0, keepdims=True)  # (1, n)
             packed = val.astype(jnp.int32)
             for ch, sh in ((0, 16), (1, 8), (2, 0)):
@@ -334,9 +408,6 @@ def _fused_kernel(
                     t.reshape(br, wc).astype(jnp.int32).astype(jnp.uint8)
                 )
         else:
-            oh_loT = jnp.where(
-                (i256 & 15) == nib_col, jnp.float32(1), jnp.float32(0)
-            )  # (16, n)
             ch_i32 = []
             for ch in range(3):
                 # candT[l, i] = lut[hi_i, l, ch]: contract the hi
@@ -375,6 +446,7 @@ def _fused_kernel(
     static_argnames=(
         "kinds", "block_r", "interpret", "with_renders", "with_round0",
         "with_hist", "render_mode", "round0_kinds", "packed_out",
+        "round0_digit",
     ),
 )
 def _fused_call(
@@ -387,9 +459,10 @@ def _fused_call(
     with_renders: bool = True,
     with_round0: bool = False,
     with_hist: bool = True,
-    render_mode: str = "dots",
+    render_mode: str = "planes",
     round0_kinds: Optional[Tuple[bool, ...]] = None,
     packed_out: bool = False,
+    round0_digit: str = "key",
 ):
     c, h, w = img_pl.shape
     k = len(kinds)
@@ -401,7 +474,26 @@ def _fused_call(
         block_r = auto_block_r(n, cap=32, kernel="fused")
     flat = flatten_to_rows(img_pl, block_r)  # (C, R, 1024)
     rows = flat.shape[-2]
-    if render_mode in ("packed", "packed_mr"):
+    if render_mode == "planes":
+        # (K, 16{hi}, 48) byte-plane tables: cols [0,16) r*65536 per lo
+        # nibble, [16,32) g*256, [32,48) b — each entry bf16-exact.
+        luts = np.stack(
+            [
+                np.concatenate(
+                    [
+                        get_lut(kind.cmap_name)[:, ch]
+                        .reshape(16, 16)
+                        .astype(np.float32) * scale
+                        for ch, scale in ((0, 65536.0), (1, 256.0), (2, 1.0))
+                    ],
+                    axis=1,
+                )
+                for kind in kinds
+            ]
+        ).astype(np.float32)
+        lut_spec = pl.BlockSpec((k, 16, 48), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    elif render_mode in ("packed", "packed_mr"):
         # (K, 16{hi}, 16{lo}) tables of r*65536 + g*256 + b (f32-exact
         # 24-bit ints; unpacked in-kernel after the lo-nibble gather)
         luts = np.stack(
@@ -433,7 +525,7 @@ def _fused_call(
         _fused_kernel, kinds=kinds, with_renders=with_renders,
         with_round0=with_round0, with_hist=with_hist,
         render_mode=render_mode, round0_kinds=round0_kinds,
-        packed_out=packed_out,
+        packed_out=packed_out, round0_digit=round0_digit,
     )
     if packed_out:
         wb_spec = pl.BlockSpec((block_r, _LANES), lambda i: (i, 0),
@@ -534,9 +626,10 @@ def fused_analyze_pallas(
     with_renders: bool = True,
     with_round0: bool = False,
     with_hist: bool = True,
-    render_mode: str = "dots",
+    render_mode: str = "planes",
     round0_kinds: Optional[Tuple[bool, ...]] = None,
     packed_out: bool = False,
+    round0_digit: str = "key",
 ):
     """Fused WB+index+stats+render of a planar ``(3, H, W)`` uint8 image.
 
@@ -550,14 +643,24 @@ def fused_analyze_pallas(
     to ``kernels.select.masked_median_pallas(round0_hist=...)`` to skip
     one full read of the index maps).
 
-    ``render_mode``: ``"dots"`` (default) — per-channel byte-LUT MXU
-    dots + lo one-hot multiply-reduce, the measured winner. The three
-    "fewer VPU ops" candidates are kept bit-identical for A/B but LOSE
-    on real Mosaic (config-2 shapes, same-window slopes: dots 3.18 ms,
-    ``"tree"`` 3.99, ``"packed_mr"`` 4.56, ``"packed"`` 4.58 — select
-    trees introduce sublane relayouts, and the HIGHEST-precision packed
-    dot's operand splitting outweighs the ops it saves; see
-    benchmarks/exp_render.py and the kernel comments).
+    ``render_mode``: ``"planes"`` (default) — ONE default-precision MXU
+    dot of the hi one-hot against a byte-plane packed LUT (every entry
+    bf16-exact, so Mosaic's 1-pass bf16 matmul is lossless) + one lo
+    multiply-reduce + byte unpack. Measured winner on real Mosaic
+    (config-2 shapes, same-window slopes, 2026-08-17: planes 2.92 ms,
+    ``"dots"`` 3.07, ``"tree"`` 3.92, ``"packed_mr"`` 4.39, ``"packed"``
+    4.65). The losers are kept bit-identical for A/B: select trees
+    introduce sublane relayouts, and the HIGHEST-precision packed dot's
+    operand splitting outweighs the ops it saves (Precision.HIGH is
+    unsupported by Mosaic); see benchmarks/exp_render.py.
+
+    ``round0_digit``: ``"key"`` (default) — the round-0 histogram bins
+    the f32 bit-key top byte (general values). ``"q24"`` — it bins the
+    RENDER byte i256 (= the top byte of select.py's 24-bit quantized
+    key), reusing the colormap one-hots when renders are on (round 0
+    collapses to one extra MXU dot) and feeding
+    ``masked_median_pallas(quantized=True)``'s 3-round select. Only
+    exact for index-map-like values (see that docstring).
 
     ``packed_out``: wb and renders come back as ``(H, W)`` /
     ``(K, H, W)`` int32 with bytes ``r | g<<8 | b<<16`` — one in-kernel
@@ -582,13 +685,16 @@ def fused_analyze_pallas(
                 f"round0_kinds has {len(round0_kinds)} entries for "
                 f"{len(kinds)} kinds"
             )
-    if packed_out and render_mode != "dots":
-        raise ValueError("packed_out requires render_mode='dots'")
+    if packed_out and render_mode not in ("dots", "planes"):
+        raise ValueError(
+            "packed_out requires render_mode 'dots' or 'planes'"
+        )
     return _fused_call(
         img_pl, bounds, kinds, block_r, interpret, n_valid,
         with_renders=with_renders, with_round0=with_round0,
         with_hist=with_hist, render_mode=render_mode,
         round0_kinds=round0_kinds, packed_out=packed_out,
+        round0_digit=round0_digit,
     )
 
 

@@ -88,10 +88,15 @@ def _core(img_hwc: jax.Array, kinds: Tuple[IndexKind, ...],
     # with_round0: the fused kernel emits the median select's round-0
     # byte histogram while the index maps are in VMEM, saving the
     # select one full HBM pass (int32 accumulation — exact).
+    # round0_digit="q24": the round-0 digit is the render byte, so the
+    # fused kernel reuses the colormap one-hots for the select's round-0
+    # histogram, and the select runs the 3-round quantized path (exact
+    # for index maps — see masked_median_pallas ``quantized``).
     return fused_analyze_pallas(
         pl_img, lo, hi, kinds, with_renders=with_renders,
         with_round0=True, with_hist=with_hist,
         round0_kinds=round0_kinds, packed_out=packed_out,
+        round0_digit="q24",
     )
 
 
@@ -162,7 +167,8 @@ def analyze_image_kernel(
     # of the four data passes on top.
     r0c = None if r0 is None else r0[..., :nc, :]
     meds_c = masked_median_pallas(
-        idx, n, reduce_ndim=2, round0_hist=r0c, take_prefix=take_prefix
+        idx, n, reduce_ndim=2, round0_hist=r0c, take_prefix=take_prefix,
+        quantized=True,
     )  # (B,nc) or (nc,)
 
     # Two-pass variance: the kernel's one-pass E[x^2]-E[x]^2 partials

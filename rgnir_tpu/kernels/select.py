@@ -39,7 +39,7 @@ def _ceil_to(a: int, b: int) -> int:
 
 def _byte_hist_kernel(
     vals_ref, prefix_ref, nvalid_ref, out_ref, *, shift: int, block_r: int,
-    row_major_cols: Optional[int] = None,
+    row_major_cols: Optional[int] = None, key_mode: str = "f32",
 ):
     # Note: with take_prefix, the grid batch index bi runs over the
     # SELECTED rows only; the vals BlockSpec index_map translates it to
@@ -63,10 +63,23 @@ def _byte_hist_kernel(
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    bits = jax.lax.bitcast_convert_type(vals_ref[0], jnp.uint32)
-    keys = jnp.where(
-        bits >> 31 == 1, ~bits, bits | jnp.uint32(0x80000000)
-    )
+    if key_mode == "q24":
+        # 24-bit quantized order key for values in [-1, 1] whose
+        # distinct members differ by > 2^-19 (pipeline index maps —
+        # quotients of small ints; see masked_median_pallas
+        # ``quantized``). floor((v+1) * 2^23) clipped to 2^24-1:
+        # monotone (f32 rounding is monotone, power-of-two scaling
+        # exact), and the top byte equals the fused kernel's render
+        # byte i256, so round 0 reuses the render one-hots.
+        x = (vals_ref[0] + jnp.float32(1.0)) * jnp.float32(8388608.0)
+        keys = jnp.minimum(x.astype(jnp.int32), 2**24 - 1)
+        top_shift = 16
+    else:
+        bits = jax.lax.bitcast_convert_type(vals_ref[0], jnp.uint32)
+        keys = jnp.where(
+            bits >> 31 == 1, ~bits, bits | jnp.uint32(0x80000000)
+        )
+        top_shift = 24
     prefix = prefix_ref[bi]  # whole (B,) SMEM array, indexed by batch
     pos = (
         jax.lax.broadcasted_iota(jnp.int32, (br, wc), 0) * wc
@@ -82,13 +95,21 @@ def _byte_hist_kernel(
         row = pos // row_major_cols
         col = pos - row * row_major_cols
         in_bounds = (row < nvalid_ref[0]) & (col < nvalid_ref[1])
-    if shift < 24:
+    if key_mode == "q24":
+        prefix = prefix.astype(jnp.int32)  # q24 keys fit i32
+        if shift < top_shift:
+            sh_hi = shift + 8
+            active = in_bounds & ((keys >> sh_hi) == (prefix >> sh_hi))
+        else:
+            active = in_bounds
+        byte = (keys >> shift) & 255
+    elif shift < top_shift:
         sh_hi = jnp.uint32(shift + 8)
         active = in_bounds & ((keys >> sh_hi) == (prefix >> sh_hi))
+        byte = (keys >> jnp.uint32(shift)).astype(jnp.int32) & 255
     else:
         active = in_bounds
-
-    byte = (keys >> jnp.uint32(shift)).astype(jnp.int32) & 255
+        byte = (keys >> jnp.uint32(shift)).astype(jnp.int32) & 255
     # Fold the active mask into the VALUE (inactive -> 256, high nibble
     # 16 matches nothing): one select replaces a broadcast AND across
     # the 16 one-hot rows — measured 5-7x faster (benchmarks/exp_hist.py).
@@ -114,6 +135,7 @@ def _byte_hist_kernel(
     jax.jit,
     static_argnames=(
         "shift", "block_r", "interpret", "row_major_cols", "take_prefix",
+        "key_mode",
     ),
 )
 def _byte_hist(
@@ -125,6 +147,7 @@ def _byte_hist(
     interpret: bool,
     row_major_cols: Optional[int] = None,
     take_prefix: Optional[Tuple[int, int]] = None,
+    key_mode: str = "f32",
 ) -> jax.Array:
     """Per-row byte histograms; ``take_prefix=(group, take)`` views the
     B input rows as ``B//group`` groups and histograms only the first
@@ -145,7 +168,7 @@ def _byte_hist(
     out = pl.pallas_call(
         functools.partial(
             _byte_hist_kernel, shift=shift, block_r=block_r,
-            row_major_cols=row_major_cols,
+            row_major_cols=row_major_cols, key_mode=key_mode,
         ),
         grid=grid,
         in_specs=[
@@ -172,13 +195,22 @@ def _select_batched(
     interpret: bool,
     round0_hist: Optional[jax.Array] = None,
     take_prefix: Optional[Tuple[int, int]] = None,
+    key_mode: str = "f32",
 ):
-    """4 radix rounds; returns (key (Bsel,), eq_minus_rank (Bsel,)).
+    """Radix rounds; returns (key (Bsel,), eq_minus_rank (Bsel,)).
 
-    ``round0_hist``: optional precomputed (Bsel, 256) int32 byte
-    histogram of ``(key >> 24) & 255`` over the valid values (what the
-    fused kernel emits with ``with_round0``) — round 0 then costs no
-    data pass at all, only the O(256) cdf scan.
+    ``key_mode="f32"``: 4 byte rounds over the order-preserving uint32
+    bit key (exact for any non-NaN f32; the final key IS the value).
+    ``key_mode="q24"``: 3 byte rounds over the 24-bit quantized key
+    (see _byte_hist_kernel) — one fewer data pass, but the caller must
+    recover the value from the winning bin and guarantee the key
+    separates distinct values (masked_median_pallas ``quantized``).
+
+    ``round0_hist``: optional precomputed (Bsel, 256) int32 histogram
+    of the TOP key byte over the valid values (what the fused kernel
+    emits with ``with_round0``; for q24 that byte equals the render
+    byte i256) — round 0 then costs no data pass at all, only the
+    O(256) cdf scan.
 
     ``take_prefix=(group, take)``: select only the first ``take`` rows
     of each ``group`` consecutive input rows (see _byte_hist); rank and
@@ -190,13 +222,14 @@ def _select_batched(
     prefix = jnp.zeros((b,), jnp.uint32)
     rk = jnp.asarray(rank, jnp.int32)
     eq_minus_rank = None
-    for shift in (24, 16, 8, 0):
-        if shift == 24 and round0_hist is not None:
+    shifts = (24, 16, 8, 0) if key_mode == "f32" else (16, 8, 0)
+    for shift in shifts:
+        if shift == shifts[0] and round0_hist is not None:
             hist = round0_hist
         else:
             hist = _byte_hist(
                 vals, prefix, shift, n_valid, block_r, interpret,
-                take_prefix=take_prefix,
+                take_prefix=take_prefix, key_mode=key_mode,
             )
         cdf = jnp.cumsum(hist, axis=-1)  # (B, 256)
         sel = jnp.sum((cdf <= rk[:, None]).astype(jnp.int32), axis=-1)
@@ -262,6 +295,7 @@ def masked_median_pallas(
     interpret: Optional[bool] = None,
     round0_hist: Optional[jax.Array] = None,
     take_prefix: Optional[Tuple[int, int]] = None,
+    quantized: bool = False,
 ) -> jax.Array:
     """Exact median (numpy even-n semantics) via the kernel radix-select.
 
@@ -281,6 +315,18 @@ def masked_median_pallas(
     its partner's, so its radix rounds and successor pass are skipped
     — skipped rows are never read from HBM). Returns shape
     ``batch[:-1] + (take,)`` (the last batch dim must equal ``group``).
+
+    ``quantized``: select over the 24-bit quantized key
+    ``min(floor((v+1)*2^23), 2^24-1)`` instead of the f32 bit key —
+    one fewer radix data pass, and the recovery min merges with the
+    even-n successor pass (value + successor in ONE read). EXACT only
+    when every pair of distinct values differs by more than 2^-19 and
+    values lie in [-1, 1] with no NaNs. That holds for every pipeline
+    index map: indices are clip((a-b)/(a+b+1e-10)) with integer bands
+    in [0, 255], whose distinct computed values differ by at least
+    1/510^2 - 2^-23 > 2^-19 (exhaustively verified over all 65536
+    band pairs in tests/test_kernels.py). ``round0_hist`` must then be
+    the i256 render-byte histogram (fused kernel round0_digit="q24").
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -310,6 +356,25 @@ def masked_median_pallas(
         out_batch = batch
     rank = jnp.full((b,), (n_valid - 1) // 2, jnp.int32)
     r0 = None if round0_hist is None else round0_hist.reshape(-1, 256)
+    if quantized:
+        key_q, eq_minus_rank = _select_batched(
+            rows, rank, n_valid, block_r, interpret, round0_hist=r0,
+            take_prefix=take_prefix, key_mode="q24",
+        )
+        kp = key_q.astype(jnp.int32)[:, None]  # (Bsel, 1)
+        kv = jnp.minimum(
+            ((flat + 1.0) * jnp.float32(2**23)).astype(jnp.int32),
+            2**24 - 1,
+        )  # (Bsel, n) — same key construction as the kernel
+        # Key separation (see docstring) makes the winning bin hold ONE
+        # distinct value: recover it, and (even n) its successor, in a
+        # single fused read.
+        lo = jnp.min(jnp.where(kv == kp, flat, jnp.inf), axis=1)
+        if n_valid % 2 == 1:
+            return lo.reshape(out_batch)
+        nxt = jnp.min(jnp.where(kv > kp, flat, jnp.inf), axis=1)
+        hi = jnp.where(eq_minus_rank >= 2, lo, nxt)
+        return ((lo + hi) * 0.5).reshape(out_batch)
     key_lo, eq_minus_rank = _select_batched(
         rows, rank, n_valid, block_r, interpret, round0_hist=r0,
         take_prefix=take_prefix,

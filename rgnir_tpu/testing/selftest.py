@@ -95,13 +95,6 @@ def main() -> int:
             for kd in ("NDVI", "GNDVI", "NDWI")
         ),
     )
-    rpm = fused_analyze_pallas(
-        jnp.moveaxis(hwc, -1, -3),
-        *wb_bounds_from_histogram(
-            planar_histograms(jnp.moveaxis(hwc, -1, -3)), n=301 * 517
-        ),
-        ("NDVI", "NDWI"), render_mode="packed_mr",
-    )
     rdots = fused_analyze_pallas(
         jnp.moveaxis(hwc, -1, -3),
         *wb_bounds_from_histogram(
@@ -109,10 +102,18 @@ def main() -> int:
         ),
         ("NDVI", "NDWI"), render_mode="dots",
     )
-    check(
-        "render_packed_mr_exact",
-        np.array_equal(np.asarray(rpm[2]), np.asarray(rdots[2])),
-    )
+    for mode in ("packed_mr", "planes"):
+        rpm = fused_analyze_pallas(
+            jnp.moveaxis(hwc, -1, -3),
+            *wb_bounds_from_histogram(
+                planar_histograms(jnp.moveaxis(hwc, -1, -3)), n=301 * 517
+            ),
+            ("NDVI", "NDWI"), render_mode=mode,
+        )
+        check(
+            f"render_{mode}_exact",
+            np.array_equal(np.asarray(rpm[2]), np.asarray(rdots[2])),
+        )
 
     # 3. select kernel: median + arbitrary rank vs numpy
     x = rng.normal(size=4999).astype(np.float32)
@@ -127,6 +128,22 @@ def main() -> int:
     check("rank_select",
           float(radix_order_statistic_pallas(jnp.asarray(x), r)) ==
           float(np.sort(x)[r]))
+    # quantized (q24) select on index-like values (uint8 band pairs,
+    # heavy ties), odd and even n — the pipeline's production path
+    av = rng.integers(0, 256, 5000).astype(np.float32)
+    bv = rng.integers(0, 256, 5000).astype(np.float32)
+    av[:1200] = bv[:1200] = 7.0
+    vq = np.clip(
+        (av - bv) / (av + bv + np.float32(1e-10)), -1.0, 1.0
+    ).astype(np.float32)
+    check("median_quantized_even",
+          float(masked_median_pallas(jnp.asarray(vq), 5000,
+                                     quantized=True)) ==
+          float(np.median(vq)))
+    check("median_quantized_odd",
+          float(masked_median_pallas(jnp.asarray(vq[:4999]), 4999,
+                                     quantized=True)) ==
+          float(np.median(vq[:4999])))
 
     # 4. sharded (shard_map) kernel bodies on a 1-device mesh: ragged
     # rows exercise the traced-SMEM n_live; 2-D exercises the

@@ -127,9 +127,9 @@ class TestFusedKernel:
             mode: fused_analyze_pallas(
                 img, lo, hi, kinds, block_r=8, render_mode=mode
             )
-            for mode in ("packed", "dots", "tree", "packed_mr")
+            for mode in ("packed", "dots", "tree", "packed_mr", "planes")
         }
-        for mode in ("packed", "tree", "packed_mr"):
+        for mode in ("packed", "tree", "packed_mr", "planes"):
             for a, b in zip(outs[mode], outs["dots"]):
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
@@ -158,6 +158,61 @@ class TestFusedKernel:
                     np.asarray(getattr(a.stats[k], f)),
                     np.asarray(getattr(b.stats[k], f)),
                 )
+
+    def test_q24_key_separates_all_index_values(self):
+        """Exactness precondition of the quantized (q24) median select:
+        over ALL 65536 (a, b) uint8 band pairs, the 24-bit key
+        ``min(floor((v+1)*2^23), 2^24-1)`` of the f32 index value
+        ``clip((a-b)/(a+b+1e-10))`` must be monotone in the value and
+        distinct for distinct values — so the winning key bin always
+        holds exactly one distinct value and ``kv > kp`` is exactly
+        ``v > lo`` (kernels/select.py masked_median_pallas quantized)."""
+        from rgnir_tpu.config import EPSILON
+
+        a, b = np.meshgrid(
+            np.arange(256, dtype=np.float32),
+            np.arange(256, dtype=np.float32),
+        )
+        v = np.clip(
+            (a - b).astype(np.float32)
+            / (a + b + np.float32(EPSILON)).astype(np.float32),
+            np.float32(-1.0), np.float32(1.0),
+        ).astype(np.float32).ravel()
+        key = np.minimum(
+            ((v + np.float32(1.0)) * np.float32(2.0**23)).astype(np.int64),
+            2**24 - 1,
+        )
+        order = np.argsort(v, kind="stable")
+        vs, ks = v[order], key[order]
+        assert (np.diff(ks) >= 0).all()            # monotone
+        dv = np.diff(vs) != 0
+        assert (np.diff(ks)[dv] > 0).all()         # distinct v -> distinct key
+        # and the margin claimed in the docstring holds
+        assert np.min(np.diff(vs)[dv]) > 2.0**-19
+
+    def test_quantized_median_parity_adversarial(self):
+        """masked_median_pallas(quantized=True) == np.median on
+        index-like data built from uint8 band pairs: heavy ties
+        (constant regions), clip-edge values, even and odd n."""
+        from rgnir_tpu.config import EPSILON
+        from rgnir_tpu.kernels.select import masked_median_pallas
+
+        rng = np.random.default_rng(11)
+        for n in (4999, 5000, 4096):
+            a = rng.integers(0, 256, n).astype(np.float32)
+            b = rng.integers(0, 256, n).astype(np.float32)
+            # force ties and clip edges
+            a[: n // 4] = 7.0
+            b[: n // 4] = 7.0
+            a[n // 4: n // 3] = 255.0
+            b[n // 4: n // 3] = 0.0
+            v = np.clip(
+                (a - b) / (a + b + np.float32(EPSILON)), -1.0, 1.0
+            ).astype(np.float32)
+            got = float(masked_median_pallas(
+                jnp.asarray(v), n, quantized=True
+            ))
+            assert got == float(np.median(v)), n
 
     def test_round0_hist_matches_select_round0(self, rng):
         """The fused kernel's with_round0 output must equal the select
