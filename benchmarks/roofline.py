@@ -62,52 +62,68 @@ VPU_PEAK = 7.2e12          # modeled elementwise ops/s (see docstring)
 MXU_PEAK = 197e12          # bf16 FLOP/s
 
 
-def model(kinds: int, renders: bool, select_rounds: int = 3,
-          sharded: bool = False):
-    """(bytes/px, vpu ops/px, mxu flops/px) for one analyze step."""
+def model(kinds: int, renders: bool, sharded: bool = False,
+          hist: bool = False):
+    """(bytes/px, vpu ops/px, mxu flops/px) for one analyze step.
+
+    Round-3 kernel structure: render_mode="planes" (one byte-plane dot
+    + one lo multiply-reduce) and the quantized q24 median (2 radix
+    rounds after the fused round-0, recovery+successor merged into ONE
+    read). The sharded path (config 6) still runs the general f32-key
+    select: 4 rounds + successor, no fused round 0. ``hist`` is
+    per-config now — only the single-report flow builds the 50-bin
+    histogram."""
     k, r = kinds, (1 if renders else 0)
+    if sharded:
+        rounds, recovery_vpu = 4, 3 * k      # f32 key; jnp successor
+    else:
+        rounds, recovery_vpu = 2, 8 * k      # q24; key+recover+succ pass
     bytes_px = (
         3                      # hist kernel image read
         + 3 + 3 + 4 * k + 3 * k * r   # fused: read, wb, idx, renders
         + 4 * k                # variance pass
-        + 4 * k * select_rounds
-        + 4 * k                # even-n successor min
+        + 4 * k * rounds       # select radix rounds
+        + 4 * k                # recovery/successor read
         + (9 if renders else 6)  # bench-loop carry traffic
     )
     vpu_px = (
         18 + 7 * k + 10 * k
-        + 128 * k              # 50-bin exact-edge ge matrix
-        + 85 * k * r           # colormap render
-        + 45 * k * select_rounds
-        + 4 * k + 3 * k
+        + (128 * k if hist else 0)  # 50-bin exact-edge ge matrix
+        + 70 * k * r           # planes render: i256 + one-hots +
+                               # plane-sum + one multiply-reduce + unpack
+        + (2 * k if renders else 35 * k)  # fused round-0: shared
+                               # one-hots when rendering, else built
+        + 45 * k * rounds
+        + 4 * k + recovery_vpu
     )
     # MXU: nibble one-hot contractions. Per 16-wide dot pair: 2*16*16
-    # MACs per pixel-column ~= 1024 flops/px for hist+render+select.
-    mxu_px = 1024.0 * k * (1 + r + select_rounds / 2)
+    # MACs per pixel-column ~= 1024 flops/px for hist+render+select;
+    # +0.5 for the fused round-0 dot.
+    mxu_px = 1024.0 * k * (1.5 + r + rounds / 2)
     if sharded:
         vpu_px += 10 * k       # psum/collective epilogue (negligible)
     return bytes_px, vpu_px, mxu_px
 
 
-# config name -> (kinds, renders, sharded)
+# config name -> (kinds, renders, sharded, hist)
 CONFIGS = {
-    "1_single_512_ndvi_stats": (1, False, False),
-    "2_batch32_3idx_renders": (3, True, False),
-    "3_mosaic_4096_fused": (1, True, False),
-    "4_stream_1080p_3idx": (3, False, False),
-    "5_survey_8192_fused": (1, False, False),
-    "6_mosaic_4096_shardmap_kernel": (1, False, True),
+    "1_single_512_ndvi_stats": (1, False, False, True),
+    "2_batch32_3idx_renders": (3, True, False, False),
+    "3_mosaic_4096_fused": (1, True, False, False),
+    "4_stream_1080p_3idx": (3, False, False, False),
+    "5_survey_8192_fused": (1, False, False, False),
+    "6_mosaic_4096_shardmap_kernel": (1, False, True, False),
 }
 
 
-def annotate(records, select_rounds: int = 3):
+def annotate(records):
     rows = []
     for rec in records:
         name = rec.get("config")
         if name not in CONFIGS:
             continue
-        kinds, renders, sharded = CONFIGS[name]
-        b_px, v_px, m_px = model(kinds, renders, select_rounds, sharded)
+        kinds, renders, sharded, hist = CONFIGS[name]
+        b_px, v_px, m_px = model(kinds, renders, sharded, hist)
         pix_s = rec["mpix_per_s"] * 1e6
         hbm = b_px * pix_s
         vpu = v_px * pix_s

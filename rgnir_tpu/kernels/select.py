@@ -400,6 +400,8 @@ def masked_median_pallas_sharded(
     block_r=None,
     interpret: Optional[bool] = None,
     live_rc: Optional[tuple] = None,
+    quantized: bool = False,
+    round0_hist: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Distributed exact median with Pallas per-round byte histograms.
 
@@ -429,6 +431,17 @@ def masked_median_pallas_sharded(
       axis_name: mesh axis name (or tuple) to reduce over.
       live_rc: traced ``(rows_live, cols_live)`` for the rectangular
         layout; ``vals`` must then be 2-D ``(bh, bw)``.
+      quantized: radix over the 24-bit quantized key instead of the
+        f32 bit key — 3 rounds instead of 4 (2 with ``round0_hist``),
+        and the recovery min merges with the even-n successor. Same
+        exactness precondition as ``masked_median_pallas(quantized=
+        True)``: values in [-1, 1], distinct values > 2^-19 apart
+        (all pipeline index maps; NOT index DIFFS — parallel/change.py
+        stays on the f32 path).
+      round0_hist: (256,) or (1, 256) int32 GLOBAL (already psum'd)
+        top-byte histogram for the first round — the fused kernel's
+        ``round0_digit="q24"`` output — skipping that round's data
+        pass and collective entirely.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -453,10 +466,18 @@ def masked_median_pallas_sharded(
     prefix = jnp.zeros((1,), jnp.uint32)
     rk = jnp.full((1,), (n_valid_global - 1) // 2, jnp.int32)
     eq_minus_rank = None
-    for shift in (24, 16, 8, 0):
-        hist = _byte_hist(rows, prefix, shift, nv, block_r, interpret,
-                          row_major_cols=row_major_cols)
-        hist = jax.lax.psum(hist, axis_name)  # (1, 256) global counts
+    key_mode = "q24" if quantized else "f32"
+    shifts = (16, 8, 0) if quantized else (24, 16, 8, 0)
+    for shift in shifts:
+        if shift == shifts[0] and round0_hist is not None:
+            # caller supplies the GLOBAL (already psum'd) top-byte
+            # histogram, e.g. the fused kernel's i256 round-0 output
+            hist = round0_hist.reshape(1, 256)
+        else:
+            hist = _byte_hist(rows, prefix, shift, nv, block_r, interpret,
+                              row_major_cols=row_major_cols,
+                              key_mode=key_mode)
+            hist = jax.lax.psum(hist, axis_name)  # (1, 256) global counts
         cdf = jnp.cumsum(hist, axis=-1)
         sel = jnp.sum((cdf <= rk[:, None]).astype(jnp.int32), axis=-1)
         below = jnp.take_along_axis(
@@ -469,11 +490,6 @@ def masked_median_pallas_sharded(
         rk = rk - below
         prefix = prefix | (sel.astype(jnp.uint32) << jnp.uint32(shift))
         eq_minus_rank = in_bin - rk
-    lo = f32_from_ordered_u32(prefix)[0]
-    if n_valid_global % 2 == 1:
-        return lo
-    # Even n: global successor of lo — local masked min of values
-    # strictly greater, then pmin (float order == key order, non-NaN).
     pos = jnp.arange(n_local, dtype=jnp.int32)
     if live_rc is not None:
         prow = pos // row_major_cols
@@ -481,6 +497,33 @@ def masked_median_pallas_sharded(
         pos_valid = (prow < nv[0]) & (pcol < nv[1])
     else:
         pos_valid = pos < nv
+    if quantized:
+        # Key separation (masked_median_pallas ``quantized``) makes the
+        # winning 24-bit bin hold one distinct value: recover it — and
+        # the even-n successor — with local masked mins + pmin, one
+        # data read total (vs the f32 path's free value + one read).
+        kp = prefix.astype(jnp.int32)[0]
+        kv = jnp.minimum(
+            ((flat[0] + 1.0) * jnp.float32(2**23)).astype(jnp.int32),
+            2**24 - 1,
+        )
+        lo = jax.lax.pmin(
+            jnp.min(jnp.where((kv == kp) & pos_valid, flat[0], jnp.inf)),
+            axis_name,
+        )
+        if n_valid_global % 2 == 1:
+            return lo
+        nxt = jax.lax.pmin(
+            jnp.min(jnp.where((kv > kp) & pos_valid, flat[0], jnp.inf)),
+            axis_name,
+        )
+        hi = jnp.where(eq_minus_rank[0] >= 2, lo, nxt)
+        return (lo + hi) * 0.5
+    lo = f32_from_ordered_u32(prefix)[0]
+    if n_valid_global % 2 == 1:
+        return lo
+    # Even n: global successor of lo — local masked min of values
+    # strictly greater, then pmin (float order == key order, non-NaN).
     nxt = jnp.min(
         jnp.where((flat[0] > lo) & pos_valid, flat[0], jnp.inf)
     )

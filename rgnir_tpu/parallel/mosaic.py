@@ -204,9 +204,16 @@ def _analyze_mosaic_kernel(
         hist = planar_histograms_pallas(pl, n_valid=n_live)
         hist = jax.lax.psum(hist, axis)
         lo, hi = wb_bounds_from_histogram(hist, n=n_valid, cfg=wb_cfg)
-        wb_pl, idx, rgb, partials = fused_analyze_pallas(
-            pl, lo, hi, kinds, n_valid=n_live, with_renders=with_renders
+        # round0_digit="q24": the fused kernel emits the quantized
+        # select's round-0 histogram (the render byte) per shard; one
+        # psum makes it global, dropping a whole distributed radix
+        # round AND its 256-int collective (4 rounds + successor ->
+        # 2 rounds + merged recovery; see select.py ``quantized``).
+        wb_pl, idx, rgb, partials, r0 = fused_analyze_pallas(
+            pl, lo, hi, kinds, n_valid=n_live, with_renders=with_renders,
+            with_round0=True, round0_digit="q24",
         )
+        r0 = jax.lax.psum(r0, axis)  # (K, 256) global top-byte counts
         wb = jnp.moveaxis(wb_pl, -3, -1)
 
         rowmask = (
@@ -234,7 +241,8 @@ def _analyze_mosaic_kernel(
             # Row-block padding is a flat prefix of the full-width
             # shard, exactly what the sharded Pallas select masks.
             med = masked_median_pallas_sharded(
-                idx[k], n_valid, n_live, axis
+                idx[k], n_valid, n_live, axis,
+                quantized=True, round0_hist=r0[k],
             )
             indices[kind.value] = idx[k]
             if with_renders:
@@ -381,9 +389,18 @@ def _analyze_mosaic_kernel_2d(mosaic, kinds, mesh, wb_cfg, idx_cfg,
         hist = jax.lax.psum(planar_histograms_pallas(pl), axes)
         hist = hist.at[:, 0].add(-pad_total)  # pad zeros -> bin 0
         lo, hi = wb_bounds_from_histogram(hist, n=n_valid, cfg=wb_cfg)
-        wb_pl, idx, rgb, partials = fused_analyze_pallas(
-            pl, lo, hi, kinds, with_renders=with_renders
+        wb_pl, idx, rgb, partials, r0 = fused_analyze_pallas(
+            pl, lo, hi, kinds, with_renders=with_renders,
+            with_round0=True, round0_digit="q24",
         )
+        # The fused call sees no validity here (analytic corrections
+        # handle padding): pad pixels have index exactly 0.0 (wb(0)=0
+        # both bands), whose q24 top byte is floor((0+1)*128) = 128 —
+        # subtract them from that bin after the psum, the same trick
+        # as the 50-bin histogram's bin-25 correction below. Rounds
+        # 1-2 and the recovery mask pads positionally (live_rc).
+        r0 = jax.lax.psum(r0, axes)
+        r0 = r0.at[:, 128].add(-pad_total)
         wb = jnp.moveaxis(wb_pl, -3, -1)
 
         indices: Dict[str, jax.Array] = {}
@@ -412,6 +429,7 @@ def _analyze_mosaic_kernel_2d(mosaic, kinds, mesh, wb_cfg, idx_cfg,
                 live_rc=(
                     jnp.clip(h - row0, 0, bh), jnp.clip(w - col0, 0, bw)
                 ),
+                quantized=True, round0_hist=r0[k],
             )
             indices[kind.value] = idx[k]
             if with_renders:

@@ -733,6 +733,56 @@ class TestShardedPallasMedian:
         ))(jnp.asarray(padded))
         assert float(med) == float(np.median(vals))
 
+    @pytest.mark.parametrize("h", [56, 49])  # even/odd valid rows
+    @pytest.mark.parametrize("with_r0", [False, True])
+    def test_quantized_matches_numpy(self, rng, h, with_r0):
+        """q24 sharded select on index-like values (uint8 band pairs,
+        heavy ties), with and without a precomputed global round-0
+        histogram — the mosaic shard bodies' production path."""
+        from jax.sharding import PartitionSpec as P
+
+        from rgnir_tpu.kernels.select import masked_median_pallas_sharded
+
+        mesh = local_mesh("d")
+        n_dev = mesh.devices.size
+        w = 64
+        hp = ((h + n_dev - 1) // n_dev) * n_dev
+        a = rng.integers(0, 256, (h, w)).astype(np.float32)
+        b = rng.integers(0, 256, (h, w)).astype(np.float32)
+        a[: h // 3] = b[: h // 3] = 7.0  # constant region -> key ties
+        vals = np.clip(
+            (a - b) / (a + b + np.float32(1e-10)), -1.0, 1.0
+        ).astype(np.float32)
+        padded = np.zeros((hp, w), np.float32)
+        padded[:h] = vals
+        bh = hp // n_dev
+        n_valid = h * w
+        if with_r0:
+            key = np.minimum(
+                ((vals + np.float32(1.0)) * np.float32(2.0**23))
+                .astype(np.int64) >> 16,
+                255,
+            )
+            r0 = jnp.asarray(
+                np.bincount(key.ravel(), minlength=256).astype(np.int32)
+            )
+        else:
+            r0 = None
+
+        def shard_fn(tile):
+            row0 = jax.lax.axis_index("d") * bh
+            rows_live = jnp.clip(h - row0, 0, bh)
+            return masked_median_pallas_sharded(
+                tile, n_valid, rows_live * w, "d",
+                quantized=True, round0_hist=r0,
+            )
+
+        med = jax.jit(jax.shard_map(
+            shard_fn, mesh=mesh, in_specs=P("d"), out_specs=P(),
+            check_vma=False,
+        ))(jnp.asarray(padded))
+        assert float(med) == float(np.median(vals))
+
     def test_ties_even_n(self, rng):
         """Duplicated values around the middle ranks exercise the
         eq_minus_rank tie fast path of the even-n successor."""
