@@ -124,7 +124,7 @@ def ab() -> None:
     res = chain_time_ab(
         {"dots": body("dots"), "packed": body("packed"),
          "tree": body("tree"), "packed_mr": body("packed_mr"),
-         "planes": body("planes")},
+         "planes": body("planes"), "planes2": body("planes2")},
         (img, jnp.zeros(())), ns=(10, 60), reps=6,
     )
     print({k: round(v, 3) for k, v in res.items()})

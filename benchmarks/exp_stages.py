@@ -56,11 +56,21 @@ def main() -> None:
         _, lo, hi = jax.vmap(hist_bounds)(img)
         return img, acc + jnp.sum(lo) + jnp.sum(hi)
 
+    # Production configuration (kernels/pipeline): q24 round-0 digit,
+    # antipodal plan (NDWI derived from GNDVI -> take_prefix=(3,2)),
+    # reference-parity stat set (hist off). Round 2 of this experiment
+    # measured the DEFAULTS instead (hist on, f32 4-round select) and
+    # blamed the fused kernel for 73% of the step — wrong by the cost
+    # of the hist section; these cells now mirror production exactly.
+    nc = 2
+
     def fused_out(img):
         pl_img, lo, hi = jax.vmap(hist_bounds)(img)
         out = jax.vmap(
             lambda p, l, h: fused_analyze_pallas(
-                p, l, h, kk, with_renders=True, with_round0=True
+                p, l, h, kk, with_renders=True, with_round0=True,
+                with_hist=False, round0_digit="q24",
+                round0_kinds=(True,) * nc + (False,) * (len(kk) - nc),
             )
         )(pl_img, lo, hi)
         return out
@@ -76,7 +86,10 @@ def main() -> None:
         img, acc = carry
         out = fused_out(img)
         wb_pl, idx, rgb, r0 = out[0], out[1], out[2], out[4]
-        meds = masked_median_pallas(idx, n, reduce_ndim=2, round0_hist=r0)
+        meds = masked_median_pallas(
+            idx, n, reduce_ndim=2, round0_hist=r0[..., :nc, :],
+            take_prefix=(len(kk), nc), quantized=True,
+        )
         nxt = jnp.moveaxis(wb_pl, -3, -1) ^ jnp.moveaxis(rgb[:, 0], -3, -1)
         return nxt, acc + jnp.sum(meds)
 
@@ -84,11 +97,13 @@ def main() -> None:
         img, acc = carry
         out = fused_out(img)
         wb_pl, idx, rgb, stats, r0 = out[:5]
-        meds = masked_median_pallas(idx, n, reduce_ndim=2, round0_hist=r0)
         means = stats[..., S_SUM] / n
-        var = jnp.mean(
-            jnp.square(idx - means[..., None, None]), axis=(-2, -1)
+        meds, sumsq = masked_median_pallas(
+            idx, n, reduce_ndim=2, round0_hist=r0[..., :nc, :],
+            take_prefix=(len(kk), nc), quantized=True,
+            means=means[..., :nc],
         )
+        var = sumsq / n
         nxt = jnp.moveaxis(wb_pl, -3, -1) ^ jnp.moveaxis(rgb[:, 0], -3, -1)
         return nxt, acc + jnp.sum(meds) + jnp.sum(var)
 

@@ -145,6 +145,17 @@ def _fused_kernel(
 
     nib_col = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
 
+    plane_sum = None
+    if with_renders and render_mode == "planes2":
+        # (16, 48) 0/1 plane-summing matrix for the planes2 MXU
+        # plane-sum: row l has ones at columns l, 16+l, 32+l. Built from
+        # iotas (n-independent, negligible); 0/1 entries are bf16-exact.
+        prow = jax.lax.broadcasted_iota(jnp.int32, (16, 48), 0)
+        pcol = jax.lax.broadcasted_iota(jnp.int32, (16, 48), 1)
+        plane_sum = jnp.where(
+            (pcol & 15) == prow, jnp.float32(1), jnp.float32(0)
+        )
+
     add_rows = []
     min_scalars = []
     max_scalars = []
@@ -232,7 +243,7 @@ def _fused_kernel(
         # are on. Invalid pixels carry i256=256 (hi one-hot all-zero:
         # counts nothing, renders 0 — padding is sliced off anyway).
         need_i256 = with_renders or (emit_r0 and round0_digit == "q24")
-        oh_hiT = oh_loT = None
+        oh_hiT = oh_loT = mask_loT = None
         if need_i256:
             i256 = jnp.minimum(
                 jnp.floor(
@@ -247,6 +258,11 @@ def _fused_kernel(
             oh_hiT = jnp.where(
                 (i256 >> 4) == nib_col, jnp.float32(1), jnp.float32(0)
             )  # (16, n)
+            if with_renders and render_mode == "planes2":
+                # planes2's multiply-reduce selects on the i1 mask
+                # directly; the f32 lo one-hot is only materialized
+                # when the round-0 dot needs an MXU operand.
+                mask_loT = (i256 & 15) == nib_col  # (16, n) i1
             if (
                 with_renders
                 and render_mode in ("dots", "packed_mr", "planes")
@@ -347,6 +363,56 @@ def _fused_kernel(
             packed = val.astype(jnp.int32)
             if packed_out:
                 # r|g<<8|b<<16 little-endian layout for unpack_rgb_hwc
+                po = (
+                    ((packed >> 16) & 255)
+                    | (packed & 0xFF00)
+                    | ((packed & 255) << 16)
+                )
+                rgb_ref[k] = po.reshape(br, wc)
+            else:
+                for ch, sh in ((0, 16), (1, 8), (2, 0)):
+                    rgb_ref[k, ch] = (
+                        ((packed >> sh) & 255)
+                        .reshape(br, wc).astype(jnp.uint8)
+                    )
+        elif render_mode == "planes2":
+            # planes + two structural changes, both exact — and a
+            # measured LOSER, kept bit-identical for A/B only
+            # (exp_render.py ab, 2026-08-17: planes 2.82 ms, planes2
+            # 3.80; isolation: the P-dot alone regresses to 3.88, the
+            # mask-mr alone is neutral at 2.87 — Mosaic dots carry
+            # VPU-side operand staging proportional to the (48, n)
+            # input, so "the MXU is idle" does not make a second dot
+            # free). The original intent:
+            # 1. The plane sum (2 f32 adds over (16, n) = ~32 VPU
+            #    element-ops/px/kind in "planes") moves to the idle MXU
+            #    as a SECOND default-precision dot: plane_sum (16, 48)
+            #    is 0/1 and candT's entries are single byte-plane
+            #    values byte*2^k (<= 8 mantissa bits) — BOTH operands
+            #    bf16-exact, so Mosaic's 1-pass bf16 matmul truncates
+            #    nothing and the f32 accumulation of 3 terms < 2^24 is
+            #    exact (same argument as the first dot).
+            # 2. The lo-nibble multiply-reduce selects on the i1
+            #    compare mask directly (select instead of multiply —
+            #    same op count), so the f32 lo one-hot need not be
+            #    built at all unless the round-0 dot consumes it
+            #    (saves its 32 ops/px for derived kinds like NDWI).
+            candT = jax.lax.dot_general(
+                lut_ref[k], oh_hiT,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (48, n): three (16{lo}, n) byte planes
+            cand = jax.lax.dot_general(
+                plane_sum, candT,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (16{lo}, n) packed 24-bit values
+            val = jnp.sum(
+                jnp.where(mask_loT, cand, jnp.float32(0)),
+                axis=0, keepdims=True,
+            )  # (1, n)
+            packed = val.astype(jnp.int32)
+            if packed_out:
                 po = (
                     ((packed >> 16) & 255)
                     | (packed & 0xFF00)
@@ -474,7 +540,7 @@ def _fused_call(
         block_r = auto_block_r(n, cap=32, kernel="fused")
     flat = flatten_to_rows(img_pl, block_r)  # (C, R, 1024)
     rows = flat.shape[-2]
-    if render_mode == "planes":
+    if render_mode in ("planes", "planes2"):
         # (K, 16{hi}, 48) byte-plane tables: cols [0,16) r*65536 per lo
         # nibble, [16,32) g*256, [32,48) b — each entry bf16-exact.
         luts = np.stack(
@@ -685,9 +751,9 @@ def fused_analyze_pallas(
                 f"round0_kinds has {len(round0_kinds)} entries for "
                 f"{len(kinds)} kinds"
             )
-    if packed_out and render_mode not in ("dots", "planes"):
+    if packed_out and render_mode not in ("dots", "planes", "planes2"):
         raise ValueError(
-            "packed_out requires render_mode 'dots' or 'planes'"
+            "packed_out requires render_mode 'dots', 'planes' or 'planes2'"
         )
     return _fused_call(
         img_pl, bounds, kinds, block_r, interpret, n_valid,

@@ -166,22 +166,21 @@ def analyze_image_kernel(
     # kernel dispatches; the fused kernel's round-0 histogram saves one
     # of the four data passes on top.
     r0c = None if r0 is None else r0[..., :nc, :]
-    meds_c = masked_median_pallas(
-        idx, n, reduce_ndim=2, round0_hist=r0c, take_prefix=take_prefix,
-        quantized=True,
-    )  # (B,nc) or (nc,)
-
-    # Two-pass variance: the kernel's one-pass E[x^2]-E[x]^2 partials
-    # cancel catastrophically for tightly clustered indices (std error
-    # up to ~3e-4 — visible at the reference's 4-decimal reporting). One
-    # extra fused read of the index maps restores the jnp path's
-    # accuracy. Only canonical kinds pay the pass: a derived kind's
+    # Two-pass variance rides the select's tail kernel (means=...): the
+    # kernel's one-pass E[x^2]-E[x]^2 partials cancel catastrophically
+    # for tightly clustered indices (std error up to ~3e-4 — visible at
+    # the reference's 4-decimal reporting), so variance is centered on
+    # the exact mean — but instead of its own full read of the index
+    # maps, the centered sum of squares accumulates inside the tail
+    # kernel's single recovery/successor pass (kernels/select.py
+    # _q24_tail_kernel). Only canonical kinds pay: a derived kind's
     # centered squares are bitwise identical to its partner's.
     means_all = stats[..., S_SUM] / n                      # (B,K) or (K,)
-    centered = (
-        idx[..., :nc, :, :] - means_all[..., :nc, None, None]
-    )
-    vars_c = jnp.mean(jnp.square(centered), axis=(-2, -1))
+    meds_c, sumsq_c = masked_median_pallas(
+        idx, n, reduce_ndim=2, round0_hist=r0c, take_prefix=take_prefix,
+        quantized=True, means=means_all[..., :nc],
+    )  # each (B,nc) or (nc,)
+    vars_c = sumsq_c / n
 
     indices: Dict[str, jax.Array] = {}
     renders: Dict[str, jax.Array] = {}

@@ -187,6 +187,110 @@ def _byte_hist(
     return out.reshape(b_sel, 256)
 
 
+def _q24_tail_kernel(
+    vals_ref, kp_ref, mean_ref, nvalid_ref, out_ref, *, with_sumsq: bool,
+):
+    """One-read q24 select tail: recovery min (value of the winning
+    24-bit bin), successor min (smallest value in any higher bin), and
+    optionally the centered sum of squares for the two-pass variance.
+
+    The XLA tail this replaces (quantize -> two masked min reductions
+    [-> centered-square reduction]) compiled to multiple full data
+    passes (measured 0.63 ms at config-2 shapes, benchmarks); this
+    kernel does all three in ONE pass over the rows. Mins are
+    order-independent, so the recovered median is bit-identical to the
+    XLA tail; the sumsq accumulates per block (f32, ~1e-5 relative —
+    same accuracy class as XLA's two-pass reduce, and far above the
+    one-pass partials the pipeline rejected).
+
+    Grid (Bsel, num_row_blocks); vals_ref (1, block_r, 1024) f32;
+    kp_ref (Bsel,) int32 SMEM; mean_ref (Bsel,) f32 SMEM; out_ref
+    (1, 1, 128) f32 with lanes 0=lo min, 1=successor min, 2=sumsq.
+    """
+    bi = pl.program_id(0)
+    step = pl.program_id(1)
+    _, br, wc = vals_ref.shape
+    n = br * wc
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[...] = jnp.where(lane < 2, jnp.inf, 0.0)
+
+    v = vals_ref[0]
+    pos = (
+        jax.lax.broadcasted_iota(jnp.int32, (br, wc), 0) * wc
+        + jax.lax.broadcasted_iota(jnp.int32, (br, wc), 1)
+        + step * n
+    )
+    in_b = pos < nvalid_ref[0]
+    # Same q24 key construction as _byte_hist_kernel; padding folds to
+    # key -1 (< every bin, matches nothing).
+    kv = jnp.minimum(
+        ((v + jnp.float32(1.0)) * jnp.float32(8388608.0)).astype(jnp.int32),
+        2**24 - 1,
+    )
+    kvm = jnp.where(in_b, kv, -1)
+    kp = kp_ref[bi]
+    lo = jnp.min(jnp.where(kvm == kp, v, jnp.inf))
+    nxt = jnp.min(jnp.where(kvm > kp, v, jnp.inf))
+    old = out_ref[...]
+    new = jnp.where(lane == 0, jnp.minimum(old, lo), old)
+    new = jnp.where(lane == 1, jnp.minimum(old, nxt), new)
+    if with_sumsq:
+        c = jnp.where(in_b, v - mean_ref[bi], jnp.float32(0.0))
+        new = jnp.where(lane == 2, old + jnp.sum(c * c), new)
+    out_ref[...] = new
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "block_r", "interpret", "take_prefix", "with_sumsq",
+    ),
+)
+def _q24_tail(
+    vals: jax.Array,    # (B, R, 1024) float32
+    kp: jax.Array,      # (Bsel,) int32 winning q24 keys
+    mean: jax.Array,    # (Bsel,) float32 (zeros when with_sumsq=False)
+    n_valid,
+    block_r: int,
+    interpret: bool,
+    take_prefix: Optional[Tuple[int, int]] = None,
+    with_sumsq: bool = False,
+):
+    """Returns (lo, nxt, sumsq) each (Bsel,); see _q24_tail_kernel."""
+    b, r, _ = vals.shape
+    if take_prefix is not None:
+        group, take = take_prefix
+        b_sel = b // group * take
+        vals_map = lambda bi, i: ((bi // take) * group + (bi % take), i, 0)
+    else:
+        b_sel = b
+        vals_map = lambda bi, i: (bi, i, 0)
+    grid = (b_sel, _cdiv(r, block_r))
+    nv = jnp.asarray(n_valid, jnp.int32).reshape(-1)
+    out = pl.pallas_call(
+        functools.partial(_q24_tail_kernel, with_sumsq=with_sumsq),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_r, 1024), vals_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_sel,), lambda bi, i: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((b_sel,), lambda bi, i: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((int(nv.shape[0]),), lambda bi, i: (0,),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 128), lambda bi, i: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_sel, 1, 128), jnp.float32),
+        interpret=interpret,
+    )(vals, kp, mean, nv)
+    return out[:, 0, 0], out[:, 0, 1], out[:, 0, 2]
+
+
 def _select_batched(
     vals: jax.Array,  # (B, R, 1024) float32, padding masked by n_valid
     rank: jax.Array,  # (Bsel,) int32
@@ -296,6 +400,7 @@ def masked_median_pallas(
     round0_hist: Optional[jax.Array] = None,
     take_prefix: Optional[Tuple[int, int]] = None,
     quantized: bool = False,
+    means: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Exact median (numpy even-n semantics) via the kernel radix-select.
 
@@ -327,6 +432,12 @@ def masked_median_pallas(
     1/510^2 - 2^-23 > 2^-19 (exhaustively verified over all 65536
     band pairs in tests/test_kernels.py). ``round0_hist`` must then be
     the i256 render-byte histogram (fused kernel round0_digit="q24").
+
+    ``means`` (quantized only): optional per-selected-batch means,
+    shaped like the returned medians — the tail kernel then ALSO
+    accumulates the centered sum of squares in its single data pass
+    (the pipeline's two-pass variance, without its own pass) and the
+    return becomes ``(median, centered_sumsq)``.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -356,25 +467,36 @@ def masked_median_pallas(
         out_batch = batch
     rank = jnp.full((b,), (n_valid - 1) // 2, jnp.int32)
     r0 = None if round0_hist is None else round0_hist.reshape(-1, 256)
+    if means is not None and not quantized:
+        raise ValueError("means= requires quantized=True")
     if quantized:
         key_q, eq_minus_rank = _select_batched(
             rows, rank, n_valid, block_r, interpret, round0_hist=r0,
             take_prefix=take_prefix, key_mode="q24",
         )
-        kp = key_q.astype(jnp.int32)[:, None]  # (Bsel, 1)
-        kv = jnp.minimum(
-            ((flat + 1.0) * jnp.float32(2**23)).astype(jnp.int32),
-            2**24 - 1,
-        )  # (Bsel, n) — same key construction as the kernel
         # Key separation (see docstring) makes the winning bin hold ONE
-        # distinct value: recover it, and (even n) its successor, in a
-        # single fused read.
-        lo = jnp.min(jnp.where(kv == kp, flat, jnp.inf), axis=1)
+        # distinct value: the tail kernel recovers it, the (even n)
+        # successor, and (with ``means``) the centered sum of squares
+        # in ONE data pass (_q24_tail_kernel; the XLA tail it replaced
+        # compiled to multiple passes — 0.63 ms at config-2 shapes).
+        with_ss = means is not None
+        mean_b = (
+            means.reshape(-1).astype(jnp.float32) if with_ss
+            else jnp.zeros((b,), jnp.float32)
+        )
+        lo, nxt, sumsq = _q24_tail(
+            rows, key_q.astype(jnp.int32), mean_b, n_valid, block_r,
+            interpret, take_prefix=take_prefix, with_sumsq=with_ss,
+        )
         if n_valid % 2 == 1:
-            return lo.reshape(out_batch)
-        nxt = jnp.min(jnp.where(kv > kp, flat, jnp.inf), axis=1)
-        hi = jnp.where(eq_minus_rank >= 2, lo, nxt)
-        return ((lo + hi) * 0.5).reshape(out_batch)
+            med = lo
+        else:
+            hi = jnp.where(eq_minus_rank >= 2, lo, nxt)
+            med = (lo + hi) * 0.5
+        med = med.reshape(out_batch)
+        if with_ss:
+            return med, sumsq.reshape(out_batch)
+        return med
     key_lo, eq_minus_rank = _select_batched(
         rows, rank, n_valid, block_r, interpret, round0_hist=r0,
         take_prefix=take_prefix,
