@@ -78,7 +78,8 @@ def run_reference(input_dir: Path, output_dir: Path) -> float:
     return time.perf_counter() - t0
 
 
-def run_ours(input_dir: Path, output_dir: Path, figures: bool) -> float:
+def run_ours(input_dir: Path, output_dir: Path, figures: bool,
+             fig_png_compress: int = 1) -> float:
     from rgnir_tpu.config import LoaderConfig
     from rgnir_tpu.pipeline.batch import batch_process
 
@@ -91,6 +92,7 @@ def run_ours(input_dir: Path, output_dir: Path, figures: bool) -> float:
     summary = batch_process(
         input_dir, output_dir, save_wb=True, indices=("NDVI",),
         figures=figures, resume=False, loader_cfg=cfg,
+        fig_png_compress=fig_png_compress,
     )
     dt = time.perf_counter() - t0
     assert not summary["failed"], summary["failed"]
@@ -116,6 +118,11 @@ def main() -> None:
         results["ours_figures_s"] = run_ours(
             input_dir, tmp / "out_fig", figures=True
         )
+        # Same pixels, stored (uncompressed) PNGs: the single-core
+        # zlib encode is ~30 ms of the per-figure floor.
+        results["ours_figures_png0_s"] = run_ours(
+            input_dir, tmp / "out_fig0", figures=True, fig_png_compress=0
+        )
         results["reference_s"] = run_reference(input_dir, tmp / "out_ref")
         mpix = n * size * size / 1e6
         out = {
@@ -126,8 +133,14 @@ def main() -> None:
             "ours_device_renders_s": round(
                 results["ours_device_renders_s"], 2
             ),
+            "ours_figures_png0_s": round(
+                results["ours_figures_png0_s"], 2
+            ),
             "speedup_like_for_like": round(
                 results["reference_s"] / results["ours_figures_s"], 1
+            ),
+            "speedup_like_for_like_png0": round(
+                results["reference_s"] / results["ours_figures_png0_s"], 1
             ),
             "speedup_fast_path": round(
                 results["reference_s"] / results["ours_device_renders_s"], 1

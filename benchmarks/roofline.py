@@ -22,15 +22,18 @@ Peaks (TPU v5e, one chip):
 Per-pixel term derivations (see kernels/fused.py, kernels/select.py,
 kernels/hist.py; K = number of index kinds, R = renders on/off):
 
-HBM bytes/pixel:
+HBM bytes/pixel (Kc = canonical kinds paying the select, 2 of 3 under
+the antipodal plan):
   hist kernel        : read u8 image            -> 3
   fused kernel       : read image 3, write wb 3,
                        write index maps 4K, write renders 3K*R
-  two-pass variance  : read index maps          -> 4K
-  median select      : rounds * read index maps -> 4K * rounds
-                       (rounds = 3 with the fused round-0 histogram,
-                        4 without)
-  even-n successor   : read index maps          -> 4K
+  median select      : rounds * read index maps -> 4Kc * rounds
+                       (2 q24 rounds after the fused round-0 histogram)
+  tail kernel        : ONE read of the index maps -> 4Kc
+                       (recovery min + even-n successor + centered
+                        variance sumsq, kernels/select._q24_tail_kernel;
+                        replaced the separate XLA variance+recovery
+                        passes in round 3)
   bench-loop carry   : wb xor render read+write -> ~9 (renders) / ~6
 
 VPU ops/pixel (elementwise lane ops; compares/selects/adds ~1 each):
@@ -40,10 +43,11 @@ VPU ops/pixel (elementwise lane ops; compares/selects/adds ~1 each):
   50-bin histogram   : 64-edge ge matrix + row
                        reduce                   -> ~128K   (largest!)
   colormap render    : i256 + two 16-one-hots +
-                       3-channel lo-reduce      -> ~85K * R
+                       plane-sum + lo-reduce    -> ~70K * R
   median select      : key build + prefix mask +
-                       byte + two 16-one-hots   -> ~45K * rounds
-  variance pass      : ~4K ; successor min: ~3K
+                       byte + two 16-one-hots   -> ~45Kc * rounds
+  tail kernel        : key + two masked mins +
+                       centered square + sum    -> ~17Kc
 
 Usage:
   python benchmarks/roofline.py BENCH_r03.json       # annotate a bench
@@ -74,16 +78,23 @@ def model(kinds: int, renders: bool, sharded: bool = False,
     per-config now — only the single-report flow builds the 50-bin
     histogram."""
     k, r = kinds, (1 if renders else 0)
+    # Antipodal-kind plan (kernels/pipeline._median_plan): NDWI's median
+    # and variance derive from GNDVI's, so for the 3-kind configs only
+    # nc = 2 canonical kinds pay the select rounds and the tail pass
+    # (take_prefix — skipped rows never leave HBM).
+    nc = 2 if k == 3 else k
     if sharded:
-        rounds, recovery_vpu = 4, 3 * k      # f32 key; jnp successor
+        rounds, tail_bytes, tail_vpu = 4, 0, 3 * k  # f32 key; jnp succ
     else:
-        rounds, recovery_vpu = 2, 8 * k      # q24; key+recover+succ pass
+        # q24: 2 radix rounds after the fused round 0, then the tail
+        # KERNEL (kernels/select._q24_tail_kernel): recovery min +
+        # successor min + centered variance sumsq in ONE read.
+        rounds, tail_bytes, tail_vpu = 2, 4 * nc, 17 * nc
     bytes_px = (
         3                      # hist kernel image read
         + 3 + 3 + 4 * k + 3 * k * r   # fused: read, wb, idx, renders
-        + 4 * k                # variance pass
-        + 4 * k * rounds       # select radix rounds
-        + 4 * k                # recovery/successor read
+        + 4 * nc * rounds      # select radix rounds (canonical kinds)
+        + tail_bytes           # tail kernel read (recovery+succ+var)
         + (9 if renders else 6)  # bench-loop carry traffic
     )
     vpu_px = (
@@ -91,10 +102,10 @@ def model(kinds: int, renders: bool, sharded: bool = False,
         + (128 * k if hist else 0)  # 50-bin exact-edge ge matrix
         + 70 * k * r           # planes render: i256 + one-hots +
                                # plane-sum + one multiply-reduce + unpack
-        + (2 * k if renders else 35 * k)  # fused round-0: shared
+        + (2 * nc if renders else 35 * nc)  # fused round-0: shared
                                # one-hots when rendering, else built
-        + 45 * k * rounds
-        + 4 * k + recovery_vpu
+        + 45 * nc * rounds
+        + tail_vpu
     )
     # MXU: nibble one-hot contractions. Per 16-wide dot pair: 2*16*16
     # MACs per pixel-column ~= 1024 flops/px for hist+render+select;

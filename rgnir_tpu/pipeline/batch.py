@@ -69,10 +69,17 @@ def batch_process(
     figures: bool = False,
     resume: bool = True,
     progress: Optional[Callable[[int, int, Path], None]] = None,
+    fig_png_compress: int = 1,
 ) -> dict:
     """Process a directory; returns a summary dict.
 
     Summary: {"processed": int, "skipped": int, "failed": [(path, err)]}.
+
+    ``fig_png_compress``: zlib level for figure-mode PNGs (pixels are
+    identical at every level). Level 1 is the size/speed default; 0
+    writes stored (uncompressed) PNGs ~30 ms/figure faster on this
+    class of host at ~5x the file size — the e2e benchmark reports
+    both (benchmarks/end_to_end.py).
     """
     output_path = Path(output_dir)
     output_path.mkdir(parents=True, exist_ok=True)
@@ -95,7 +102,7 @@ def batch_process(
     if figures:
         from rgnir_tpu.viz.figures import IndexFigureWriter
 
-        fig_writer = IndexFigureWriter()
+        fig_writer = IndexFigureWriter(compress_level=fig_png_compress)
 
     def dispatch(batch):
         """Enqueue device compute + async device->host copies, no blocking.

@@ -95,17 +95,115 @@ class IndexFigureWriter:
     ~3.3x faster per figure than the reference's fresh-pyplot-per-image
     composition (backend-process.py:40-47) on this host; figure mode is
     composition-bound on a single core, so this is the e2e lever.
+
+    The layout cache is PROCESS-GLOBAL (shared across writer
+    instances): building one layout costs ~1 s of matplotlib text
+    layout — profiled as the dominant cost of a whole 24-image figure
+    batch — and a watch loop / app / repeated ``batch_process`` would
+    otherwise pay it per call. Draw+grab runs under a lock (figure
+    state is mutable); the PNG encode stays per-writer and concurrent.
     """
 
     # Each cached layout holds a live Agg canvas (~4 MB at 10x8@100dpi);
     # ragged directories could otherwise grow the cache without bound.
     MAX_LAYOUTS = 8
+    _layouts = None  # class-level OrderedDict, created on first use
+    _lock = None
 
     def __init__(self, compress_level: int = 1):
         import collections
+        import threading
 
         self.compress_level = compress_level
-        self._state: "collections.OrderedDict" = collections.OrderedDict()
+        cls = type(self)
+        if cls._layouts is None:
+            cls._layouts = collections.OrderedDict()
+            cls._lock = threading.Lock()
+        self._state = cls._layouts  # shared: key -> layout state
+        # Set False to force the draw_artist fallback (A/B + tests).
+        self.fast_draw = True
+
+    @staticmethod
+    def _capture_replay(canvas, ax, im):
+        """Capture the data-independent half of the image artist's draw.
+
+        ``AxesImage.draw`` -> ``_make_image`` spends ~half its time on
+        work that does not depend on the pixel values: bbox/transform
+        math, and (for the no-mask scalar-data 'rgba' interpolation
+        stage this writer always hits) a resample of the CONSTANT alpha
+        plane. This instruments ONE real draw, capturing the exact
+        ``_resample`` arguments (out_shape, transform) and draw position
+        matplotlib itself computed plus the final alpha plane, so
+        subsequent writes replay only the data-dependent calls — the
+        same C resample, the same u8 conversion, the same C blend —
+        and are pixel-identical by construction (asserted against
+        save_index_figure in tests/test_io.py). Returns None (fallback
+        to a full draw_artist) when the draw doesn't match the expected
+        two-resample rgba-stage shape.
+        """
+        import matplotlib.image as mi
+
+        calls = []
+        drawn = {}
+        real_resample = mi._resample
+        renderer = canvas.get_renderer()
+        real_draw_image = renderer.draw_image
+
+        def rec_resample(image_obj, data, out_shape, t, **kw):
+            out = real_resample(image_obj, data, out_shape, t, **kw)
+            calls.append((data.ndim, out_shape, t, kw))
+            return out
+
+        def rec_draw_image(gc, x, y, img, *a, **kw):
+            drawn["pos"] = (x, y)
+            drawn["alpha_u8"] = np.array(img[..., 3], copy=True)
+            return real_draw_image(gc, x, y, img, *a, **kw)
+
+        mi._resample = rec_resample
+        renderer.draw_image = rec_draw_image
+        try:
+            ax.draw_artist(im)
+        finally:
+            mi._resample = real_resample
+            # draw_image is an INSTANCE attribute on RendererAgg
+            # (_update_methods binds the C renderer's method) — restore
+            # it by assignment; `del` would expose the NotImplementedError
+            # base-class method.
+            renderer.draw_image = real_draw_image
+        # Expected rgba-stage shape: one 2-D (alpha) + one 3-D (rgb)
+        # resample, then one draw_image.
+        rgb_calls = [c for c in calls if c[0] == 3]
+        if len(rgb_calls) != 1 or "pos" not in drawn or len(calls) != 2:
+            return None
+        _, out_shape, t, kw = rgb_calls[0]
+        return {
+            "out_shape": out_shape, "t": t, "kw": kw,
+            "pos": drawn["pos"], "alpha_u8": drawn["alpha_u8"],
+        }
+
+    def _replay_draw(self, canvas, ax, im, replay, arr) -> bool:
+        """Redraw the image artist from ``arr`` using the captured
+        replay state; True on success (pixel-identical to draw_artist),
+        False to make the caller fall back to the full draw."""
+        import matplotlib.image as mi
+
+        A = im.to_rgba(arr)  # float RGBA via the fixed (-1, 1) norm
+        out = mi._resample(
+            im, mi._rgb_to_rgba(A[..., :3]),
+            replay["out_shape"], replay["t"], **replay["kw"],
+        )
+        out_u8 = im.to_rgba(out, bytes=True, norm=False)
+        out_u8[..., 3] = replay["alpha_u8"]
+        renderer = canvas.get_renderer()
+        gc = renderer.new_gc()
+        im._set_gc_clip(gc)
+        gc.set_alpha(im._get_scalar_alpha())
+        gc.set_url(im.get_url())
+        gc.set_gid(im.get_gid())
+        x, y = replay["pos"]
+        renderer.draw_image(gc, x, y, out_u8)
+        gc.restore()
+        return True
 
     def write(
         self, index_array: np.ndarray, kind: Union[IndexKind, str], path
@@ -116,33 +214,45 @@ class IndexFigureWriter:
         kind = IndexKind.parse(kind)
         arr = np.asarray(index_array)
         key = (kind.value, arr.shape)
-        state = self._state.get(key)
-        if state is None:
-            fig = _new_figure((10, 8))
-            ax = fig.add_subplot(111)
-            im = ax.imshow(arr, cmap=kind.cmap_name, vmin=-1, vmax=1)
-            fig.colorbar(im, label=kind.value)
-            ax.axis("off")
-            canvas = FigureCanvasAgg(fig)
-            canvas.draw()  # measure the tight bbox once per layout
-            bbox = fig.get_tightbbox(canvas.get_renderer())
-            # Apply the tight-bbox transform PERMANENTLY (print_figure
-            # applies and reverts this same transform on every call).
-            adjust_bbox(fig, bbox, fixed_dpi=100)
-            canvas.draw()
-            bg = canvas.copy_from_bbox(fig.bbox)
-            state = (canvas, ax, im, bg)
-            self._state[key] = state
-            if len(self._state) > self.MAX_LAYOUTS:
-                self._state.popitem(last=False)  # evict least-recent
-        else:
-            self._state.move_to_end(key)
-        canvas, ax, im, bg = state
-        im.set_data(arr)
-        canvas.restore_region(bg)
-        ax.draw_artist(im)
-        buf = np.asarray(canvas.buffer_rgba())
-        rgb = np.ascontiguousarray(buf[..., :3])
+        with type(self)._lock:
+            state = self._state.get(key)
+            if state is None:
+                fig = _new_figure((10, 8))
+                ax = fig.add_subplot(111)
+                im = ax.imshow(arr, cmap=kind.cmap_name, vmin=-1, vmax=1)
+                fig.colorbar(im, label=kind.value)
+                ax.axis("off")
+                canvas = FigureCanvasAgg(fig)
+                canvas.draw()  # measure the tight bbox once per layout
+                bbox = fig.get_tightbbox(canvas.get_renderer())
+                # Apply the tight-bbox transform PERMANENTLY
+                # (print_figure applies and reverts this same
+                # transform on every call).
+                adjust_bbox(fig, bbox, fixed_dpi=100)
+                canvas.draw()
+                bg = canvas.copy_from_bbox(fig.bbox)
+                replay = None
+                if self.fast_draw:
+                    try:
+                        canvas.restore_region(bg)
+                        replay = self._capture_replay(canvas, ax, im)
+                    except Exception:
+                        replay = None  # internals moved — full draw
+                state = (canvas, ax, im, bg, replay)
+                self._state[key] = state
+                if len(self._state) > self.MAX_LAYOUTS:
+                    self._state.popitem(last=False)  # evict least-recent
+            else:
+                self._state.move_to_end(key)
+            canvas, ax, im, bg, replay = state
+            canvas.restore_region(bg)
+            if replay is not None and self.fast_draw:
+                self._replay_draw(canvas, ax, im, replay, arr)
+            else:
+                im.set_data(arr)
+                ax.draw_artist(im)
+            buf = np.asarray(canvas.buffer_rgba())
+            rgb = np.ascontiguousarray(buf[..., :3])
         # Native libpng (filter NONE) halves the encode half of the
         # per-figure floor vs PIL's adaptive-filter encoder; identical
         # pixels (tests/test_io.py drives this path and compares).

@@ -314,6 +314,40 @@ class TestVizSmoke:
             assert a.shape == b.shape
             np.testing.assert_array_equal(a, b)
 
+    def test_index_figure_writer_fast_draw_identity(self, tmp_path, rng):
+        """The capture-replay fast draw (default) must be pixel-equal
+        to the full draw_artist fallback, and the layout cache is
+        process-global: a second writer reuses the first's layouts."""
+        from PIL import Image
+
+        from rgnir_tpu.viz.figures import IndexFigureWriter
+
+        fast = IndexFigureWriter()
+        slow = IndexFigureWriter()
+        slow.fast_draw = False
+        assert fast._state is slow._state  # shared class-level cache
+        # Big enough that matplotlib picks the 'rgba' interpolation
+        # stage (output/input < 3) — the shape the replay capture
+        # supports; small arrays hit the 'data' stage and fall back to
+        # the full draw (still pixel-identical, just uncaptured).
+        arrays = [
+            rng.uniform(-1, 1, (256, 320)).astype(np.float32),
+            np.full((256, 320), 0.25, np.float32),  # constant (ties)
+        ]
+        for i, arr in enumerate(arrays):
+            f, s = tmp_path / f"f{i}.png", tmp_path / f"s{i}.png"
+            fast.write(arr, "NDWI", f)
+            before = len(fast._state)
+            slow.write(arr, "NDWI", s)
+            assert len(slow._state) == before  # layout reused, not rebuilt
+            np.testing.assert_array_equal(
+                np.asarray(Image.open(f).convert("RGB")),
+                np.asarray(Image.open(s).convert("RGB")),
+            )
+        # the fast path was actually active (replay state captured)
+        key = ("NDWI", arrays[0].shape)
+        assert fast._state[key][-1] is not None
+
 
 class TestProfiling:
     def test_stage_timer(self):

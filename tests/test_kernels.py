@@ -214,6 +214,46 @@ class TestFusedKernel:
             ))
             assert got == float(np.median(v)), n
 
+    def test_quantized_tail_means_variance(self):
+        """masked_median_pallas(quantized=True, means=...) returns
+        (median, centered sumsq) from the tail kernel's single pass:
+        medians bit-equal to the means-less call, sumsq equal to the
+        two-pass numpy variance within f32 accumulation tolerance, and
+        take_prefix selecting only the canonical rows."""
+        from rgnir_tpu.config import EPSILON
+        from rgnir_tpu.kernels.select import masked_median_pallas
+
+        rng = np.random.default_rng(13)
+        n = 3000
+        a = rng.integers(0, 256, (2, 3, n)).astype(np.float32)
+        b = rng.integers(0, 256, (2, 3, n)).astype(np.float32)
+        v = np.clip(
+            (a - b) / (a + b + np.float32(EPSILON)), -1.0, 1.0
+        ).astype(np.float32)
+        means = v.mean(axis=-1, dtype=np.float64).astype(np.float32)
+        med_plain = masked_median_pallas(
+            jnp.asarray(v), n, take_prefix=(3, 2), quantized=True
+        )
+        med, ss = masked_median_pallas(
+            jnp.asarray(v), n, take_prefix=(3, 2), quantized=True,
+            means=jnp.asarray(means[:, :2]),
+        )
+        np.testing.assert_array_equal(np.asarray(med), np.asarray(med_plain))
+        want = ((v[:, :2] - means[:, :2, None]) ** 2).sum(
+            axis=-1, dtype=np.float64
+        )
+        np.testing.assert_allclose(
+            np.asarray(ss), want, rtol=2e-6, atol=0
+        )
+        np.testing.assert_array_equal(
+            np.asarray(med),
+            np.median(v[:, :2], axis=-1).astype(np.float32),
+        )
+        with pytest.raises(ValueError, match="quantized"):
+            masked_median_pallas(
+                jnp.asarray(v), n, means=jnp.asarray(means)
+            )
+
     def test_round0_hist_matches_select_round0(self, rng):
         """The fused kernel's with_round0 output must equal the select
         kernel's own round-0 byte histogram (shift 24, empty prefix) so
