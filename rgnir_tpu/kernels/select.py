@@ -624,6 +624,12 @@ def masked_median_pallas_sharded(
         # winning 24-bit bin hold one distinct value: recover it — and
         # the even-n successor — with local masked mins + pmin, one
         # data read total (vs the f32 path's free value + one read).
+        # NOTE: unlike the batched pipeline (which routes this tail
+        # through _q24_tail_kernel and measured +0.35 ms), here the
+        # whole shard body lives in ONE jit, XLA fuses these mins with
+        # the adjacent round/stat passes, and a same-day A/B of the
+        # kernel-tail variant measured no improvement (4.07 vs
+        # 3.97-4.23 ms window band on config 6) — kept on XLA.
         kp = prefix.astype(jnp.int32)[0]
         kv = jnp.minimum(
             ((flat[0] + 1.0) * jnp.float32(2**23)).astype(jnp.int32),
