@@ -93,7 +93,15 @@ def device_mpix_s(batch: int = 8, size: int = 1024) -> float:
         # n is traced -> ONE compilation serves every iteration count.
         def body(i, carry):
             img, acc = carry
-            res = analyze_image_kernel(img, kinds=("NDVI",))
+            # with_hist=False is the like-for-like stat set: the NumPy
+            # baseline below computes mean/median/min/max/coverage and
+            # a byte render — NO 50-bin histogram (the reference's
+            # analyze_index computes none either,
+            # process-images.py:492-513) — so the device side must not
+            # pay for one the denominator never produces.
+            res = analyze_image_kernel(
+                img, kinds=("NDVI",), with_hist=False
+            )
             # Data dependency through the wb output forces sequential
             # execution; renders/index maps are opaque kernel outputs
             # and are always materialized.

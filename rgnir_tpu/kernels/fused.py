@@ -86,6 +86,7 @@ def _fused_kernel(
     round0_kinds: Optional[Tuple[bool, ...]] = None,
     packed_out: bool = False,
     round0_digit: str = "key",
+    antipodal: Optional[Tuple[Optional[int], ...]] = None,
 ):
     out_rest = list(out_rest)
     rgb_ref = out_rest.pop(0) if with_renders else None
@@ -159,10 +160,28 @@ def _fused_kernel(
     add_rows = []
     min_scalars = []
     max_scalars = []
+    idx_by_kind = []
     for k, kind in enumerate(kinds):
-        ia, ib = BAND_INDICES[kind]
-        a, b = wb[ia], wb[ib]
-        idx = jnp.clip((a - b) / (a + b + jnp.float32(EPSILON)), -1.0, 1.0)
+        partner = antipodal[k] if antipodal is not None else None
+        if partner is not None:
+            # Antipodal derivation (kernels/pipeline._median_plan): the
+            # partner's map negates EXACTLY (numerators negate, the eps
+            # denominators are identical), so one negate replaces the
+            # sub/add/div/clip chain — and sum/sumsq/min/max negate
+            # exactly too, so this kind's lanes stay neutral (the
+            # pipeline derives them from the partner's row). Coverage
+            # has its own threshold and is still counted below; the
+            # render and (with_hist) histogram sections also still run
+            # on idx (histogram bins do NOT mirror under negation —
+            # left-closed edges flip).
+            idx = -idx_by_kind[partner]
+        else:
+            ia, ib = BAND_INDICES[kind]
+            a, b = wb[ia], wb[ib]
+            idx = jnp.clip(
+                (a - b) / (a + b + jnp.float32(EPSILON)), -1.0, 1.0
+            )
+        idx_by_kind.append(idx)
         idx_ref[k] = idx
 
         # --- stats partials (gathered into one (nk, 128) update) -------
@@ -171,10 +190,16 @@ def _fused_kernel(
         # and coverage count need no broadcast AND (one select on
         # (br, wc) instead — the 5-7x trick of benchmarks/exp_hist.py).
         idx_m = jnp.where(valid, idx, jnp.float32(-2.0))
-        s_sum = jnp.sum(idx * validf)
-        s_sumsq = jnp.sum(idx * idx * validf)
-        min_scalars.append(jnp.min(jnp.where(valid, idx, jnp.inf)))
-        max_scalars.append(jnp.max(idx_m))
+        if partner is None:
+            s_sum = jnp.sum(idx * validf)
+            s_sumsq = jnp.sum(idx * idx * validf)
+            min_scalars.append(jnp.min(jnp.where(valid, idx, jnp.inf)))
+            max_scalars.append(jnp.max(idx_m))
+        else:
+            s_sum = s_sumsq = jnp.float32(0.0)
+            # neutral under the min/max lane accumulate
+            min_scalars.append(jnp.float32(jnp.inf))
+            max_scalars.append(jnp.float32(-jnp.inf))
         thr = jnp.float32(kind.coverage_threshold)
         s_above = jnp.sum((idx_m > thr).astype(jnp.float32))
 
@@ -245,13 +270,14 @@ def _fused_kernel(
         need_i256 = with_renders or (emit_r0 and round0_digit == "q24")
         oh_hiT = oh_loT = mask_loT = None
         if need_i256:
+            # No max(., 0) needed: idx is clipped to [-1, 1], so
+            # (idx + 1) * 128 >= 0 and floor/cast stay non-negative.
             i256 = jnp.minimum(
                 jnp.floor(
                     (idx + 1.0) * jnp.float32(128.0)
                 ).astype(jnp.int32),
                 255,
             )
-            i256 = jnp.maximum(i256, 0)
             if round0_digit == "q24":
                 i256 = jnp.where(valid, i256, 256)
             i256 = i256.reshape(1, n)
@@ -512,7 +538,7 @@ def _fused_kernel(
     static_argnames=(
         "kinds", "block_r", "interpret", "with_renders", "with_round0",
         "with_hist", "render_mode", "round0_kinds", "packed_out",
-        "round0_digit",
+        "round0_digit", "antipodal",
     ),
 )
 def _fused_call(
@@ -529,6 +555,7 @@ def _fused_call(
     round0_kinds: Optional[Tuple[bool, ...]] = None,
     packed_out: bool = False,
     round0_digit: str = "key",
+    antipodal: Optional[Tuple[Optional[int], ...]] = None,
 ):
     c, h, w = img_pl.shape
     k = len(kinds)
@@ -592,6 +619,7 @@ def _fused_call(
         with_round0=with_round0, with_hist=with_hist,
         render_mode=render_mode, round0_kinds=round0_kinds,
         packed_out=packed_out, round0_digit=round0_digit,
+        antipodal=antipodal,
     )
     if packed_out:
         wb_spec = pl.BlockSpec((block_r, _LANES), lambda i: (i, 0),
@@ -696,6 +724,7 @@ def fused_analyze_pallas(
     round0_kinds: Optional[Tuple[bool, ...]] = None,
     packed_out: bool = False,
     round0_digit: str = "key",
+    antipodal: Optional[Tuple[Optional[int], ...]] = None,
 ):
     """Fused WB+index+stats+render of a planar ``(3, H, W)`` uint8 image.
 
@@ -728,6 +757,14 @@ def fused_analyze_pallas(
     ``masked_median_pallas(quantized=True)``'s 3-round select. Only
     exact for index-map-like values (see that docstring).
 
+    ``antipodal``: per-kind index of an EARLIER kind whose band pair
+    is this kind's swap (or None) — kernels/pipeline._median_plan. A
+    derived kind's index map is one exact negate instead of the
+    sub/add/div/clip chain, and its sum/sumsq/min/max lanes stay
+    neutral (the caller derives them by negating the partner's row —
+    exact, since f32 negation commutes with every reduction add).
+    Coverage, renders, and the optional histogram still compute.
+
     ``packed_out``: wb and renders come back as ``(H, W)`` /
     ``(K, H, W)`` int32 with bytes ``r | g<<8 | b<<16`` — one in-kernel
     i32 store per pixel instead of three u8 lane-packing stores, and
@@ -755,12 +792,26 @@ def fused_analyze_pallas(
         raise ValueError(
             "packed_out requires render_mode 'dots', 'planes' or 'planes2'"
         )
+    if antipodal is not None:
+        antipodal = tuple(
+            None if p is None else int(p) for p in antipodal
+        )
+        if len(antipodal) != len(kinds):
+            raise ValueError(
+                f"antipodal has {len(antipodal)} entries for "
+                f"{len(kinds)} kinds"
+            )
+        for k, p in enumerate(antipodal):
+            if p is not None and not (0 <= p < k):
+                raise ValueError(
+                    f"antipodal[{k}]={p} must point at an earlier kind"
+                )
     return _fused_call(
         img_pl, bounds, kinds, block_r, interpret, n_valid,
         with_renders=with_renders, with_round0=with_round0,
         with_hist=with_hist, render_mode=render_mode,
         round0_kinds=round0_kinds, packed_out=packed_out,
-        round0_digit=round0_digit,
+        round0_digit=round0_digit, antipodal=antipodal,
     )
 
 

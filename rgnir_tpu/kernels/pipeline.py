@@ -80,7 +80,7 @@ def _median_plan(kinds: Tuple[IndexKind, ...]):
 
 def _core(img_hwc: jax.Array, kinds: Tuple[IndexKind, ...],
           wb_cfg: WBConfig, with_renders: bool, with_hist: bool,
-          round0_kinds=None, packed_out: bool = False):
+          round0_kinds=None, packed_out: bool = False, antipodal=None):
     h, w = img_hwc.shape[0], img_hwc.shape[1]
     pl_img = jnp.moveaxis(img_hwc, -1, -3)
     hist = planar_histograms_pallas(pl_img)
@@ -96,7 +96,7 @@ def _core(img_hwc: jax.Array, kinds: Tuple[IndexKind, ...],
         pl_img, lo, hi, kinds, with_renders=with_renders,
         with_round0=True, with_hist=with_hist,
         round0_kinds=round0_kinds, packed_out=packed_out,
-        round0_digit="q24",
+        round0_digit="q24", antipodal=antipodal,
     )
 
 
@@ -139,21 +139,30 @@ def analyze_image_kernel(
         nc, slots = plan
         round0_kinds = (True,) * nc + (False,) * (nk - nc)
         take_prefix = (nk, nc)
+        # Derived kinds compute their index map as one exact negate
+        # inside the fused kernel and skip their sum/sumsq/min/max
+        # reductions — those stats are negations of the partner's
+        # (canonical kinds are a prefix, so the canonical slot IS the
+        # partner's kind index).
+        antipodal = tuple(
+            slots[k][0] if slots[k][1] else None for k in range(nk)
+        )
     else:
         nc, slots = nk, tuple((k, False) for k in range(nk))
         round0_kinds = None
         take_prefix = None
+        antipodal = None
 
     if batched:
         out = jax.vmap(
             lambda x: _core(x, kinds, cfg, with_renders, with_hist,
-                            round0_kinds, packed_out)
+                            round0_kinds, packed_out, antipodal)
         )(img)
         # leading batch: wb_pl (B,3,H,W), idx (B,K,H,W), stats (B,K,128)
         # (packed_out: wb (B,H,W) i32, rgb (B,K,H,W) i32)
     else:
         out = _core(img, kinds, cfg, with_renders, with_hist, round0_kinds,
-                    packed_out)
+                    packed_out, antipodal)
     wb_pl, idx, rgb, stats = out[:4]
     r0 = out[4] if len(out) > 4 else None
     # packed_out: HWC u8 via bitcast+slice (no transpose pass); else the
@@ -195,18 +204,27 @@ def analyze_image_kernel(
                 else jnp.moveaxis(rgb_k, -3, -1)
             )
         s = stats[:, k] if batched else stats[k]
-        mean = means_all[..., k]
         slot, negate = slots[k]
         var = vars_c[..., slot]
         med = meds_c[..., slot]
         if negate:
+            # The kernel skipped this kind's sum/sumsq/min/max (its map
+            # is the exact negation of the partner's, and f32 negation
+            # commutes with every reduction): derive them — bitwise
+            # what the skipped reductions would have produced.
+            sp = stats[..., slot, :]
             med = -med
+            mean = -means_all[..., slot]
+            s_min, s_max = -sp[..., S_MAX], -sp[..., S_MIN]
+        else:
+            mean = means_all[..., k]
+            s_min, s_max = s[..., S_MIN], s[..., S_MAX]
         out_stats[kind.value] = IndexStats(
             mean=mean,
             median=med,
             std=jnp.sqrt(var),
-            min=s[..., S_MIN],
-            max=s[..., S_MAX],
+            min=s_min,
+            max=s_max,
             coverage_pct=s[..., S_ABOVE] / n * 100.0,
             histogram=(
                 s[..., S_HIST:S_HIST + 50].astype(jnp.int32)

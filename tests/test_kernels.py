@@ -214,6 +214,48 @@ class TestFusedKernel:
             ))
             assert got == float(np.median(v)), n
 
+    def test_antipodal_in_kernel_derivation(self, rng):
+        """fused_analyze_pallas(antipodal=...) must produce bit-equal
+        wb/idx/renders/r0 to the independent computation, and the
+        derived kind's skipped sum/sumsq/min/max must be exactly the
+        negation of the partner's (f32 negation commutes with every
+        reduction add)."""
+        from rgnir_tpu.config import IndexKind
+        from rgnir_tpu.kernels.fused import (
+            S_MAX, S_MIN, S_SUM, S_SUMSQ, fused_analyze_pallas,
+        )
+        from rgnir_tpu.kernels.hist import planar_histograms_pallas
+        from rgnir_tpu.ops.wb import wb_bounds_from_histogram
+
+        kinds = (IndexKind.NDVI, IndexKind.GNDVI, IndexKind.NDWI)
+        img = jnp.asarray(rng.integers(0, 256, (3, 97, 213), dtype=np.uint8))
+        hist = planar_histograms_pallas(img)
+        lo, hi = wb_bounds_from_histogram(hist, n=97 * 213)
+        kw = dict(with_renders=True, with_round0=True, with_hist=True,
+                  round0_digit="q24", round0_kinds=(True, True, False),
+                  block_r=8)
+        a = fused_analyze_pallas(img, lo, hi, kinds, **kw)
+        b = fused_analyze_pallas(
+            img, lo, hi, kinds, antipodal=(None, None, 1), **kw
+        )
+        for name, i in (("wb", 0), ("idx", 1), ("render", 2), ("r0", 4)):
+            np.testing.assert_array_equal(
+                np.asarray(a[i]), np.asarray(b[i]), err_msg=name
+            )
+        sa, sb = np.asarray(a[3]), np.asarray(b[3])
+        np.testing.assert_array_equal(sa[:2], sb[:2])  # canonical rows
+        # derived row: coverage + histogram lanes identical ...
+        np.testing.assert_array_equal(sa[2, 4:], sb[2, 4:])
+        # ... and the skipped lanes are exact negations of GNDVI's
+        assert sb[2, S_SUM] == 0.0 and sb[2, S_SUMSQ] == 0.0
+        assert sa[2, S_SUM] == -sa[1, S_SUM]
+        assert sa[2, S_MIN] == -sa[1, S_MAX]
+        assert sa[2, S_MAX] == -sa[1, S_MIN]
+        with pytest.raises(ValueError, match="earlier kind"):
+            fused_analyze_pallas(
+                img, lo, hi, kinds, antipodal=(None, 2, None), **kw
+            )
+
     def test_quantized_tail_means_variance(self):
         """masked_median_pallas(quantized=True, means=...) returns
         (median, centered sumsq) from the tail kernel's single pass:
