@@ -291,6 +291,253 @@ def _q24_tail(
     return out[:, 0, 0], out[:, 0, 1], out[:, 0, 2]
 
 
+def _q24_onepass_kernel(
+    vals_ref, sel0_ref, rank_ref, mean_ref, nvalid_ref, out_ref,
+    vcache_ref, hist_ref, *,
+    num_data_steps: int, with_sumsq: bool,
+):
+    """ONE-pass q24 select: radix rounds 1-2 + the recovery/successor/
+    variance tail in a single kernel, reading the data from HBM once.
+
+    The 3-pass path (`_select_batched` q24 + `_q24_tail`) re-reads the
+    full f32 values from HBM for round 1, round 2, and the tail. Here
+    the grid's data steps 0..R-1 stream each row block ONCE: the block
+    is folded into the round-1 byte histogram (restricted to the
+    round-0 winner ``sel0``, picked in XLA from the fused kernel's
+    free round-0 histogram) AND copied into a VMEM cache. The final
+    grid step then runs entirely from VMEM: round-1 cdf pick, round-2
+    histogram over cache chunks, round-2 pick, and the tail loop — so
+    rounds 2 and 3 cost VMEM bandwidth, not HBM.
+
+    The in-kernel cdf pick avoids dynamic indexing (no Mosaic gather):
+    the 256-bin histogram lives as (16{hi}, 16{lo}); an inclusive
+    within-row cumsum dot (16,16 upper-triangular) plus a strict
+    row-prefix dot gives the byte-ordered cdf, and the winning byte /
+    count-below / count-in-bin come from masked sums against an iota
+    bin index — the same arithmetic `_select_batched` does in XLA,
+    ~1k flops per pick.
+
+    Grid (Bsel, num_data_steps + 1). vals_ref (1, block_r, 1024) f32
+    (the final step's BlockSpec repeats the last block index: no
+    refetch). sel0/rank (Bsel,) i32 SMEM: round-0 winning byte and the
+    rank REMAINING after round 0. mean_ref (Bsel,) f32 SMEM. out_ref
+    (1, 1, 128) f32, lanes 0=recovery min, 1=successor min, 2=centered
+    sumsq, 3=count(key==winner)-rank (the even-n eq_minus_rank, exact
+    in f32: counts < 2^24). Scratch: vcache (R*block_r, 1024) f32,
+    hist (16, 16) f32 (block counts exact in f32; totals < 2^24 by the
+    caller's cache-size gate).
+    """
+    bi = pl.program_id(0)
+    step = pl.program_id(1)
+    _, br, wc = vals_ref.shape
+    n = br * wc
+    sel0 = sel0_ref[bi]
+    nv = nvalid_ref[0]
+    nib_col = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+
+    def q24_keys(v, base_pos):
+        # Same key construction as _byte_hist_kernel / _q24_tail_kernel.
+        kv = jnp.minimum(
+            ((v + jnp.float32(1.0)) * jnp.float32(8388608.0)
+             ).astype(jnp.int32),
+            2 ** 24 - 1,
+        )
+        pos = (
+            jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) * wc
+            + jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+            + base_pos
+        )
+        return kv, pos < nv
+
+    def hist16(byte, m):
+        # (br, wc) int32 in [0, 256] -> (16, 16) f32 bin counts
+        # (inactive byte 256 has hi nibble 16: matches nothing).
+        brow = byte.reshape(1, m)
+        oh_hi = jnp.where(
+            (brow >> 4) == nib_col, jnp.float32(1), jnp.float32(0)
+        )
+        oh_lo = jnp.where(
+            (brow & 15) == nib_col, jnp.float32(1), jnp.float32(0)
+        )
+        return jax.lax.dot_general(
+            oh_hi, oh_lo,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(step == 0)
+    def _():
+        hist_ref[...] = jnp.zeros_like(hist_ref)
+
+    @pl.when(step < num_data_steps)
+    def _():
+        v = vals_ref[0]
+        vcache_ref[pl.ds(step * br, br), :] = v
+        kv, in_b = q24_keys(v, step * n)
+        active = in_b & ((kv >> 16) == sel0)
+        byte1 = jnp.where(active, (kv >> 8) & 255, 256)
+        hist_ref[...] += hist16(byte1, n)
+
+    @pl.when(step == num_data_steps)
+    def _():
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (16, 16), 0)
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (16, 16), 1)
+        incl = jnp.where(row_i <= col_i, jnp.float32(1), jnp.float32(0))
+        strict = jnp.where(col_i < row_i, jnp.float32(1), jnp.float32(0))
+        bidx = row_i * 16 + col_i
+
+        def pick(h, rk):
+            # Byte-ordered cdf of the (16{hi}, 16{lo}) histogram:
+            # inclusive cumsum within each hi row + strict sum of
+            # earlier rows. Returns (winning byte, remaining rank,
+            # count inside the winning bin) — mirrors _select_batched.
+            rc = jax.lax.dot_general(
+                h, incl, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            rowsum = rc[:, 15:16]
+            below_rows = jax.lax.dot_general(
+                strict, rowsum,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            cdf = rc + below_rows
+            rkf = rk.astype(jnp.float32)
+            sel = jnp.sum(
+                (cdf <= rkf).astype(jnp.float32)
+            ).astype(jnp.int32)
+            below = jnp.sum(
+                jnp.where(bidx == sel - 1, cdf, jnp.float32(0))
+            )
+            inbin = jnp.sum(
+                jnp.where(bidx == sel, cdf, jnp.float32(0))
+            ) - below
+            return sel, rk - below.astype(jnp.int32), inbin
+
+        sel1, rk2, _ = pick(hist_ref[...], rank_ref[bi])
+        p12 = sel0 * 256 + sel1
+
+        def body2(c, acc):
+            v = vcache_ref[pl.ds(c * br, br), :]
+            kv, in_b = q24_keys(v, c * n)
+            active = in_b & ((kv >> 8) == p12)
+            byte2 = jnp.where(active, kv & 255, 256)
+            return acc + hist16(byte2, n)
+
+        h2 = jax.lax.fori_loop(
+            0, num_data_steps, body2, jnp.zeros((16, 16), jnp.float32)
+        )
+        sel2, rk3, inbin2 = pick(h2, rk2)
+        eqmr = inbin2 - rk3.astype(jnp.float32)
+        kp = p12 * 256 + sel2
+
+        def body3(c, carry):
+            lo, nxt, ss = carry
+            v = vcache_ref[pl.ds(c * br, br), :]
+            kv, in_b = q24_keys(v, c * n)
+            kvm = jnp.where(in_b, kv, -1)
+            lo = jnp.minimum(
+                lo, jnp.min(jnp.where(kvm == kp, v, jnp.inf))
+            )
+            nxt = jnp.minimum(
+                nxt, jnp.min(jnp.where(kvm > kp, v, jnp.inf))
+            )
+            if with_sumsq:
+                cv = jnp.where(in_b, v - mean_ref[bi], jnp.float32(0))
+                ss = ss + jnp.sum(cv * cv)
+            return lo, nxt, ss
+
+        lo, nxt, ss = jax.lax.fori_loop(
+            0, num_data_steps, body3,
+            (jnp.float32(jnp.inf), jnp.float32(jnp.inf), jnp.float32(0)),
+        )
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+        out = jnp.where(lane == 0, lo, jnp.float32(0))
+        out = jnp.where(lane == 1, nxt, out)
+        out = jnp.where(lane == 2, ss, out)
+        out = jnp.where(lane == 3, eqmr, out)
+        out_ref[...] = out
+
+
+# One-pass cache budget: the whole per-batch-element value array must
+# sit in VMEM scratch next to the streamed block + one-hot temporaries
+# (~16 MB/core total). 4 MB covers images up to ~1 MPix (config-2/1
+# shapes); larger inputs fall back to the 3-pass path.
+Q24_ONEPASS_MAX_CACHE_BYTES = 4 << 20
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_r", "interpret", "take_prefix", "with_sumsq"),
+)
+def _q24_onepass(
+    vals: jax.Array,    # (B, R, 1024) float32
+    sel0: jax.Array,    # (Bsel,) int32 round-0 winning byte
+    rank1: jax.Array,   # (Bsel,) int32 rank remaining after round 0
+    mean: jax.Array,    # (Bsel,) float32 (zeros when with_sumsq=False)
+    n_valid,
+    block_r: int,
+    interpret: bool,
+    take_prefix: Optional[Tuple[int, int]] = None,
+    with_sumsq: bool = False,
+):
+    """Returns (lo, nxt, sumsq, eq_minus_rank) each (Bsel,); see
+    _q24_onepass_kernel."""
+    b, r, _ = vals.shape
+    steps = _cdiv(r, block_r)
+    if take_prefix is not None:
+        group, take = take_prefix
+        b_sel = b // group * take
+        in_row = lambda bi: (bi // take) * group + (bi % take)
+    else:
+        b_sel = b
+        in_row = lambda bi: bi
+    vals_map = lambda bi, i: (in_row(bi), jnp.minimum(i, steps - 1), 0)
+    grid = (b_sel, steps + 1)
+    nv = jnp.asarray(n_valid, jnp.int32).reshape(-1)
+    out = pl.pallas_call(
+        functools.partial(
+            _q24_onepass_kernel, num_data_steps=steps,
+            with_sumsq=with_sumsq,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_r, 1024), vals_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_sel,), lambda bi, i: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((b_sel,), lambda bi, i: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((b_sel,), lambda bi, i: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((int(nv.shape[0]),), lambda bi, i: (0,),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 128), lambda bi, i: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_sel, 1, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((steps * block_r, 1024), jnp.float32),
+            pltpu.VMEM((16, 16), jnp.float32),
+        ],
+        interpret=interpret,
+    )(vals, sel0, rank1, mean, nv)
+    return out[:, 0, 0], out[:, 0, 1], out[:, 0, 2], out[:, 0, 3]
+
+
+def _round0_pick(r0_hist: jax.Array, rank: jax.Array):
+    """XLA cdf pick over the fused kernel's free (Bsel, 256) round-0
+    histogram: returns (winning byte, rank remaining inside the bin) —
+    the same O(256) arithmetic as one _select_batched round."""
+    cdf = jnp.cumsum(r0_hist, axis=-1)
+    sel = jnp.sum((cdf <= rank[:, None]).astype(jnp.int32), axis=-1)
+    below = jnp.take_along_axis(
+        cdf, jnp.maximum(sel - 1, 0)[:, None], axis=-1
+    )[:, 0]
+    below = jnp.where(sel > 0, below, 0)
+    return sel, rank - below
+
+
 def _select_batched(
     vals: jax.Array,  # (B, R, 1024) float32, padding masked by n_valid
     rank: jax.Array,  # (Bsel,) int32
@@ -424,7 +671,11 @@ def masked_median_pallas(
     ``quantized``: select over the 24-bit quantized key
     ``min(floor((v+1)*2^23), 2^24-1)`` instead of the f32 bit key —
     one fewer radix data pass, and the recovery min merges with the
-    even-n successor pass (value + successor in ONE read). EXACT only
+    even-n successor pass (value + successor in ONE read). When
+    ``round0_hist`` is given and the values fit the VMEM cache budget
+    (``Q24_ONEPASS_MAX_CACHE_BYTES``), the whole select collapses to
+    ONE data pass: rounds 1-2 and the tail run from a VMEM-resident
+    copy with in-kernel cdf picks (``_q24_onepass_kernel``). EXACT only
     when every pair of distinct values differs by more than 2^-19 and
     values lie in [-1, 1] with no NaNs. That holds for every pipeline
     index map: indices are clip((a-b)/(a+b+1e-10)) with integer bands
@@ -470,24 +721,38 @@ def masked_median_pallas(
     if means is not None and not quantized:
         raise ValueError("means= requires quantized=True")
     if quantized:
-        key_q, eq_minus_rank = _select_batched(
-            rows, rank, n_valid, block_r, interpret, round0_hist=r0,
-            take_prefix=take_prefix, key_mode="q24",
-        )
-        # Key separation (see docstring) makes the winning bin hold ONE
-        # distinct value: the tail kernel recovers it, the (even n)
-        # successor, and (with ``means``) the centered sum of squares
-        # in ONE data pass (_q24_tail_kernel; the XLA tail it replaced
-        # compiled to multiple passes — 0.63 ms at config-2 shapes).
         with_ss = means is not None
         mean_b = (
             means.reshape(-1).astype(jnp.float32) if with_ss
             else jnp.zeros((b,), jnp.float32)
         )
-        lo, nxt, sumsq = _q24_tail(
-            rows, key_q.astype(jnp.int32), mean_b, n_valid, block_r,
-            interpret, take_prefix=take_prefix, with_sumsq=with_ss,
-        )
+        cache_bytes = _ceil_to(rows.shape[1], block_r) * 1024 * 4
+        if r0 is not None and cache_bytes <= Q24_ONEPASS_MAX_CACHE_BYTES:
+            # ONE-pass path: rounds 1-2 + the tail run from a VMEM
+            # cache of the values — one HBM read instead of three
+            # (_q24_onepass_kernel). Round 0 is the free fused-kernel
+            # histogram, picked here in XLA.
+            sel0, rank1 = _round0_pick(r0, rank)
+            lo, nxt, sumsq, eq_minus_rank = _q24_onepass(
+                rows, sel0, rank1, mean_b, n_valid, block_r, interpret,
+                take_prefix=take_prefix, with_sumsq=with_ss,
+            )
+            eq_minus_rank = eq_minus_rank.astype(jnp.int32)
+        else:
+            # Key separation (see docstring) makes the winning bin hold
+            # ONE distinct value: the tail kernel recovers it, the
+            # (even n) successor, and (with ``means``) the centered sum
+            # of squares in ONE data pass (_q24_tail_kernel; the XLA
+            # tail it replaced compiled to multiple passes — 0.63 ms at
+            # config-2 shapes).
+            key_q, eq_minus_rank = _select_batched(
+                rows, rank, n_valid, block_r, interpret, round0_hist=r0,
+                take_prefix=take_prefix, key_mode="q24",
+            )
+            lo, nxt, sumsq = _q24_tail(
+                rows, key_q.astype(jnp.int32), mean_b, n_valid, block_r,
+                interpret, take_prefix=take_prefix, with_sumsq=with_ss,
+            )
         if n_valid % 2 == 1:
             med = lo
         else:

@@ -256,6 +256,59 @@ class TestFusedKernel:
                 img, lo, hi, kinds, antipodal=(None, 2, None), **kw
             )
 
+    def test_q24_onepass_matches_threepass(self, rng, monkeypatch):
+        """The one-pass q24 select (round0_hist + VMEM cache,
+        kernels/select._q24_onepass_kernel) must be bit-identical to
+        the 3-pass path on the same inputs — medians AND the tail's
+        centered sumsq — at odd and even n, with and without
+        take_prefix."""
+        import rgnir_tpu.kernels.select as sel
+        from rgnir_tpu.config import EPSILON
+        from rgnir_tpu.kernels.select import masked_median_pallas
+
+        for n in (3000, 4097):
+            a = rng.integers(0, 256, (2, 3, n)).astype(np.float32)
+            b = rng.integers(0, 256, (2, 3, n)).astype(np.float32)
+            v = np.clip(
+                (a - b) / (a + b + np.float32(EPSILON)), -1.0, 1.0
+            ).astype(np.float32)
+            means = v.mean(axis=-1, dtype=np.float64).astype(np.float32)
+            key = np.minimum(
+                np.floor((v.astype(np.float64) + 1.0) * 2**23), 2**24 - 1
+            ).astype(np.int64)
+            r0 = np.stack(
+                [np.bincount(row >> 16, minlength=256)
+                 for row in key.reshape(-1, n)]
+            ).astype(np.int32).reshape(2, 3, 256)
+            for tp, mslice in (((3, 2), np.s_[:, :2]), (None, np.s_[:])):
+                kw = dict(n_valid=n, quantized=True, take_prefix=tp,
+                          means=jnp.asarray(means[mslice]))
+                r0k = jnp.asarray(
+                    r0[mslice] if tp is not None else r0
+                )
+                med1, ss1 = masked_median_pallas(
+                    jnp.asarray(v), round0_hist=r0k, **kw
+                )
+                # Force the 3-pass fallback on identical inputs.
+                monkeypatch.setattr(
+                    sel, "Q24_ONEPASS_MAX_CACHE_BYTES", 0
+                )
+                med3, ss3 = masked_median_pallas(
+                    jnp.asarray(v), round0_hist=r0k, **kw
+                )
+                monkeypatch.undo()
+                np.testing.assert_array_equal(
+                    np.asarray(med1), np.asarray(med3), err_msg=f"{n} {tp}"
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(ss1), np.asarray(ss3), err_msg=f"{n} {tp}"
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(med1),
+                    np.median(v[mslice], axis=-1).astype(np.float32),
+                    err_msg=f"{n} {tp}",
+                )
+
     def test_quantized_tail_means_variance(self):
         """masked_median_pallas(quantized=True, means=...) returns
         (median, centered sumsq) from the tail kernel's single pass:
