@@ -391,15 +391,24 @@ def _q24_onepass_kernel(
             # inclusive cumsum within each hi row + strict sum of
             # earlier rows. Returns (winning byte, remaining rank,
             # count inside the winning bin) — mirrors _select_batched.
+            # Precision.HIGHEST is REQUIRED: unlike the one-hot/byte
+            # LUT dots (operands bf16-exact by construction), these
+            # dots carry bin COUNTS up to n — Mosaic's default 1-pass
+            # bf16 matmul truncates them (observed: cdf off by 2 at
+            # counts ~1156, picking a neighboring bin). The 6-pass
+            # decomposition is exact for f32 and costs nothing at
+            # (16, 16) scale.
             rc = jax.lax.dot_general(
                 h, incl, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             rowsum = rc[:, 15:16]
             below_rows = jax.lax.dot_general(
                 strict, rowsum,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             cdf = rc + below_rows
             rkf = rk.astype(jnp.float32)

@@ -144,6 +144,32 @@ def main() -> int:
           float(masked_median_pallas(jnp.asarray(vq[:4999]), 4999,
                                      quantized=True)) ==
           float(np.median(vq[:4999])))
+    # ONE-pass q24 select (round0_hist + VMEM cache) at 512^2: bin
+    # counts here exceed bf16's exact-integer range, which the CPU
+    # interpret tests cannot see — a default-precision MXU dot in the
+    # in-kernel cdf pick silently truncated counts ~1156 on real
+    # Mosaic (caught 2026-08-18; fixed with Precision.HIGHEST).
+    n1 = 512 * 512
+    a1 = rng.integers(0, 256, (2, n1)).astype(np.float32)
+    b1 = rng.integers(0, 256, (2, n1)).astype(np.float32)
+    v1 = np.clip(
+        (a1 - b1) / (a1 + b1 + np.float32(1e-10)), -1.0, 1.0
+    ).astype(np.float32)
+    k1 = np.minimum(
+        np.floor((v1.astype(np.float64) + 1.0) * 2**23), 2**24 - 1
+    ).astype(np.int64)
+    r0_1 = np.stack(
+        [np.bincount(r >> 16, minlength=256) for r in k1]
+    ).astype(np.int32)
+    m1, s1 = masked_median_pallas(
+        jnp.asarray(v1), n1, quantized=True,
+        round0_hist=jnp.asarray(r0_1),
+        means=jnp.asarray(v1.mean(axis=-1, dtype=np.float64)
+                          .astype(np.float32)),
+    )
+    check("median_q24_onepass_bigcounts",
+          np.array_equal(np.asarray(m1),
+                         np.median(v1, axis=-1).astype(np.float32)))
 
     # 4. sharded (shard_map) kernel bodies on a 1-device mesh: ragged
     # rows exercise the traced-SMEM n_live; 2-D exercises the

@@ -168,10 +168,31 @@ def tune_kernels(
                 return wb
             return body
 
+        # Mirror the PRODUCTION select: quantized q24 with the fused
+        # kernel's round-0 histogram and the variance riding the tail
+        # (this is the one-pass kernel when the size fits its VMEM
+        # cache budget, the 3-pass kernels otherwise — the same gate
+        # production hits at this size).
+        key_np = np.minimum(
+            np.floor((np.asarray(idxmap, np.float64) + 1.0) * 2**23),
+            2**24 - 1,
+        ).astype(np.int64)
+        r0_np = np.bincount(
+            (key_np >> 16).reshape(-1), minlength=256
+        ).astype(np.int32).reshape(1, 256)
+        r0_sel = jax.device_put(jnp.asarray(r0_np))
+        mean_sel = jax.device_put(
+            jnp.asarray(np.asarray(idxmap).mean(dtype=np.float64),
+                        np.float32)
+        )
+
         def select_body(br):
             def body(i, c):
-                m = masked_median_pallas(c, n, reduce_ndim=2, block_r=br)
-                return c + m * 0.0
+                med, ss = masked_median_pallas(
+                    c, n, reduce_ndim=2, block_r=br, quantized=True,
+                    round0_hist=r0_sel, means=mean_sel,
+                )
+                return c + med * 0.0 + ss * 0.0
             return body
 
         for kernel, mk, carry in (
