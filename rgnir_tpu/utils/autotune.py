@@ -65,6 +65,20 @@ def _key(kernel: str, n_pixels: int) -> str:
     return f"{_device_kind()}/{kernel}/b{_bucket(n_pixels)}"
 
 
+def _seed() -> Dict[str, int]:
+    """Winners measured on known device kinds, shipped with the package
+    (``utils/autotune_seed.json``). Without this, a cold machine's
+    heuristic block sizes differ from the tuned ones the committed
+    compile cache (``.jax_cache``) was traced with — every executable
+    would miss and recompile (the round-2 807 s cold start, reborn).
+    A user's own ``rgnir-tpu tune`` run always overrides the seed."""
+    try:
+        p = Path(__file__).with_name("autotune_seed.json")
+        return {str(k): int(v) for k, v in json.loads(p.read_text()).items()}
+    except (OSError, ValueError, TypeError, AttributeError):
+        return {}
+
+
 def _load() -> Dict[str, int]:
     global _CACHE, _CACHE_PATH
     path = cache_path()
@@ -72,14 +86,16 @@ def _load() -> Dict[str, int]:
         if _CACHE is not None and _CACHE_PATH == path:
             return _CACHE
         try:
-            _CACHE = {
+            user = {
                 str(k): int(v)
                 for k, v in json.loads(path.read_text()).items()
             }
         except (OSError, ValueError, TypeError, AttributeError):
             # Missing, unreadable, or corrupt (non-dict JSON, null
-            # values, ...): the heuristic stands — never crash dispatch.
-            _CACHE = {}
+            # values, ...): the seed/heuristic stands — never crash
+            # dispatch.
+            user = {}
+        _CACHE = {**_seed(), **user}
         _CACHE_PATH = path
         return _CACHE
 

@@ -429,6 +429,34 @@ class TestAutotuneCache:
         assert autotune.lookup_block_r("hist", 512 * 512) == 64
         assert autotune.lookup_block_r("fused", 1024 * 1024) == 16
 
+    def test_packaged_seed_used_when_user_cache_misses(self, monkeypatch):
+        """The shipped autotune_seed.json supplies winners when the
+        user cache lacks a key (keeps cold-machine trace-time block
+        choices aligned with the committed compile cache); a user's
+        own tune run overrides it."""
+        from rgnir_tpu.utils import autotune
+
+        key = f"{autotune._device_kind()}/hist/b18"
+        monkeypatch.setattr(autotune, "_seed", lambda: {key: 48})
+        autotune.invalidate_cache()
+        assert autotune.lookup_block_r("hist", 512 * 512) == 48
+        autotune.store_block_r("hist", 512 * 512, 64)
+        autotune.invalidate_cache()
+        assert autotune.lookup_block_r("hist", 512 * 512) == 64
+
+    def test_shipped_seed_parses(self):
+        """The committed seed must parse and hold int winners for the
+        known TPU device kind (a malformed seed silently reverts cold
+        machines to heuristic blocks — and a full recompile)."""
+        from rgnir_tpu.utils import autotune
+
+        seed = autotune._seed()
+        assert seed, "autotune_seed.json missing or unparseable"
+        assert all(
+            isinstance(v, int) and v % 8 == 0 for v in seed.values()
+        )
+        assert any(k.startswith("TPU_v5_lite/") for k in seed)
+
     def test_corrupt_cache_file_falls_back_to_heuristic(self):
         """Any malformed cache content must read as empty, never crash
         dispatch (lookup runs on every default-block kernel call)."""
