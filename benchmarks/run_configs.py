@@ -95,10 +95,14 @@ def run_all(quick: bool = False):
         renders=False, hist=True,  # the report flow DOES build the 50-bin hist
         ns=(20, 120) if quick else (50, 450), reps=reps,
     )
-    # 2. batch of 32 frames, all 3 indices + renders
+    # 2. batch of 32 frames, all 3 indices + renders. reps+2: the
+    # min-slope estimator converges to the uncontended cost as samples
+    # grow, and this config's same-day window spread (1877-2051 MPix/s
+    # across four 2026-08-18 windows, BENCHMARKS.md) is the largest of
+    # the table — a few extra ~10 ms samples buy the most here.
     run_config(
         "2_batch32_3idx_renders", (32, 512, 512, 3),
-        ("NDVI", "GNDVI", "NDWI"), ns=ns, reps=reps,
+        ("NDVI", "GNDVI", "NDWI"), ns=ns, reps=reps + 2,
     )
     # 3. 4096^2 orthomosaic, fused WB+NDVI (no 512-tiling needed: the
     #    whole mosaic is one fused pass with globally exact percentiles)
