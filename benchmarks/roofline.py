@@ -27,13 +27,13 @@ the antipodal plan):
   hist kernel        : read u8 image            -> 3
   fused kernel       : read image 3, write wb 3,
                        write index maps 4K, write renders 3K*R
-  median select      : rounds * read index maps -> 4Kc * rounds
-                       (2 q24 rounds after the fused round-0 histogram)
-  tail kernel        : ONE read of the index maps -> 4Kc
-                       (recovery min + even-n successor + centered
-                        variance sumsq, kernels/select._q24_tail_kernel;
-                        replaced the separate XLA variance+recovery
-                        passes in round 3)
+  median select+tail : ONE read of the index maps -> 4Kc when the
+                       one-pass kernel applies (values fit its 4 MB
+                       VMEM cache: rounds 1-2 + recovery/successor/
+                       variance run from VMEM,
+                       kernels/select._q24_onepass_kernel); else
+                       3 reads (2 q24 radix rounds + the tail kernel)
+                       -> 12Kc
   bench-loop carry   : wb xor render read+write -> ~9 (renders) / ~6
 
 VPU ops/pixel (elementwise lane ops; compares/selects/adds ~1 each):
@@ -67,7 +67,7 @@ MXU_PEAK = 197e12          # bf16 FLOP/s
 
 
 def model(kinds: int, renders: bool, sharded: bool = False,
-          hist: bool = False):
+          hist: bool = False, onepass: bool = True):
     """(bytes/px, vpu ops/px, mxu flops/px) for one analyze step.
 
     Round-3 kernel structure: render_mode="planes" (one byte-plane dot
@@ -84,17 +84,25 @@ def model(kinds: int, renders: bool, sharded: bool = False,
     # (take_prefix — skipped rows never leave HBM).
     nc = 2 if k == 3 else k
     if sharded:
-        rounds, tail_bytes, tail_vpu = 4, 0, 3 * k  # f32 key; jnp succ
+        rounds, tail_vpu = 4, 3 * k  # f32 key; jnp successor
+        sel_bytes = 4 * nc * rounds
     else:
-        # q24: 2 radix rounds after the fused round 0, then the tail
-        # KERNEL (kernels/select._q24_tail_kernel): recovery min +
-        # successor min + centered variance sumsq in ONE read.
-        rounds, tail_bytes, tail_vpu = 2, 4 * nc, 17 * nc
+        # q24 ONE-pass select (kernels/select._q24_onepass_kernel,
+        # when the values fit the 4 MB VMEM cache — all table configs
+        # except the 1080p/mosaic fallbacks): the index maps are read
+        # from HBM ONCE; rounds 1-2 and the recovery/successor/
+        # variance tail run from the VMEM cache. VPU ops are unchanged
+        # vs the 3-pass path (the passes were issue-bound — measured
+        # ~1% apart, BENCHMARKS.md), so `rounds` still scales the
+        # one-hot op terms below while the HBM term collapses to one
+        # read. Fallback (cache > 4 MB: 1080p config): 2 radix reads +
+        # one tail read = 3 * 4 * nc.
+        rounds, tail_vpu = 2, 17 * nc
+        sel_bytes = (4 * nc) if onepass else (4 * nc * 3)
     bytes_px = (
         3                      # hist kernel image read
         + 3 + 3 + 4 * k + 3 * k * r   # fused: read, wb, idx, renders
-        + 4 * nc * rounds      # select radix rounds (canonical kinds)
-        + tail_bytes           # tail kernel read (recovery+succ+var)
+        + sel_bytes            # select + tail HBM reads (see above)
         + (9 if renders else 6)  # bench-loop carry traffic
     )
     vpu_px = (
@@ -116,14 +124,17 @@ def model(kinds: int, renders: bool, sharded: bool = False,
     return bytes_px, vpu_px, mxu_px
 
 
-# config name -> (kinds, renders, sharded, hist)
+# config name -> (kinds, renders, sharded, hist, onepass)
+# onepass: whether the per-image values fit the one-pass select's 4 MB
+# VMEM cache (512^2 yes; 1080p/4096^2/8192^2 fall back to 3-pass — the
+# mosaic configs run medians over the full map only when stats are on).
 CONFIGS = {
-    "1_single_512_ndvi_stats": (1, False, False, True),
-    "2_batch32_3idx_renders": (3, True, False, False),
-    "3_mosaic_4096_fused": (1, True, False, False),
-    "4_stream_1080p_3idx": (3, False, False, False),
-    "5_survey_8192_fused": (1, False, False, False),
-    "6_mosaic_4096_shardmap_kernel": (1, False, True, False),
+    "1_single_512_ndvi_stats": (1, False, False, True, True),
+    "2_batch32_3idx_renders": (3, True, False, False, True),
+    "3_mosaic_4096_fused": (1, True, False, False, False),
+    "4_stream_1080p_3idx": (3, False, False, False, False),
+    "5_survey_8192_fused": (1, False, False, False, False),
+    "6_mosaic_4096_shardmap_kernel": (1, False, True, False, False),
 }
 
 
@@ -133,8 +144,9 @@ def annotate(records):
         name = rec.get("config")
         if name not in CONFIGS:
             continue
-        kinds, renders, sharded, hist = CONFIGS[name]
-        b_px, v_px, m_px = model(kinds, renders, sharded, hist)
+        kinds, renders, sharded, hist, onepass = CONFIGS[name]
+        b_px, v_px, m_px = model(kinds, renders, sharded, hist,
+                                 onepass=onepass)
         pix_s = rec["mpix_per_s"] * 1e6
         hbm = b_px * pix_s
         vpu = v_px * pix_s
@@ -168,6 +180,8 @@ def main() -> None:
             raise SystemExit("no BENCH_r*.json found")
         path = Path(candidates[-1])
     data = json.loads(path.read_text())
+    if isinstance(data, dict) and "parsed" in data:
+        data = data["parsed"]  # driver BENCH_r*.json wrapper
     records = data["configs"] if isinstance(data, dict) else data
     rows = annotate(records)
     print(f"# roofline vs {path.name}")
