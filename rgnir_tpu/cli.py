@@ -367,6 +367,10 @@ def cmd_change(args) -> int:
         res = change_detection_mosaic(
             jnp.asarray(early), jnp.asarray(late), kind,
             upsample_factor=args.upsample,
+            local_tile=(
+                (args.refine_tile, args.refine_tile)
+                if args.refine_tile else None
+            ),
         )
         h = early.shape[0]
         summary = {
@@ -377,6 +381,14 @@ def cmd_change(args) -> int:
             "diff_max": float(res.stats.max),
             "diff_median": float(res.stats.median),
         }
+        if args.refine_tile:
+            fld = np.asarray(res.field)
+            summary["field_dy_range"] = [
+                float(fld[..., 0].min()), float(fld[..., 0].max())
+            ]
+            summary["field_dx_range"] = [
+                float(fld[..., 1].min()), float(fld[..., 1].max())
+            ]
         print(json.dumps(summary, indent=2))
         if args.out:
             from rgnir_tpu.viz.figures import render_change_figure

@@ -72,6 +72,11 @@ class ShardedChangeResult:
     stats: DiffStats         # replicated
     shift_raw: jax.Array = None      # (2,) f32 pre-clamp estimate
     shift_saturated: jax.Array = None  # () bool: applied != estimated
+    # Non-rigid refinement (``local_tile=``): the APPLIED per-tile
+    # total shift field (global + clamped residual), replicated; and
+    # whether any tile's pre-clamp total exceeded the halo bound.
+    field: jax.Array = None            # (TY, TX, 2) f32
+    field_saturated: jax.Array = None  # () bool
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -152,6 +157,116 @@ def bilinear_shift_rows_haloed(
     )
 
 
+def _interp_field_window(
+    field: jax.Array,
+    row0: jax.Array,
+    col0: jax.Array,
+    bh: int,
+    bw: int,
+    tile: Tuple[int, int],
+) -> jax.Array:
+    """Bilinearly sample a GLOBAL ``(TY, TX, 2)`` tile-center shift
+    field at this shard's pixel window ``[row0, row0+bh) x [col0,
+    col0+bw)`` — register.local.interpolate_field generalized to a
+    window offset (samples at tile centers, constant extrapolation
+    past the outermost centers)."""
+    ty, tx = field.shape[0], field.shape[1]
+    th, tw = tile
+
+    def axis_weights(n, off, t, m):
+        f = (
+            off.astype(jnp.float32)
+            + jnp.arange(n, dtype=jnp.float32)
+            - (t - 1) / 2.0
+        ) / t
+        f = jnp.clip(f, 0.0, m - 1.0)
+        f0 = jnp.floor(f)
+        i0 = f0.astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, m - 1)
+        return i0, i1, f - f0
+
+    y0, y1, wy = axis_weights(bh, row0, th, ty)
+    x0, x1, wx = axis_weights(bw, col0, tw, tx)
+    rows0 = jnp.take(field, y0, axis=0)
+    rows1 = jnp.take(field, y1, axis=0)
+    rowmix = rows0 * (1.0 - wy)[:, None, None] + rows1 * wy[:, None, None]
+    cols0 = jnp.take(rowmix, x0, axis=1)
+    cols1 = jnp.take(rowmix, x1, axis=1)
+    return cols0 * (1.0 - wx)[None, :, None] + cols1 * wx[None, :, None]
+
+
+def field_warp_haloed(
+    ext: jax.Array,
+    field: jax.Array,
+    row0: jax.Array,
+    col0: jax.Array,
+    h: int,
+    w: int,
+    halo_r: int,
+    halo_c: int,
+    tile: Tuple[int, int],
+) -> jax.Array:
+    """Per-pixel field warp of a haloed local block: the non-rigid
+    counterpart of :func:`bilinear_shift_2d_haloed`.
+
+    ``field`` is the replicated GLOBAL ``(TY, TX, 2)`` per-tile total
+    shift (global + residual); each output pixel warps by the bilinear
+    interpolation of the four surrounding tile centers, with bilinear
+    sampling and reflection at the TRUE image bounds. Exact whenever
+    every interpolated ``|dy| <= halo_r - 1`` (and ``|dx| <= halo_c -
+    1`` when columns are sharded; ``halo_c = 0`` means columns are
+    fully local and dx is unbounded) — callers clamp the field. A
+    constant field reduces to :func:`bilinear_shift_2d_haloed` exactly
+    (same stencil, per-pixel instead of per-row/column source
+    coordinates); matches register.local.warp_with_field on the
+    unsharded array bit-for-bit (tests/test_parallel.py).
+    """
+    bh = ext.shape[0] - 2 * halo_r
+    bw = ext.shape[1] - 2 * halo_c
+    x = ext.astype(jnp.float32)
+    s = _interp_field_window(field, row0, col0, bh, bw, tile)
+
+    g_y = row0.astype(jnp.float32) + jnp.arange(bh, dtype=jnp.float32)
+    g_x = col0.astype(jnp.float32) + jnp.arange(bw, dtype=jnp.float32)
+    yy = g_y[:, None] - s[..., 0]
+    xx = g_x[None, :] - s[..., 1]
+    y0 = jnp.floor(yy)
+    x0 = jnp.floor(xx)
+    wy = yy - y0
+    wx = xx - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    base = row0 - halo_r
+    cbase = col0 - halo_c
+    p0 = jnp.clip(_reflect_index(y0i, h) - base, 0, bh + 2 * halo_r - 1)
+    p1 = jnp.clip(
+        _reflect_index(y0i + 1, h) - base, 0, bh + 2 * halo_r - 1
+    )
+    q0 = jnp.clip(_reflect_index(x0i, w) - cbase, 0, bw + 2 * halo_c - 1)
+    q1 = jnp.clip(
+        _reflect_index(x0i + 1, w) - cbase, 0, bw + 2 * halo_c - 1
+    )
+    if x.ndim == 3:
+        wy = wy[..., None]
+        wx = wx[..., None]
+    v00 = x[p0, q0]
+    v01 = x[p0, q1]
+    v10 = x[p1, q0]
+    v11 = x[p1, q1]
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
+    return top * (1.0 - wy) + bot * wy
+
+
+def _pick_tile_rows(bh: int, th: int) -> int:
+    """Largest divisor of ``bh`` that is ``<= th`` (tiles must not
+    straddle shard boundaries). Trace-time only."""
+    for cand in range(min(th, bh), 0, -1):
+        if bh % cand == 0:
+            return cand
+    return 1
+
+
 def _pick_proxy_stride(h: int, block_h: int, target: int = 512) -> int:
     """Largest power of two <= h/target that divides block_h (>= 1)."""
     s = 1
@@ -177,6 +292,8 @@ def change_detection_mosaic(
     idx_cfg: IndexConfig = IndexConfig(),
     pad_to: Optional[int] = None,
     grow_halo: bool = True,
+    local_tile: Optional[Tuple[int, int]] = None,
+    max_residual: Optional[float] = None,
 ) -> ShardedChangeResult:
     """Change detection on a full-resolution row-sharded mosaic pair.
 
@@ -208,6 +325,25 @@ def change_detection_mosaic(
         or with ``grow_halo=False`` — the clamp is applied and the
         result says so: ``shift_saturated`` is True and ``shift_raw``
         carries the pre-clamp estimate. Never a silent wrong diff.
+      local_tile: enable NON-RIGID refinement (the sharded counterpart
+        of register.local.align_images_local — beyond the reference,
+        whose alignment is one rigid translation at <= 1024 px,
+        process-images.py:515-565): per-tile phase correlations on the
+        integer-pre-shifted grayscale estimate a smooth residual shift
+        field on top of the global shift; one per-pixel field warp
+        (``field_warp_haloed``) applies global + residual in a single
+        resampling pass. Tile rows shrink to a divisor of the shard
+        height (tiles never straddle shards); on 2-D meshes tile
+        columns likewise divide the shard width. The per-tile residual
+        work is fully shard-local; only the tiny (TY, TX, 2) field is
+        all_gathered. Tiles with < 50% true-overlap under the global
+        shift, or in the padded remainder, keep residual 0 (the gate
+        of register.local.align_images_local).
+      max_residual: clamp each residual component (default tile/4 —
+        larger estimates from low-texture tiles are spurious). The
+        TOTAL per-tile shift is additionally clamped to the halo bound
+        like the global shift, loudly: ``field_saturated`` + grow_halo
+        retry.
 
     Returns:
       :class:`ShardedChangeResult`; pixel outputs keep row padding
@@ -267,6 +403,22 @@ def change_detection_mosaic(
             + (f" and shard cols {bw}" if dc > 1 else "")
         )
     up = stride * upsample_factor
+    if local_tile is not None:
+        # Tiles must not straddle shard boundaries: rows shrink to a
+        # divisor of the shard height (and columns of the shard width
+        # on 2-D meshes; 1-D shards hold full rows, so tile columns
+        # edge-pad at the true right edge exactly like
+        # register.local.local_shift_field).
+        th_t = _pick_tile_rows(bh, int(local_tile[0]))
+        tw_t = (
+            _pick_tile_rows(bw, int(local_tile[1])) if dc > 1
+            else int(local_tile[1])
+        )
+        txs = -(-bw // tw_t)
+        r_bound = (
+            min(th_t, tw_t) / 4.0 if max_residual is None
+            else float(max_residual)
+        )
 
     def wb_one(tile_pl: jax.Array, mask: jax.Array) -> jax.Array:
         hist = jax.lax.psum(planar_histograms(tile_pl, mask=mask), axes)
@@ -319,15 +471,91 @@ def change_detection_mosaic(
             saturated |= jnp.abs(dx_raw) > halo - 1
 
         # -- sharded warp of the late image (row then column halos) -----
+        halo_c = halo if dc > 1 else 0
         ext = exchange_halos(wb_l, halo, ar, dim=0)
         if dc > 1:
             ext = exchange_halos(ext, halo, ac, dim=1)
+        field = field_sat = None
+        if local_tile is None:
             aligned = bilinear_shift_2d_haloed(
-                ext, dy, dx, row0, col0, h, w, halo, halo
+                ext, dy, dx, row0, col0, h, w, halo, halo_c
             )
         else:
-            aligned = bilinear_shift_2d_haloed(
-                ext, dy, dx, row0, jnp.int32(0), h, w, halo, 0
+            # -- non-rigid residual field (shard-local tile batch) ----
+            # Residuals are measured on the INTEGER-pre-shifted gray
+            # (reflect indexing through the halo window — exact row/col
+            # gathers, no bilinear blur; register.local
+            # align_images_local rationale), then one field warp
+            # applies global + residual in a single resampling pass.
+            gy = jnp.round(dy)
+            gx = jnp.round(dx)
+            ext_g = exchange_halos(gray_l, halo, ar, dim=0)
+            if dc > 1:
+                ext_g = exchange_halos(ext_g, halo, ac, dim=1)
+            gl_shift = bilinear_shift_2d_haloed(
+                ext_g, gy, gx, row0, col0, h, w, halo, halo_c
+            )
+            pad_c = txs * tw_t - bw
+
+            def tile_batch(g):
+                gp = jnp.pad(g, ((0, 0), (0, pad_c)), mode="edge")
+                return (
+                    gp.reshape(bh // th_t, th_t, txs, tw_t)
+                    .transpose(0, 2, 1, 3).reshape(-1, th_t, tw_t)
+                )
+
+            est = jax.vmap(
+                lambda f, m: phase_correlation_shift(
+                    f, m, upsample_factor=max(1, upsample_factor)
+                )
+            )(tile_batch(gray_e), tile_batch(gl_shift))
+            resid = jnp.clip(
+                est.reshape(bh // th_t, txs, 2), -r_bound, r_bound
+            )
+            # Overlap gate (register.local.align_images_local): a tile
+            # keeps its residual only when >= 50% of its area maps to
+            # real overlap under the integer global shift; padded-
+            # remainder tiles (beyond h/w) always gate to 0.
+            gyi, gxi = gy.astype(jnp.int32), gx.astype(jnp.int32)
+            lo_y, hi_y = jnp.maximum(0, gyi), jnp.minimum(h, h + gyi)
+            lo_x, hi_x = jnp.maximum(0, gxi), jnp.minimum(w, w + gxi)
+            ty0 = row0 + jnp.arange(bh // th_t, dtype=jnp.int32) * th_t
+            tx0 = col0 + jnp.arange(txs, dtype=jnp.int32) * tw_t
+            vy = jnp.clip(
+                jnp.minimum(hi_y, ty0 + th_t) - jnp.maximum(lo_y, ty0),
+                0, th_t,
+            )
+            vx = jnp.clip(
+                jnp.minimum(hi_x, tx0 + tw_t) - jnp.maximum(lo_x, tx0),
+                0, tw_t,
+            )
+            frac = (
+                (vy[:, None] * vx[None, :]).astype(jnp.float32)
+                / float(th_t * tw_t)
+            )
+            resid = jnp.where(frac[..., None] >= 0.5, resid, 0.0)
+            total = resid + jnp.stack([dy, dx]).astype(jnp.float32)
+            # Halo bound, loud like the global clamp: rows always;
+            # columns only when sharded (1-D shards hold full rows).
+            over = jnp.abs(total[..., 0]) > halo - 1
+            if dc > 1:
+                over |= jnp.abs(total[..., 1]) > halo - 1
+            field_sat = jax.lax.pmax(
+                jnp.any(over).astype(jnp.int32), axes
+            ).astype(bool)
+            bound_y = jnp.float32(halo - 1)
+            tot_y = jnp.clip(total[..., 0], -bound_y, bound_y)
+            tot_x = (
+                jnp.clip(total[..., 1], -bound_y, bound_y)
+                if dc > 1 else total[..., 1]
+            )
+            total = jnp.stack([tot_y, tot_x], axis=-1)
+            field = jax.lax.all_gather(total, ar, axis=0, tiled=True)
+            if dc > 1:
+                field = jax.lax.all_gather(field, ac, axis=1, tiled=True)
+            aligned = field_warp_haloed(
+                ext, field, row0, col0, h, w, halo, halo_c,
+                (th_t, tw_t),
             )
 
         # -- index maps + diff -------------------------------------------
@@ -368,23 +596,41 @@ def change_detection_mosaic(
             mean=mean, std=jnp.sqrt(var), min=mn, max=mx, median=med,
             n=jnp.int32(n_valid),
         )
-        return early_idx, late_idx, diff, shift, stats, shift_raw, saturated
+        out = (early_idx, late_idx, diff, shift, stats, shift_raw,
+               saturated)
+        if local_tile is not None:
+            out += (field, field_sat)
+        return out
 
     spec = P(ar) if ac is None else P(ar, ac)
+    out_specs = (spec, spec, spec, P(), P(), P(), P())
+    if local_tile is not None:
+        out_specs += (P(), P())
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(spec, spec),
-        out_specs=(spec, spec, spec, P(), P(), P(), P()),
+        out_specs=out_specs,
         check_vma=False,
     )
+    outs = jax.jit(fn)(early, late)
     early_idx, late_idx, diff, shift, stats, shift_raw, saturated = (
-        jax.jit(fn)(early, late)
+        outs[:7]
     )
-    if grow_halo and bool(saturated):
+    field = outs[7] if local_tile is not None else None
+    field_sat = outs[8] if local_tile is not None else None
+    needs_retry = bool(saturated) or (
+        local_tile is not None and bool(field_sat)
+    )
+    if grow_halo and needs_retry:
         raw = jax.device_get(shift_raw)
         need = abs(float(raw[0]))
         if dc > 1:
             need = max(need, abs(float(raw[1])))
+        if local_tile is not None and bool(field_sat):
+            # The field clamps total = global + residual; residual is
+            # bounded by r_bound, so halo'ing for |global| + r_bound
+            # covers every tile.
+            need = need + r_bound
         import math
 
         needed_halo = math.ceil(need) + 1
@@ -395,10 +641,12 @@ def change_detection_mosaic(
                 halo=min(needed_halo, cap), proxy_stride=stride,
                 upsample_factor=upsample_factor, with_wb=with_wb,
                 wb_cfg=wb_cfg, idx_cfg=idx_cfg, pad_to=pad_to,
-                grow_halo=False,
+                grow_halo=False, local_tile=local_tile,
+                max_residual=max_residual,
             )
     return ShardedChangeResult(
         early_index=early_idx, late_index=late_idx, diff=diff,
         shift=shift, stats=stats, shift_raw=shift_raw,
-        shift_saturated=saturated,
+        shift_saturated=saturated, field=field,
+        field_saturated=field_sat,
     )

@@ -205,6 +205,23 @@ def main() -> int:
     dy, dx = (float(s) for s in np.asarray(ch.shift))
     check("sharded_change_shift", (dy, dx) == (-4.0, 3.0),
           f"shift=({dy},{dx})")
+    # Non-rigid refinement compiles and locks on-device: a rigidly
+    # rolled pair must recover a near-constant field == -roll (the
+    # per-tile batched FFTs, the field all_gather, and the per-pixel
+    # field_warp_haloed gather path all run on real silicon here).
+    chf = change_detection_mosaic(
+        jnp.asarray(early), jnp.asarray(late), "NDVI",
+        mesh=local_mesh(), halo=16, proxy_stride=1,
+        local_tile=(64, 64),
+    )
+    fld = np.asarray(chf.field)
+    check(
+        "sharded_change_local_field",
+        fld.shape[-1] == 2
+        and not bool(chf.field_saturated)
+        and np.abs(fld[1:-1] - np.float32([-4.0, 3.0])).max() <= 1.0,
+        f"field_range=({fld.min()},{fld.max()})",
+    )
 
     print(json.dumps({
         "result": "PASS" if not FAILURES else "FAIL",

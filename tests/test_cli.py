@@ -187,6 +187,22 @@ class TestCli:
         assert len(out["shift"]) >= 2
         assert (tmp_path / "chg3" / "change_ndvi.png").exists()
 
+    def test_change_full_res_refined(self, tmp_path, rgnir_image, capsys):
+        """--full-res --refine-tile: the SHARDED non-rigid path — the
+        summary reports the applied per-tile field ranges."""
+        early = tmp_path / "early.png"
+        late = tmp_path / "late.png"
+        _write_png(early, rgnir_image)
+        _write_png(late, np.roll(rgnir_image, (2, -1), axis=(0, 1)))
+        rc = main(["change", str(early), str(late), "--full-res",
+                   "--refine-tile", "32"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["shift"] == [-2.0, 1.0]
+        lo, hi = out["field_dy_range"]
+        assert -4.0 <= lo <= hi <= 0.0  # around the global -2
+        assert "field_dx_range" in out
+
     def test_store_and_sites_roundtrip(self, tmp_path, image_file, capsys):
         root = str(tmp_path / "storedir")
         assert main(["store", "upload", str(image_file), "--root", root]) == 0

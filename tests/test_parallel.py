@@ -505,6 +505,162 @@ class TestShardedChangeDetection:
             np.asarray(res.shift), np.asarray(res.shift_raw)
         )
 
+    def test_field_warp_matches_local_warp(self, rng):
+        """field_warp_haloed on an unsharded block (halo 0, window =
+        whole image) must be bit-identical to
+        register.local.warp_with_field — same interpolation, same
+        stencil, same lerp order."""
+        from rgnir_tpu.parallel.change import field_warp_haloed
+        from rgnir_tpu.register.local import warp_with_field
+
+        h, w, tile = 96, 80, (32, 16)
+        img = jnp.asarray(
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        )
+        field = jnp.asarray(
+            rng.uniform(-5, 5, (3, 5, 2)).astype(np.float32)
+        )
+        a = warp_with_field(img, field, tile)
+        # jit like warp_with_field is — eager op-by-op execution loses
+        # the fused-multiply-add contractions and drifts ~1e-3.
+        b = jax.jit(
+            lambda i, f: field_warp_haloed(
+                i, f, jnp.int32(0), jnp.int32(0), h, w, 0, 0, tile
+            )
+        )(img, field)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def _nonrigid_pair(self, rng, h, w, tile, g=(-4.0, 3.0), amp=4.0):
+        """(early, late, f_true): late = early warped by a smooth
+        per-tile field f_true (global g + row-varying residual); the
+        detector should recover field ≈ -f_true. Rich low-noise
+        texture: phase correlation needs structure, while resample
+        noise would otherwise dominate the diff-improvement signal."""
+        from rgnir_tpu.register.local import warp_with_field
+
+        # Aperiodic low-pass random textures, INDEPENDENT per band:
+        # periodic sinusoids alias the tile correlations, a strong
+        # noise floor would drown the diff-improvement signal, and
+        # channels sharing one base make the index map near-constant
+        # (alignment then barely moves the diff).
+        fy = np.fft.fftfreq(h)[:, None]
+        fx = np.fft.rfftfreq(w)[None, :]
+        # Two spectral scales so EVERY 32-ish-px tile holds structure:
+        # coarse blobs alone leave some tiles featureless and their
+        # correlations mis-lock.
+        f2 = fy**2 + fx**2
+        lp = (
+            np.exp(-f2 / (2 * 0.03**2))
+            + 0.5 * np.exp(-f2 / (2 * 0.09**2))
+        )
+
+        def blob():
+            sm = np.fft.irfft2(
+                np.fft.rfft2(rng.normal(0, 1, (h, w))) * lp, s=(h, w)
+            )
+            sm = (sm - sm.min()) / (sm.max() - sm.min())
+            return 30 + 200 * sm + rng.normal(0, 2, (h, w))
+
+        img = np.stack([blob(), blob(), blob()], axis=-1)
+        early = np.clip(img, 0, 255).astype(np.uint8)
+        ty, tx = h // tile[0], -(-w // tile[1])
+        ry = amp * np.sin(
+            2 * np.pi * np.arange(ty, dtype=np.float32) / ty
+        )
+        f_true = np.zeros((ty, tx, 2), np.float32)
+        f_true[..., 0] = g[0] + ry[:, None]
+        f_true[..., 1] = g[1]
+        late = np.clip(
+            np.round(np.asarray(warp_with_field(
+                jnp.asarray(early), jnp.asarray(f_true), tile
+            ))), 0, 255,
+        ).astype(np.uint8)
+        return early, late, f_true
+
+    def test_local_field_recovers_nonrigid_warp(self, rng):
+        """local_tile: the recovered per-tile field approximates the
+        negated synthesis field, and the non-rigid diff is tighter
+        than the rigid-only one (the capability the reference lacks
+        entirely: one translation at <= 1024 px)."""
+        from rgnir_tpu.parallel.change import change_detection_mosaic
+        from rgnir_tpu.parallel.mesh import make_mesh
+
+        h, w, tile = 256, 128, (32, 64)
+        early, late, f_true = self._nonrigid_pair(rng, h, w, tile)
+        mesh = make_mesh((8,), ("d",))
+        kw = dict(halo=16, proxy_stride=1, upsample_factor=2)
+        rloc = change_detection_mosaic(
+            jnp.asarray(early), jnp.asarray(late), "NDVI", mesh=mesh,
+            local_tile=tile, **kw,
+        )
+        rrig = change_detection_mosaic(
+            jnp.asarray(early), jnp.asarray(late), "NDVI", mesh=mesh,
+            **kw,
+        )
+        assert rloc.field.shape == f_true.shape
+        assert not bool(rloc.field_saturated)
+        # Interior tiles (edge tiles see reflected content): estimated
+        # total shift ~ -f_true within the upsample resolution.
+        got = np.asarray(rloc.field)[1:-1]
+        want = -f_true[1:-1]
+        assert np.abs(got - want).max() < 0.9, (got - want)
+        # The rigid global shift cannot express the row-varying part:
+        # the non-rigid diff must be materially tighter.
+        assert float(rloc.stats.std) < 0.75 * float(rrig.stats.std)
+
+    def test_local_field_matches_single_device(self, rng):
+        """local_tile outputs are bit-identical across mesh sizes (the
+        tile grid never straddles shards; the field is all_gathered)."""
+        from rgnir_tpu.parallel.change import change_detection_mosaic
+        from rgnir_tpu.parallel.mesh import make_mesh
+
+        h, w, tile = 256, 96, (32, 48)
+        early, late, _ = self._nonrigid_pair(rng, h, w, tile, amp=1.5)
+        kw = dict(halo=16, proxy_stride=1, pad_to=h, local_tile=tile)
+        r8 = change_detection_mosaic(
+            jnp.asarray(early), jnp.asarray(late), "NDVI",
+            mesh=make_mesh((8,), ("d",)), **kw,
+        )
+        r1 = change_detection_mosaic(
+            jnp.asarray(early), jnp.asarray(late), "NDVI",
+            mesh=make_mesh((1,), ("d",)), **kw,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r8.field), np.asarray(r1.field)
+        )
+        for fld in ("early_index", "late_index", "diff"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(r8, fld))[:h],
+                np.asarray(getattr(r1, fld))[:h],
+            )
+        assert float(r8.stats.median) == float(r1.stats.median)
+
+    def test_local_field_saturation_loud_and_grows(self, rng):
+        """A tile whose total shift exceeds halo-1 must never warp
+        silently wrong: grow_halo=False reports field_saturated; the
+        default retries once with a halo sized to |global| + the
+        residual bound."""
+        from rgnir_tpu.parallel.change import change_detection_mosaic
+        from rgnir_tpu.parallel.mesh import make_mesh
+
+        h, w, tile = 256, 128, (32, 64)
+        early, late, _ = self._nonrigid_pair(
+            rng, h, w, tile, g=(-6.0, 0.0), amp=2.0
+        )
+        mesh = make_mesh((8,), ("d",))
+        kw = dict(proxy_stride=1, upsample_factor=2, local_tile=tile)
+        rsat = change_detection_mosaic(
+            jnp.asarray(early), jnp.asarray(late), "NDVI", mesh=mesh,
+            halo=8, grow_halo=False, **kw,
+        )
+        assert bool(rsat.field_saturated)
+        rgrow = change_detection_mosaic(
+            jnp.asarray(early), jnp.asarray(late), "NDVI", mesh=mesh,
+            halo=8, **kw,
+        )
+        assert not bool(rgrow.field_saturated)
+        assert float(rgrow.stats.std) < float(rsat.stats.std)
+
     def test_strided_proxy_parity(self, rng):
         """stride-2 proxy: sharded == single-device, same auto stride."""
         from rgnir_tpu.parallel.change import (
