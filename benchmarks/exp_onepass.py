@@ -3,10 +3,13 @@ kernels/select._q24_onepass_kernel) vs the 3-pass path, measured on the
 FULL production step at config-2 shapes (batch 32 x 512^2, 3 kinds,
 renders on, hist off) with interleaved min-slope timing.
 
-The code path is chosen at trace time from
-select.Q24_ONEPASS_MAX_CACHE_BYTES, so each variant is a separate jit
-object traced under its own setting; after tracing, the executables are
-fixed and the interleaved loop sees the same contention for both.
+The path is selected via analyze_image_kernel(select_onepass=...) — a
+STATIC jit argument, so each variant compiles its own executable.
+(The first version of this harness patched
+select.Q24_ONEPASS_MAX_CACHE_BYTES between traces instead; that global
+is read at trace time inside a nested module-level jit whose jaxpr was
+already cached, so both variants silently measured the one-pass
+executable. Never A/B via trace-time globals.)
 
 Usage: python benchmarks/exp_onepass.py [batch] [size]
 """
@@ -31,7 +34,7 @@ def main() -> None:
     from rgnir_tpu.utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
-    import rgnir_tpu.kernels.select as sel
+
     from rgnir_tpu.kernels.pipeline import analyze_image_kernel
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
@@ -41,13 +44,14 @@ def main() -> None:
     imgs = rng.integers(0, 256, (batch, size, size, 3), dtype=np.uint8)
     x = jax.device_put(jnp.asarray(imgs))
 
-    def make_run():
+    def make_run(onepass: bool):
         @jax.jit
         def run(img, n):
             def body(i, carry):
                 img, acc = carry
                 res = analyze_image_kernel(
-                    img, kinds=kinds, with_renders=True, with_hist=False
+                    img, kinds=kinds, with_renders=True,
+                    with_hist=False, select_onepass=onepass,
                 )
                 acc = acc + sum(
                     res.stats[k].median + res.stats[k].std for k in kinds
@@ -62,14 +66,11 @@ def main() -> None:
 
     ns = (10, 60)
     variants = {}
-    orig = sel.Q24_ONEPASS_MAX_CACHE_BYTES
-    for name, budget in (("onepass", orig), ("threepass", 0)):
-        sel.Q24_ONEPASS_MAX_CACHE_BYTES = budget
-        run = make_run()
-        for n in ns:  # trace (path baked) + warm
+    for name, onepass in (("onepass", True), ("threepass", False)):
+        run = make_run(onepass)
+        for n in ns:  # trace (path baked per static arg) + warm
             np.asarray(run(x, n)[1])
         variants[name] = run
-    sel.Q24_ONEPASS_MAX_CACHE_BYTES = orig
 
     best = {(k, n): float("inf") for k in variants for n in ns}
     for _ in range(6):

@@ -125,12 +125,14 @@ def model(kinds: int, renders: bool, sharded: bool = False,
 
 
 # config name -> (kinds, renders, sharded, hist, onepass)
-# onepass: whether the per-image values fit the one-pass select's 4 MB
-# VMEM cache (512^2 yes; 1080p/4096^2/8192^2 fall back to 3-pass — the
-# mosaic configs run medians over the full map only when stats are on).
+# onepass: model the one-pass select's single read (opt-in via
+# masked_median_pallas(onepass=True)); the PRODUCTION default is the
+# 3-pass path everywhere — the honest A/B measured it 0.3-0.9% faster
+# (issue-bound passes hide the saved reads), so every table config
+# models 3 select/tail reads.
 CONFIGS = {
-    "1_single_512_ndvi_stats": (1, False, False, True, True),
-    "2_batch32_3idx_renders": (3, True, False, False, True),
+    "1_single_512_ndvi_stats": (1, False, False, True, False),
+    "2_batch32_3idx_renders": (3, True, False, False, False),
     "3_mosaic_4096_fused": (1, True, False, False, False),
     "4_stream_1080p_3idx": (3, False, False, False, False),
     "5_survey_8192_fused": (1, False, False, False, False),

@@ -16,7 +16,7 @@ on the stacked index maps.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -102,7 +102,10 @@ def _core(img_hwc: jax.Array, kinds: Tuple[IndexKind, ...],
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kinds", "with_renders", "with_hist", "packed_out"),
+    static_argnames=(
+        "kinds", "with_renders", "with_hist", "packed_out",
+        "select_onepass",
+    ),
 )
 def analyze_image_kernel(
     img: jax.Array,
@@ -110,6 +113,7 @@ def analyze_image_kernel(
     with_renders: bool = True,
     with_hist: bool = True,
     packed_out: bool = False,
+    select_onepass: Optional[bool] = None,
 ) -> AnalyzeResult:
     """Kernel-backed fused analysis of ``(H, W, 3)`` or ``(B, H, W, 3)``.
 
@@ -188,6 +192,7 @@ def analyze_image_kernel(
     meds_c, sumsq_c = masked_median_pallas(
         idx, n, reduce_ndim=2, round0_hist=r0c, take_prefix=take_prefix,
         quantized=True, means=means_all[..., :nc],
+        onepass=select_onepass,
     )  # each (B,nc) or (nc,)
     vars_c = sumsq_c / n
 

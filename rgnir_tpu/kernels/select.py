@@ -657,6 +657,7 @@ def masked_median_pallas(
     take_prefix: Optional[Tuple[int, int]] = None,
     quantized: bool = False,
     means: Optional[jax.Array] = None,
+    onepass: Optional[bool] = None,
 ) -> jax.Array:
     """Exact median (numpy even-n semantics) via the kernel radix-select.
 
@@ -680,11 +681,14 @@ def masked_median_pallas(
     ``quantized``: select over the 24-bit quantized key
     ``min(floor((v+1)*2^23), 2^24-1)`` instead of the f32 bit key —
     one fewer radix data pass, and the recovery min merges with the
-    even-n successor pass (value + successor in ONE read). When
-    ``round0_hist`` is given and the values fit the VMEM cache budget
-    (``Q24_ONEPASS_MAX_CACHE_BYTES``), the whole select collapses to
-    ONE data pass: rounds 1-2 and the tail run from a VMEM-resident
-    copy with in-kernel cdf picks (``_q24_onepass_kernel``). EXACT only
+    even-n successor pass (value + successor in ONE read).
+    ``onepass=True`` (requires ``round0_hist`` and values within the
+    ``Q24_ONEPASS_MAX_CACHE_BYTES`` VMEM budget) collapses the whole
+    select to ONE data pass — rounds 1-2 and the tail run from a
+    VMEM-resident copy with in-kernel cdf picks
+    (``_q24_onepass_kernel``). Bit-identical to the 3-pass path but
+    measured 0.3-0.9% SLOWER same-window (issue-bound passes hide the
+    saved reads), so the 3-pass path is the default. EXACT only
     when every pair of distinct values differs by more than 2^-19 and
     values lie in [-1, 1] with no NaNs. That holds for every pipeline
     index map: indices are clip((a-b)/(a+b+1e-10)) with integer bands
@@ -735,8 +739,26 @@ def masked_median_pallas(
             means.reshape(-1).astype(jnp.float32) if with_ss
             else jnp.zeros((b,), jnp.float32)
         )
-        cache_bytes = _ceil_to(rows.shape[1], block_r) * 1024 * 4
-        if r0 is not None and cache_bytes <= Q24_ONEPASS_MAX_CACHE_BYTES:
+        # ``onepass=True`` selects the one-pass kernel explicitly; the
+        # DEFAULT is the 3-pass path — the honest interleaved A/B
+        # (benchmarks/exp_onepass.py, select_onepass as a STATIC jit
+        # arg; never A/B via trace-time globals, the first version of
+        # the harness did and silently measured one executable twice)
+        # had the 3-pass side 0.3-0.9% faster in both measured windows:
+        # the passes are issue-bound, so the saved HBM reads were
+        # already hidden while the HIGHEST-precision in-kernel picks
+        # and the serialized final step cost a little extra.
+        use_onepass = bool(onepass) if onepass is not None else False
+        if use_onepass:
+            if r0 is None:
+                raise ValueError("onepass=True requires round0_hist")
+            cache_bytes = _ceil_to(rows.shape[1], block_r) * 1024 * 4
+            if cache_bytes > Q24_ONEPASS_MAX_CACHE_BYTES:
+                raise ValueError(
+                    f"onepass=True: {cache_bytes} B exceeds the VMEM "
+                    f"cache budget {Q24_ONEPASS_MAX_CACHE_BYTES}"
+                )
+        if use_onepass:
             # ONE-pass path: rounds 1-2 + the tail run from a VMEM
             # cache of the values — one HBM read instead of three
             # (_q24_onepass_kernel). Round 0 is the free fused-kernel

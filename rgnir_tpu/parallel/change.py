@@ -47,6 +47,7 @@ from rgnir_tpu.ops.indices import BAND_INDICES, index_from_bands
 from rgnir_tpu.ops.wb import apply_white_balance_planar, wb_bounds_from_histogram
 from rgnir_tpu.parallel.halo import exchange_halos
 from rgnir_tpu.parallel.mesh import local_mesh
+from rgnir_tpu.register.local import interpolate_field
 from rgnir_tpu.register.phase import luminance, phase_correlation_shift
 from rgnir_tpu.register.warp import _reflect_index
 
@@ -157,44 +158,6 @@ def bilinear_shift_rows_haloed(
     )
 
 
-def _interp_field_window(
-    field: jax.Array,
-    row0: jax.Array,
-    col0: jax.Array,
-    bh: int,
-    bw: int,
-    tile: Tuple[int, int],
-) -> jax.Array:
-    """Bilinearly sample a GLOBAL ``(TY, TX, 2)`` tile-center shift
-    field at this shard's pixel window ``[row0, row0+bh) x [col0,
-    col0+bw)`` — register.local.interpolate_field generalized to a
-    window offset (samples at tile centers, constant extrapolation
-    past the outermost centers)."""
-    ty, tx = field.shape[0], field.shape[1]
-    th, tw = tile
-
-    def axis_weights(n, off, t, m):
-        f = (
-            off.astype(jnp.float32)
-            + jnp.arange(n, dtype=jnp.float32)
-            - (t - 1) / 2.0
-        ) / t
-        f = jnp.clip(f, 0.0, m - 1.0)
-        f0 = jnp.floor(f)
-        i0 = f0.astype(jnp.int32)
-        i1 = jnp.minimum(i0 + 1, m - 1)
-        return i0, i1, f - f0
-
-    y0, y1, wy = axis_weights(bh, row0, th, ty)
-    x0, x1, wx = axis_weights(bw, col0, tw, tx)
-    rows0 = jnp.take(field, y0, axis=0)
-    rows1 = jnp.take(field, y1, axis=0)
-    rowmix = rows0 * (1.0 - wy)[:, None, None] + rows1 * wy[:, None, None]
-    cols0 = jnp.take(rowmix, x0, axis=1)
-    cols1 = jnp.take(rowmix, x1, axis=1)
-    return cols0 * (1.0 - wx)[None, :, None] + cols1 * wx[None, :, None]
-
-
 def field_warp_haloed(
     ext: jax.Array,
     field: jax.Array,
@@ -224,7 +187,7 @@ def field_warp_haloed(
     bh = ext.shape[0] - 2 * halo_r
     bw = ext.shape[1] - 2 * halo_c
     x = ext.astype(jnp.float32)
-    s = _interp_field_window(field, row0, col0, bh, bw, tile)
+    s = interpolate_field(field, bh, bw, tile, row0=row0, col0=col0)
 
     g_y = row0.astype(jnp.float32) + jnp.arange(bh, dtype=jnp.float32)
     g_x = col0.astype(jnp.float32) + jnp.arange(bw, dtype=jnp.float32)
@@ -534,7 +497,13 @@ def change_detection_mosaic(
                 / float(th_t * tw_t)
             )
             resid = jnp.where(frac[..., None] >= 0.5, resid, 0.0)
-            total = resid + jnp.stack([dy, dx]).astype(jnp.float32)
+            # Compose with the INTEGER pre-shift the residuals were
+            # measured against (register.local.align_images_local) —
+            # adding the fractional (dy, dx) would double-count its
+            # subpixel remainder, which the per-tile estimates already
+            # carry (caught on device: true 2.5-row shift -> applied
+            # -2.75 instead of -2.5).
+            total = resid + jnp.stack([gy, gx]).astype(jnp.float32)
             # Halo bound, loud like the global clamp: rows always;
             # columns only when sharded (1-D shards hold full rows).
             over = jnp.abs(total[..., 0]) > halo - 1

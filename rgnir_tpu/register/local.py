@@ -81,17 +81,32 @@ def local_shift_field(
 
 
 def interpolate_field(
-    field: jax.Array, h: int, w: int, tile: Tuple[int, int]
+    field: jax.Array,
+    h: int,
+    w: int,
+    tile: Tuple[int, int],
+    row0=0,
+    col0=0,
 ) -> jax.Array:
     """Bilinearly interpolate a ``(TY, TX, 2)`` tile field to per-pixel
     ``(H, W, 2)`` shifts. Field samples sit at tile centers; pixels
-    outside the outermost centers clamp (constant extrapolation)."""
+    outside the outermost centers clamp (constant extrapolation).
+
+    ``row0``/``col0`` offset the pixel window into a GLOBAL field —
+    sharded callers (parallel.change.field_warp_haloed) sample their
+    shard's window ``[row0, row0+h) x [col0, col0+w)`` of the
+    all_gathered field; 0 (the default, exact: ``0.0 + arange`` is the
+    identity) is the unsharded whole-image case."""
     ty, tx = field.shape[0], field.shape[1]
     th, tw = tile
 
-    def axis_weights(n, t, m):
+    def axis_weights(n, off, t, m):
         # pixel coordinate -> field coordinate (centers at t/2 - 0.5)
-        f = (jnp.arange(n, dtype=jnp.float32) - (t - 1) / 2.0) / t
+        f = (
+            jnp.asarray(off, jnp.float32)
+            + jnp.arange(n, dtype=jnp.float32)
+            - (t - 1) / 2.0
+        ) / t
         f = jnp.clip(f, 0.0, m - 1.0)
         f0 = jnp.floor(f)
         frac = f - f0
@@ -99,8 +114,8 @@ def interpolate_field(
         i1 = jnp.minimum(i0 + 1, m - 1)
         return i0, i1, frac
 
-    y0, y1, wy = axis_weights(h, th, ty)
-    x0, x1, wx = axis_weights(w, tw, tx)
+    y0, y1, wy = axis_weights(h, row0, th, ty)
+    x0, x1, wx = axis_weights(w, col0, tw, tx)
     rows0 = jnp.take(field, y0, axis=0)
     rows1 = jnp.take(field, y1, axis=0)
     rowmix = rows0 * (1.0 - wy)[:, None, None] + rows1 * wy[:, None, None]

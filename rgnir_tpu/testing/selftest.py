@@ -162,7 +162,7 @@ def main() -> int:
         [np.bincount(r >> 16, minlength=256) for r in k1]
     ).astype(np.int32)
     m1, s1 = masked_median_pallas(
-        jnp.asarray(v1), n1, quantized=True,
+        jnp.asarray(v1), n1, quantized=True, onepass=True,
         round0_hist=jnp.asarray(r0_1),
         means=jnp.asarray(v1.mean(axis=-1, dtype=np.float64)
                           .astype(np.float32)),

@@ -79,23 +79,26 @@ def _seed() -> Dict[str, int]:
         return {}
 
 
+def _read_user(path: Path) -> Dict[str, int]:
+    try:
+        return {
+            str(k): int(v)
+            for k, v in json.loads(path.read_text()).items()
+        }
+    except (OSError, ValueError, TypeError, AttributeError):
+        # Missing, unreadable, or corrupt (non-dict JSON, null
+        # values, ...): the seed/heuristic stands — never crash
+        # dispatch.
+        return {}
+
+
 def _load() -> Dict[str, int]:
     global _CACHE, _CACHE_PATH
     path = cache_path()
     with _LOCK:
         if _CACHE is not None and _CACHE_PATH == path:
             return _CACHE
-        try:
-            user = {
-                str(k): int(v)
-                for k, v in json.loads(path.read_text()).items()
-            }
-        except (OSError, ValueError, TypeError, AttributeError):
-            # Missing, unreadable, or corrupt (non-dict JSON, null
-            # values, ...): the seed/heuristic stands — never crash
-            # dispatch.
-            user = {}
-        _CACHE = {**_seed(), **user}
+        _CACHE = {**_seed(), **_read_user(path)}
         _CACHE_PATH = path
         return _CACHE
 
@@ -107,16 +110,21 @@ def lookup_block_r(kernel: str, n_pixels: int) -> Optional[int]:
 
 def store_block_r(kernel: str, n_pixels: int, block_r: int) -> None:
     global _CACHE
-    _load()  # merge with what's on disk — never clobber other buckets
     path = cache_path()
     with _LOCK:
-        cache = dict(_CACHE or {})
-        cache[_key(kernel, n_pixels)] = int(block_r)
+        # Persist ONLY user-originated entries: writing the merged view
+        # would freeze the current packaged seed values into the user
+        # file, silently shadowing every future seed update (user
+        # entries override the seed) — recreating the cold-start
+        # recompile the seed exists to prevent. Re-read the file so a
+        # concurrent tune's buckets are merged, never clobbered.
+        user = _read_user(path)
+        user[_key(kernel, n_pixels)] = int(block_r)
         path.parent.mkdir(parents=True, exist_ok=True)
         tmp = path.with_suffix(".tmp")
-        tmp.write_text(json.dumps(cache, indent=2, sort_keys=True))
+        tmp.write_text(json.dumps(user, indent=2, sort_keys=True))
         tmp.replace(path)
-        _CACHE = cache
+        _CACHE = {**_seed(), **user}
 
 
 def invalidate_cache() -> None:

@@ -444,6 +444,28 @@ class TestAutotuneCache:
         autotune.invalidate_cache()
         assert autotune.lookup_block_r("hist", 512 * 512) == 64
 
+    def test_store_never_persists_seed_entries(self, monkeypatch):
+        """Regression (code review, 2026-08-18): store_block_r must
+        write only USER-originated keys — persisting the merged view
+        froze the packaged seed values into the user file, where they
+        would shadow every future seed update."""
+        import json
+        from pathlib import Path
+
+        from rgnir_tpu.utils import autotune
+
+        seed_key = f"{autotune._device_kind()}/fused/b20"
+        monkeypatch.setattr(autotune, "_seed", lambda: {seed_key: 16})
+        autotune.invalidate_cache()
+        assert autotune.lookup_block_r("fused", 1024 * 1024) == 16
+        autotune.store_block_r("hist", 512 * 512, 64)
+        on_disk = json.loads(Path(autotune.cache_path()).read_text())
+        assert seed_key not in on_disk
+        assert list(on_disk) == [f"{autotune._device_kind()}/hist/b18"]
+        # merged view still serves both
+        assert autotune.lookup_block_r("fused", 1024 * 1024) == 16
+        assert autotune.lookup_block_r("hist", 512 * 512) == 64
+
     def test_shipped_seed_parses(self):
         """The committed seed must parse and hold int winners for the
         known TPU device kind (a malformed seed silently reverts cold

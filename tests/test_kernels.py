@@ -256,13 +256,12 @@ class TestFusedKernel:
                 img, lo, hi, kinds, antipodal=(None, 2, None), **kw
             )
 
-    def test_q24_onepass_matches_threepass(self, rng, monkeypatch):
+    def test_q24_onepass_matches_threepass(self, rng):
         """The one-pass q24 select (round0_hist + VMEM cache,
         kernels/select._q24_onepass_kernel) must be bit-identical to
         the 3-pass path on the same inputs — medians AND the tail's
         centered sumsq — at odd and even n, with and without
         take_prefix."""
-        import rgnir_tpu.kernels.select as sel
         from rgnir_tpu.config import EPSILON
         from rgnir_tpu.kernels.select import masked_median_pallas
 
@@ -287,16 +286,15 @@ class TestFusedKernel:
                     r0[mslice] if tp is not None else r0
                 )
                 med1, ss1 = masked_median_pallas(
-                    jnp.asarray(v), round0_hist=r0k, **kw
+                    jnp.asarray(v), round0_hist=r0k, onepass=True, **kw
                 )
-                # Force the 3-pass fallback on identical inputs.
-                monkeypatch.setattr(
-                    sel, "Q24_ONEPASS_MAX_CACHE_BYTES", 0
-                )
+                # Force the 3-pass path on identical inputs via the
+                # EXPLICIT override (A/B by patching the budget
+                # constant silently reuses cached traces — the
+                # exp_onepass.py lesson).
                 med3, ss3 = masked_median_pallas(
-                    jnp.asarray(v), round0_hist=r0k, **kw
+                    jnp.asarray(v), round0_hist=r0k, onepass=False, **kw
                 )
-                monkeypatch.undo()
                 np.testing.assert_array_equal(
                     np.asarray(med1), np.asarray(med3), err_msg=f"{n} {tp}"
                 )

@@ -608,6 +608,32 @@ class TestShardedChangeDetection:
         # the non-rigid diff must be materially tighter.
         assert float(rloc.stats.std) < 0.75 * float(rrig.stats.std)
 
+    def test_local_field_fractional_global_shift(self, rng):
+        """Regression (code review, 2026-08-18): the field must compose
+        residuals with the INTEGER pre-shift they were measured
+        against. Composing with the fractional global estimate
+        double-counts its subpixel remainder — a true 4.5-row shift
+        came back as a 5.0-row field, worse than the rigid warp."""
+        from rgnir_tpu.parallel.change import change_detection_mosaic
+        from rgnir_tpu.parallel.mesh import make_mesh
+
+        h, w, tile = 256, 128, (32, 64)
+        early, late, f_true = self._nonrigid_pair(
+            rng, h, w, tile, g=(-4.5, 2.5), amp=0.0
+        )
+        res = change_detection_mosaic(
+            jnp.asarray(early), jnp.asarray(late), "NDVI",
+            mesh=make_mesh((8,), ("d",)), halo=16, proxy_stride=1,
+            upsample_factor=4, local_tile=tile,
+        )
+        got = np.asarray(res.field)[1:-1]
+        # True constant field (4.5, -2.5). The double-count bug shifted
+        # every fractional component by the global subpixel remainder
+        # (~0.5 px); the estimator itself is good to ~0.375 px on this
+        # u8-rounded bilinear synthesis (register.local shows the same
+        # spread), so assert inside 0.45.
+        assert np.abs(got - np.float32([4.5, -2.5])).max() < 0.45, got
+
     def test_local_field_matches_single_device(self, rng):
         """local_tile outputs are bit-identical across mesh sizes (the
         tile grid never straddles shards; the field is all_gathered)."""
