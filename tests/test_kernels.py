@@ -307,6 +307,27 @@ class TestFusedKernel:
                     err_msg=f"{n} {tp}",
                 )
 
+    def test_select_onepass_pipeline_parity(self, rng):
+        """analyze_image_kernel(select_onepass=True) — the opt-in
+        one-pass select through the FULL pipeline — must match the
+        default 3-pass path bitwise on every output."""
+        from rgnir_tpu.kernels.pipeline import analyze_image_kernel
+
+        img = jnp.asarray(
+            rng.integers(0, 256, (2, 65, 197, 3), dtype=np.uint8)
+        )
+        kinds = ("NDVI", "GNDVI", "NDWI")
+        a = analyze_image_kernel(img, kinds=kinds, select_onepass=True)
+        b = analyze_image_kernel(img, kinds=kinds)
+        np.testing.assert_array_equal(np.asarray(a.wb), np.asarray(b.wb))
+        for k in kinds:
+            for f in ("mean", "median", "min", "max", "std",
+                      "coverage_pct"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(a.stats[k], f)),
+                    np.asarray(getattr(b.stats[k], f)), err_msg=f"{k}.{f}",
+                )
+
     def test_quantized_tail_means_variance(self):
         """masked_median_pallas(quantized=True, means=...) returns
         (median, centered sumsq) from the tail kernel's single pass:
