@@ -77,6 +77,24 @@ def main() -> int:
     check("fused_wb_bytes",
           np.array_equal(np.asarray(rk.wb), np.asarray(rj.wb)))
 
+    # 2a2. exactly grid-aligned shape: the fused kernel's positional
+    # mask is statically ELIDED (fused.py all_valid) — this is the
+    # bench/production 512^2-class path; verify it against the jnp
+    # pipeline on real silicon (CPU tests pin bit-parity vs the
+    # masked form, but only a device run proves Mosaic compiles it).
+    hwc_a = jnp.asarray(rng.integers(0, 256, (512, 512, 3),
+                                     dtype=np.uint8))
+    rka = analyze_image_kernel(hwc_a, kinds=("NDVI",))
+    rja = analyze_image(hwc_a, kinds=("NDVI",))
+    check(
+        "fused_aligned_allvalid",
+        float(rka.stats["NDVI"].median) == float(rja.stats["NDVI"].median)
+        and abs(float(rka.stats["NDVI"].mean)
+                - float(rja.stats["NDVI"].mean)) < 1e-6
+        and np.array_equal(np.asarray(rka.renders["NDVI"]),
+                           np.asarray(rja.renders["NDVI"])),
+    )
+
     # 2b. batched 3-kind run: exercises the antipodal median plan
     # (NDWI derived from GNDVI — round0_kinds skip in the fused kernel
     # + the select's take_prefix group-strided index_map) and the

@@ -307,6 +307,33 @@ class TestFusedKernel:
                     err_msg=f"{n} {tp}",
                 )
 
+    def test_all_valid_elision_bit_parity(self, rng):
+        """At exactly grid-aligned shapes the wrapper proves no padding
+        exists and the kernel elides its positional mask; outputs must
+        be bitwise identical to the masked form (forced by passing
+        n_valid as a traced scalar, which defeats the static proof)."""
+        from rgnir_tpu.kernels.hist import planar_histograms_pallas
+        from rgnir_tpu.ops.wb import wb_bounds_from_histogram
+
+        img = jnp.asarray(
+            rng.integers(0, 256, (3, 128, 512), dtype=np.uint8)
+        )  # 65536 px = 64 rows: lane- and block-aligned at block_r=8
+        hist = planar_histograms_pallas(img)
+        lo, hi = wb_bounds_from_histogram(hist, n=128 * 512)
+        kinds = ("NDVI", "GNDVI", "NDWI")
+        kw = dict(with_renders=True, with_round0=True, with_hist=True,
+                  round0_digit="q24", round0_kinds=(True, True, False),
+                  antipodal=(None, None, 1), block_r=8)
+        a = fused_analyze_pallas(img, lo, hi, kinds, **kw)
+        b = fused_analyze_pallas(
+            img, lo, hi, kinds, n_valid=jnp.int32(128 * 512), **kw
+        )
+        for name, i in (("wb", 0), ("idx", 1), ("render", 2),
+                        ("stats", 3), ("r0", 4)):
+            np.testing.assert_array_equal(
+                np.asarray(a[i]), np.asarray(b[i]), err_msg=name
+            )
+
     def test_select_onepass_pipeline_parity(self, rng):
         """analyze_image_kernel(select_onepass=True) — the opt-in
         one-pass select through the FULL pipeline — must match the
