@@ -20,6 +20,8 @@ from __future__ import annotations
 import functools
 from typing import Optional, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -33,6 +35,19 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _no_padding(n_valid, rows: jax.Array) -> bool:
+    """Static proof that the packed ``(B, R, 1024)`` rows hold no
+    padding at all (n_valid is a plain int equal to R*1024): the
+    kernels then elide their positional masks at trace time — exact,
+    since the masked forms are identities under an all-true mask.
+    Traced n_valid (sharded per-shard live counts) always returns
+    False."""
+    return (
+        isinstance(n_valid, (int, np.integer))
+        and int(n_valid) == int(rows.shape[-2]) * 1024
+    )
+
+
 def _ceil_to(a: int, b: int) -> int:
     return _cdiv(a, b) * b
 
@@ -40,6 +55,7 @@ def _ceil_to(a: int, b: int) -> int:
 def _byte_hist_kernel(
     vals_ref, prefix_ref, nvalid_ref, out_ref, *, shift: int, block_r: int,
     row_major_cols: Optional[int] = None, key_mode: str = "f32",
+    all_valid: bool = False,
 ):
     # Note: with take_prefix, the grid batch index bi runs over the
     # SELECTED rows only; the vals BlockSpec index_map translates it to
@@ -81,31 +97,42 @@ def _byte_hist_kernel(
         )
         top_shift = 24
     prefix = prefix_ref[bi]  # whole (B,) SMEM array, indexed by batch
-    pos = (
-        jax.lax.broadcasted_iota(jnp.int32, (br, wc), 0) * wc
-        + jax.lax.broadcasted_iota(jnp.int32, (br, wc), 1)
-        + step * n
-    )
-    if row_major_cols is None:
-        in_bounds = pos < nvalid_ref[0]
+    if all_valid:
+        # Static no-padding proof (n_valid == R*1024, see _byte_hist):
+        # the positional mask is elided; rounds below the top byte
+        # still restrict on the prefix match.
+        in_bounds = None
     else:
-        # 2-D shard validity: ``pos`` indexes the row-major flattened
-        # (bh, bw) block; the static column divisor lowers to a
-        # multiply-shift. nvalid_ref = [rows_live, cols_live].
-        row = pos // row_major_cols
-        col = pos - row * row_major_cols
-        in_bounds = (row < nvalid_ref[0]) & (col < nvalid_ref[1])
+        pos = (
+            jax.lax.broadcasted_iota(jnp.int32, (br, wc), 0) * wc
+            + jax.lax.broadcasted_iota(jnp.int32, (br, wc), 1)
+            + step * n
+        )
+        if row_major_cols is None:
+            in_bounds = pos < nvalid_ref[0]
+        else:
+            # 2-D shard validity: ``pos`` indexes the row-major
+            # flattened (bh, bw) block; the static column divisor
+            # lowers to a multiply-shift. nvalid_ref = [rows_live,
+            # cols_live].
+            row = pos // row_major_cols
+            col = pos - row * row_major_cols
+            in_bounds = (row < nvalid_ref[0]) & (col < nvalid_ref[1])
+
+    def restrict(match):
+        return match if in_bounds is None else (in_bounds & match)
+
     if key_mode == "q24":
         prefix = prefix.astype(jnp.int32)  # q24 keys fit i32
         if shift < top_shift:
             sh_hi = shift + 8
-            active = in_bounds & ((keys >> sh_hi) == (prefix >> sh_hi))
+            active = restrict((keys >> sh_hi) == (prefix >> sh_hi))
         else:
             active = in_bounds
         byte = (keys >> shift) & 255
     elif shift < top_shift:
         sh_hi = jnp.uint32(shift + 8)
-        active = in_bounds & ((keys >> sh_hi) == (prefix >> sh_hi))
+        active = restrict((keys >> sh_hi) == (prefix >> sh_hi))
         byte = (keys >> jnp.uint32(shift)).astype(jnp.int32) & 255
     else:
         active = in_bounds
@@ -113,7 +140,8 @@ def _byte_hist_kernel(
     # Fold the active mask into the VALUE (inactive -> 256, high nibble
     # 16 matches nothing): one select replaces a broadcast AND across
     # the 16 one-hot rows — measured 5-7x faster (benchmarks/exp_hist.py).
-    byte = jnp.where(active, byte, 256)
+    if active is not None:
+        byte = jnp.where(active, byte, 256)
     brow = byte.reshape(1, n)
     nib_col = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
     oh_hi = jnp.where(
@@ -135,7 +163,7 @@ def _byte_hist_kernel(
     jax.jit,
     static_argnames=(
         "shift", "block_r", "interpret", "row_major_cols", "take_prefix",
-        "key_mode",
+        "key_mode", "all_valid",
     ),
 )
 def _byte_hist(
@@ -148,6 +176,7 @@ def _byte_hist(
     row_major_cols: Optional[int] = None,
     take_prefix: Optional[Tuple[int, int]] = None,
     key_mode: str = "f32",
+    all_valid: bool = False,
 ) -> jax.Array:
     """Per-row byte histograms; ``take_prefix=(group, take)`` views the
     B input rows as ``B//group`` groups and histograms only the first
@@ -169,6 +198,7 @@ def _byte_hist(
         functools.partial(
             _byte_hist_kernel, shift=shift, block_r=block_r,
             row_major_cols=row_major_cols, key_mode=key_mode,
+            all_valid=all_valid,
         ),
         grid=grid,
         in_specs=[
@@ -189,6 +219,7 @@ def _byte_hist(
 
 def _q24_tail_kernel(
     vals_ref, kp_ref, mean_ref, nvalid_ref, out_ref, *, with_sumsq: bool,
+    all_valid: bool = False,
 ):
     """One-read q24 select tail: recovery min (value of the winning
     24-bit bin), successor min (smallest value in any higher bin), and
@@ -218,19 +249,23 @@ def _q24_tail_kernel(
         out_ref[...] = jnp.where(lane < 2, jnp.inf, 0.0)
 
     v = vals_ref[0]
-    pos = (
-        jax.lax.broadcasted_iota(jnp.int32, (br, wc), 0) * wc
-        + jax.lax.broadcasted_iota(jnp.int32, (br, wc), 1)
-        + step * n
-    )
-    in_b = pos < nvalid_ref[0]
     # Same q24 key construction as _byte_hist_kernel; padding folds to
-    # key -1 (< every bin, matches nothing).
+    # key -1 (< every bin, matches nothing). With the static
+    # no-padding proof (all_valid) the positional mask is elided.
     kv = jnp.minimum(
         ((v + jnp.float32(1.0)) * jnp.float32(8388608.0)).astype(jnp.int32),
         2**24 - 1,
     )
-    kvm = jnp.where(in_b, kv, -1)
+    if all_valid:
+        kvm = kv
+    else:
+        pos = (
+            jax.lax.broadcasted_iota(jnp.int32, (br, wc), 0) * wc
+            + jax.lax.broadcasted_iota(jnp.int32, (br, wc), 1)
+            + step * n
+        )
+        in_b = pos < nvalid_ref[0]
+        kvm = jnp.where(in_b, kv, -1)
     kp = kp_ref[bi]
     lo = jnp.min(jnp.where(kvm == kp, v, jnp.inf))
     nxt = jnp.min(jnp.where(kvm > kp, v, jnp.inf))
@@ -238,7 +273,9 @@ def _q24_tail_kernel(
     new = jnp.where(lane == 0, jnp.minimum(old, lo), old)
     new = jnp.where(lane == 1, jnp.minimum(old, nxt), new)
     if with_sumsq:
-        c = jnp.where(in_b, v - mean_ref[bi], jnp.float32(0.0))
+        c = v - mean_ref[bi] if all_valid else jnp.where(
+            in_b, v - mean_ref[bi], jnp.float32(0.0)
+        )
         new = jnp.where(lane == 2, old + jnp.sum(c * c), new)
     out_ref[...] = new
 
@@ -246,7 +283,7 @@ def _q24_tail_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "block_r", "interpret", "take_prefix", "with_sumsq",
+        "block_r", "interpret", "take_prefix", "with_sumsq", "all_valid",
     ),
 )
 def _q24_tail(
@@ -258,6 +295,7 @@ def _q24_tail(
     interpret: bool,
     take_prefix: Optional[Tuple[int, int]] = None,
     with_sumsq: bool = False,
+    all_valid: bool = False,
 ):
     """Returns (lo, nxt, sumsq) each (Bsel,); see _q24_tail_kernel."""
     b, r, _ = vals.shape
@@ -271,7 +309,8 @@ def _q24_tail(
     grid = (b_sel, _cdiv(r, block_r))
     nv = jnp.asarray(n_valid, jnp.int32).reshape(-1)
     out = pl.pallas_call(
-        functools.partial(_q24_tail_kernel, with_sumsq=with_sumsq),
+        functools.partial(_q24_tail_kernel, with_sumsq=with_sumsq,
+                          all_valid=all_valid),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_r, 1024), vals_map,
@@ -294,7 +333,7 @@ def _q24_tail(
 def _q24_onepass_kernel(
     vals_ref, sel0_ref, rank_ref, mean_ref, nvalid_ref, out_ref,
     vcache_ref, hist_ref, *,
-    num_data_steps: int, with_sumsq: bool,
+    num_data_steps: int, with_sumsq: bool, all_valid: bool = False,
 ):
     """ONE-pass q24 select: radix rounds 1-2 + the recovery/successor/
     variance tail in a single kernel, reading the data from HBM once.
@@ -336,18 +375,24 @@ def _q24_onepass_kernel(
     nib_col = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
 
     def q24_keys(v, base_pos):
-        # Same key construction as _byte_hist_kernel / _q24_tail_kernel.
+        # Same key construction as _byte_hist_kernel / _q24_tail_kernel;
+        # all_valid (static no-padding proof) elides the position mask.
         kv = jnp.minimum(
             ((v + jnp.float32(1.0)) * jnp.float32(8388608.0)
              ).astype(jnp.int32),
             2 ** 24 - 1,
         )
+        if all_valid:
+            return kv, None
         pos = (
             jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) * wc
             + jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
             + base_pos
         )
         return kv, pos < nv
+
+    def restrict(match, in_b):
+        return match if in_b is None else (in_b & match)
 
     def hist16(byte, m):
         # (br, wc) int32 in [0, 256] -> (16, 16) f32 bin counts
@@ -374,7 +419,7 @@ def _q24_onepass_kernel(
         v = vals_ref[0]
         vcache_ref[pl.ds(step * br, br), :] = v
         kv, in_b = q24_keys(v, step * n)
-        active = in_b & ((kv >> 16) == sel0)
+        active = restrict((kv >> 16) == sel0, in_b)
         byte1 = jnp.where(active, (kv >> 8) & 255, 256)
         hist_ref[...] += hist16(byte1, n)
 
@@ -429,7 +474,7 @@ def _q24_onepass_kernel(
         def body2(c, acc):
             v = vcache_ref[pl.ds(c * br, br), :]
             kv, in_b = q24_keys(v, c * n)
-            active = in_b & ((kv >> 8) == p12)
+            active = restrict((kv >> 8) == p12, in_b)
             byte2 = jnp.where(active, kv & 255, 256)
             return acc + hist16(byte2, n)
 
@@ -444,7 +489,7 @@ def _q24_onepass_kernel(
             lo, nxt, ss = carry
             v = vcache_ref[pl.ds(c * br, br), :]
             kv, in_b = q24_keys(v, c * n)
-            kvm = jnp.where(in_b, kv, -1)
+            kvm = kv if in_b is None else jnp.where(in_b, kv, -1)
             lo = jnp.minimum(
                 lo, jnp.min(jnp.where(kvm == kp, v, jnp.inf))
             )
@@ -452,7 +497,10 @@ def _q24_onepass_kernel(
                 nxt, jnp.min(jnp.where(kvm > kp, v, jnp.inf))
             )
             if with_sumsq:
-                cv = jnp.where(in_b, v - mean_ref[bi], jnp.float32(0))
+                cv = (
+                    v - mean_ref[bi] if in_b is None
+                    else jnp.where(in_b, v - mean_ref[bi], jnp.float32(0))
+                )
                 ss = ss + jnp.sum(cv * cv)
             return lo, nxt, ss
 
@@ -477,7 +525,9 @@ Q24_ONEPASS_MAX_CACHE_BYTES = 4 << 20
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_r", "interpret", "take_prefix", "with_sumsq"),
+    static_argnames=(
+        "block_r", "interpret", "take_prefix", "with_sumsq", "all_valid",
+    ),
 )
 def _q24_onepass(
     vals: jax.Array,    # (B, R, 1024) float32
@@ -489,6 +539,7 @@ def _q24_onepass(
     interpret: bool,
     take_prefix: Optional[Tuple[int, int]] = None,
     with_sumsq: bool = False,
+    all_valid: bool = False,
 ):
     """Returns (lo, nxt, sumsq, eq_minus_rank) each (Bsel,); see
     _q24_onepass_kernel."""
@@ -507,7 +558,7 @@ def _q24_onepass(
     out = pl.pallas_call(
         functools.partial(
             _q24_onepass_kernel, num_data_steps=steps,
-            with_sumsq=with_sumsq,
+            with_sumsq=with_sumsq, all_valid=all_valid,
         ),
         grid=grid,
         in_specs=[
@@ -582,6 +633,7 @@ def _select_batched(
     prefix = jnp.zeros((b,), jnp.uint32)
     rk = jnp.asarray(rank, jnp.int32)
     eq_minus_rank = None
+    all_valid = _no_padding(n_valid, vals)
     shifts = (24, 16, 8, 0) if key_mode == "f32" else (16, 8, 0)
     for shift in shifts:
         if shift == shifts[0] and round0_hist is not None:
@@ -590,6 +642,7 @@ def _select_batched(
             hist = _byte_hist(
                 vals, prefix, shift, n_valid, block_r, interpret,
                 take_prefix=take_prefix, key_mode=key_mode,
+                all_valid=all_valid,
             )
         cdf = jnp.cumsum(hist, axis=-1)  # (B, 256)
         sel = jnp.sum((cdf <= rk[:, None]).astype(jnp.int32), axis=-1)
@@ -767,6 +820,7 @@ def masked_median_pallas(
             lo, nxt, sumsq, eq_minus_rank = _q24_onepass(
                 rows, sel0, rank1, mean_b, n_valid, block_r, interpret,
                 take_prefix=take_prefix, with_sumsq=with_ss,
+                all_valid=_no_padding(n_valid, rows),
             )
             eq_minus_rank = eq_minus_rank.astype(jnp.int32)
         else:
@@ -783,6 +837,7 @@ def masked_median_pallas(
             lo, nxt, sumsq = _q24_tail(
                 rows, key_q.astype(jnp.int32), mean_b, n_valid, block_r,
                 interpret, take_prefix=take_prefix, with_sumsq=with_ss,
+                all_valid=_no_padding(n_valid, rows),
             )
         if n_valid % 2 == 1:
             med = lo

@@ -55,8 +55,11 @@ class TestSelectKernel:
             want = np.sort(x, axis=1)[:, rank]
             np.testing.assert_array_equal(got, want)
 
-    @pytest.mark.parametrize("n", [999, 1000])
+    @pytest.mark.parametrize("n", [999, 1000, 4096])
     def test_median_parity(self, rng, n):
+        # n=4096 with block_r=4 is exactly lane- AND block-aligned:
+        # the kernels' positional masks are statically elided
+        # (select._no_padding) — same result, fewer ops.
         from rgnir_tpu.kernels.select import masked_median_pallas
 
         x = rng.normal(size=n).astype(np.float32)
