@@ -17,11 +17,14 @@ import numpy as np
 from PIL import Image
 
 
-def _native_png(arr: np.ndarray, level: int = 1) -> Optional[bytes]:
+def _native_png(arr: np.ndarray, level: int = 1,
+                fast: bool = False) -> Optional[bytes]:
     """Native libpng encode (filter NONE, zlib ``level``) for
     ``(H, W, 3)`` uint8 arrays — 2-4x faster than PIL's adaptive-filter
     encoder at ~25% larger files (pixel-identical; round-tripped in
-    tests/test_native.py). Returns None when inapplicable so callers
+    tests/test_native.py). ``fast`` switches to filter SUB + Z_RLE
+    (~2x faster again on figure canvases, ~10% larger files, decoded
+    pixels still identical). Returns None when inapplicable so callers
     fall through to PIL."""
     if arr.ndim != 3 or arr.shape[-1] != 3 or arr.dtype != np.uint8:
         return None
@@ -29,7 +32,7 @@ def _native_png(arr: np.ndarray, level: int = 1) -> Optional[bytes]:
 
     if not imgio.native_available():
         return None
-    return imgio.encode_png_rgb(arr, level)
+    return imgio.encode_png_rgb(arr, level, fast=fast)
 
 
 def encode_png(array: np.ndarray) -> bytes:

@@ -28,6 +28,7 @@
 #include <tiffio.h>
 #include <jpeglib.h>
 #include <png.h>
+#include <zlib.h>
 
 namespace {
 
@@ -264,10 +265,14 @@ extern "C" {
 
 // Encode (h, w, 3) row-major RGB bytes as a PNG into ``out`` (capacity
 // ``cap``); writes the byte count to ``out_len``. ``level``: zlib
-// 0-9. Returns 0, or kErrDecode on any libpng error (including
-// capacity overflow — size the buffer ~ w*h*3 + h + 64KiB).
+// 0-9. ``fast`` != 0 selects filter SUB + zlib Z_RLE instead of filter
+// NONE + the default strategy: ~2x faster deflate on figure-like
+// canvases at ~10% larger files (decoded pixels are identical — PNG is
+// lossless under any filter/strategy choice). Returns 0, or kErrDecode
+// on any libpng error (including capacity overflow — size the buffer
+// ~ w*h*3 + h + 64KiB).
 int ii_encode_png_rgb(const uint8_t* rgb, int w, int h, int level,
-                      uint8_t* out, long cap, long* out_len) {
+                      int fast, uint8_t* out, long cap, long* out_len) {
   if (w <= 0 || h <= 0 || level < 0 || level > 9) return kErrFormat;
   png_structp png =
       png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
@@ -284,7 +289,12 @@ int ii_encode_png_rgb(const uint8_t* rgb, int w, int h, int level,
   }
   png_set_write_fn(png, &m, mem_write, mem_flush);
   png_set_compression_level(png, level);
-  png_set_filter(png, 0, PNG_FILTER_NONE);
+  if (fast) {
+    png_set_filter(png, 0, PNG_FILTER_SUB);
+    png_set_compression_strategy(png, Z_RLE);
+  } else {
+    png_set_filter(png, 0, PNG_FILTER_NONE);
+  }
   png_set_IHDR(png, info, w, h, 8, PNG_COLOR_TYPE_RGB,
                PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
                PNG_FILTER_TYPE_DEFAULT);

@@ -53,6 +53,7 @@ def _register(lib: ctypes.CDLL) -> None:
     lib.ii_encode_png_rgb.restype = ctypes.c_int
     lib.ii_encode_png_rgb.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
         ctypes.c_void_p, ctypes.c_long, ctypes.POINTER(ctypes.c_long),
     ]
 
@@ -140,7 +141,8 @@ def decode_batch(
     return arena, list(status)
 
 
-def encode_png_rgb(arr: np.ndarray, level: int = 1) -> bytes:
+def encode_png_rgb(arr: np.ndarray, level: int = 1,
+                   fast: bool = False) -> bytes:
     """Encode an ``(H, W, 3)`` uint8 RGB array as PNG bytes.
 
     Filter NONE + zlib ``level`` (default 1): measured 2-4x faster than
@@ -148,6 +150,11 @@ def encode_png_rgb(arr: np.ndarray, level: int = 1) -> bytes:
     identical (round-trip asserted in tests/test_native.py). Raises
     RuntimeError when the native library is unavailable — callers gate
     on :func:`native_available` and fall back to PIL.
+
+    ``fast``: filter SUB + zlib Z_RLE — ~2x faster deflate on
+    figure-like canvases at ~10% larger files than the default; decoded
+    pixels are identical either way (PNG is lossless under any
+    filter/strategy choice; round-trip asserted in tests/test_native.py).
     """
     lib = _load()
     if lib is None:
@@ -163,6 +170,7 @@ def encode_png_rgb(arr: np.ndarray, level: int = 1) -> bytes:
     out_len = ctypes.c_long(0)
     rc = lib.ii_encode_png_rgb(
         arr.ctypes.data_as(ctypes.c_void_p), w, h, int(level),
+        1 if fast else 0,
         out.ctypes.data_as(ctypes.c_void_p), cap, ctypes.byref(out_len),
     )
     if rc != 0:

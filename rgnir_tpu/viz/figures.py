@@ -122,6 +122,9 @@ class IndexFigureWriter:
         self._state = cls._layouts  # shared: key -> layout state
         # Set False to force the draw_artist fallback (A/B + tests).
         self.fast_draw = True
+        # SUB+Z_RLE PNG encode (decoded pixels identical; ~10% larger
+        # files, ~2x faster deflate). Set False for filter-NONE output.
+        self.fast_encode = True
 
     @staticmethod
     def _capture_replay(canvas, ax, im):
@@ -253,12 +256,15 @@ class IndexFigureWriter:
                 ax.draw_artist(im)
             buf = np.asarray(canvas.buffer_rgba())
             rgb = np.ascontiguousarray(buf[..., :3])
-        # Native libpng (filter NONE) halves the encode half of the
-        # per-figure floor vs PIL's adaptive-filter encoder; identical
-        # pixels (tests/test_io.py drives this path and compares).
+        # Native libpng halves the encode half of the per-figure floor
+        # vs PIL's adaptive-filter encoder, and the fast mode (filter
+        # SUB + Z_RLE) halves the deflate again on figure canvases at
+        # ~10% larger files; identical pixels either way — PNG is
+        # lossless under any filter/strategy choice (tests/test_io.py
+        # drives this path and compares decoded pixels).
         from rgnir_tpu.io.writer import _native_png
 
-        data = _native_png(rgb, self.compress_level)
+        data = _native_png(rgb, self.compress_level, fast=self.fast_encode)
         if data is not None:
             Path(path).write_bytes(data)
         else:

@@ -1,6 +1,7 @@
 """Native frame-ring tests: cross-process SPSC streaming ingestion."""
 
 import multiprocessing as mp
+import os
 import time
 
 import numpy as np
@@ -11,6 +12,11 @@ from rgnir_tpu.native import FrameRing, native_available
 pytestmark = pytest.mark.skipif(
     not native_available(), reason="g++/shm unavailable"
 )
+
+# Ring names are pid-unique: two concurrent test sessions otherwise
+# collide on the same /dev/shm segment (one session's producer feeds
+# the other's consumer — observed as an in-order assertion failure).
+_PID = os.getpid()
 
 
 def _producer_striped(name, shape, count, sid, finish=True):
@@ -51,7 +57,7 @@ def _producer(name, shape, count, finish=False):
 
 class TestFrameRing:
     def test_push_pop_same_process(self):
-        with FrameRing.create("/rgnir_test_ring1", (4, 6, 3), capacity=2) as r:
+        with FrameRing.create(f"/rgnir_test_ring1_{_PID}", (4, 6, 3), capacity=2) as r:
             a = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
             assert r.try_push(a)
             assert r.try_push(a + 1)
@@ -63,9 +69,9 @@ class TestFrameRing:
 
     def test_cross_process_stream_in_order(self):
         shape, count = (8, 8, 3), 50
-        with FrameRing.create("/rgnir_test_ring2", shape, capacity=4) as ring:
+        with FrameRing.create(f"/rgnir_test_ring2_{_PID}", shape, capacity=4) as ring:
             proc = mp.get_context("spawn").Process(
-                target=_producer, args=("/rgnir_test_ring2", shape, count)
+                target=_producer, args=(f"/rgnir_test_ring2_{_PID}", shape, count)
             )
             proc.start()
             seen = []
@@ -86,11 +92,11 @@ class TestFrameRing:
         from rgnir_tpu.pipeline.streaming import StreamAnalyzer
 
         shape, count = (8, 8, 3), 7
-        with FrameRing.create("/rgnir_test_ring_eof", shape,
+        with FrameRing.create(f"/rgnir_test_ring_eof_{_PID}", shape,
                               capacity=4) as ring:
             proc = mp.get_context("spawn").Process(
                 target=_producer,
-                args=("/rgnir_test_ring_eof", shape, count, True),
+                args=(f"/rgnir_test_ring_eof_{_PID}", shape, count, True),
             )
             proc.start()
             analyzer = StreamAnalyzer(frame_shape=shape[:2],
@@ -112,7 +118,7 @@ class TestFrameRing:
         rings, procs = [], []
         try:
             for si in range(n_streams):
-                name = f"/rgnir_demux_{si}"
+                name = f"/rgnir_demux_{_PID}_{si}"
                 rings.append(FrameRing.create(name, shape, capacity=3))
                 p = ctx.Process(
                     target=_producer_striped, args=(name, shape, count, si)
@@ -146,8 +152,8 @@ class TestFrameRing:
         from rgnir_tpu.pipeline.streaming import StreamAnalyzer
 
         shape = (32, 16, 3)
-        with FrameRing.create("/rgnir_demux_p0", shape, capacity=4) as r0, \
-                FrameRing.create("/rgnir_demux_p1", shape, capacity=4) as r1:
+        with FrameRing.create(f"/rgnir_demux_p0_{_PID}", shape, capacity=4) as r0, \
+                FrameRing.create(f"/rgnir_demux_p1_{_PID}", shape, capacity=4) as r1:
             for seq in range(2):
                 frame = np.zeros(shape, np.uint8)
                 frame[:seq + 1, :, 2] = 255
@@ -167,17 +173,17 @@ class TestFrameRing:
             assert k == 3 * si + seq + 1
 
     def test_non_uint8_push_rejected(self):
-        with FrameRing.create("/rgnir_test_ring_dt", (4, 4, 3),
+        with FrameRing.create(f"/rgnir_test_ring_dt_{_PID}", (4, 4, 3),
                               capacity=2) as r:
             with pytest.raises(TypeError, match="uint8"):
                 r.try_push(np.zeros((4, 4, 3), np.float32))
 
     def test_shape_mismatch(self):
-        with FrameRing.create("/rgnir_test_ring3", (4, 4, 3)) as r:
+        with FrameRing.create(f"/rgnir_test_ring3_{_PID}", (4, 4, 3)) as r:
             with pytest.raises(ValueError):
                 r.try_push(np.zeros((2, 2, 3), np.uint8))
             with pytest.raises(ValueError):
-                FrameRing.open("/rgnir_test_ring3", (8, 8, 3))
+                FrameRing.open(f"/rgnir_test_ring3_{_PID}", (8, 8, 3))
 
 
 class TestImgio:
