@@ -327,6 +327,21 @@ class TestImgio:
         back = np.asarray(Image.open(_io.BytesIO(data)))
         np.testing.assert_array_equal(back, img)
 
+    @pytest.mark.parametrize("level", [1, 6])
+    def test_encode_png_rgb_fast_roundtrip(self, imgio, img, level):
+        """The fast mode (filter SUB + Z_RLE) must decode to the same
+        pixels as the default mode — PNG is lossless under any
+        filter/strategy choice, but the SUB reconstruction is the
+        decoder's job, so round-trip it explicitly."""
+        import io as _io
+
+        from PIL import Image
+
+        data = imgio.encode_png_rgb(img, level, fast=True)
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        back = np.asarray(Image.open(_io.BytesIO(data)))
+        np.testing.assert_array_equal(back, img)
+
     def test_encode_png_rgb_rejects_bad_input(self, imgio, img):
         with pytest.raises(ValueError):
             imgio.encode_png_rgb(img[..., 0])  # not 3-channel
