@@ -48,10 +48,22 @@ def encode_png(array: np.ndarray) -> bytes:
 def _write_array(path: Path, array: np.ndarray) -> Path:
     path.parent.mkdir(parents=True, exist_ok=True)
     arr = np.asarray(array)
-    if path.suffix.lower() == ".png":
+    suffix = path.suffix.lower()
+    if suffix == ".png":
         data = _native_png(arr)
         if data is not None:
             path.write_bytes(data)
+            return path
+    elif (
+        suffix in (".tif", ".tiff")
+        and arr.ndim == 3 and arr.shape[-1] == 3 and arr.dtype == np.uint8
+    ):
+        # Native uncompressed RGB TIFF — same pixels as PIL's default
+        # save at ~1/8 the cost (round-trip parity in tests/test_native).
+        from rgnir_tpu.native import imgio
+
+        if imgio.native_available():
+            imgio.encode_tiff_rgb(path, arr)
             return path
     Image.fromarray(arr).save(path)
     return path

@@ -309,6 +309,46 @@ int ii_encode_png_rgb(const uint8_t* rgb, int w, int h, int level,
   return 0;
 }
 
+// Write (h, w, 3) row-major RGB bytes as an UNCOMPRESSED striped RGB
+// TIFF at ``path`` (the same shape PIL's default .save(".tif")
+// produces — compression "raw"; pixel parity round-tripped in
+// tests/test_native.py). One strip per 64 rows keeps readers happy
+// without per-row call overhead. Returns 0 or kErrDecode.
+int ii_encode_tiff_rgb(const char* path, const uint8_t* rgb, int w,
+                       int h) {
+  if (w <= 0 || h <= 0) return kErrFormat;
+  TIFF* tif = TIFFOpen(path, "w");
+  if (!tif) return kErrDecode;
+  TIFFSetField(tif, TIFFTAG_IMAGEWIDTH, static_cast<uint32_t>(w));
+  TIFFSetField(tif, TIFFTAG_IMAGELENGTH, static_cast<uint32_t>(h));
+  TIFFSetField(tif, TIFFTAG_SAMPLESPERPIXEL, 3);
+  TIFFSetField(tif, TIFFTAG_BITSPERSAMPLE, 8);
+  TIFFSetField(tif, TIFFTAG_ORIENTATION, ORIENTATION_TOPLEFT);
+  TIFFSetField(tif, TIFFTAG_PLANARCONFIG, PLANARCONFIG_CONTIG);
+  TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_RGB);
+  TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_NONE);
+  const uint32_t rows_per_strip = 64;
+  TIFFSetField(tif, TIFFTAG_ROWSPERSTRIP, rows_per_strip);
+  const size_t stride = static_cast<size_t>(w) * 3;
+  uint32_t strip = 0;
+  for (int y = 0; y < h; y += rows_per_strip, ++strip) {
+    const uint32_t rows =
+        (y + static_cast<int>(rows_per_strip) <= h)
+            ? rows_per_strip
+            : static_cast<uint32_t>(h - y);
+    const tmsize_t nbytes = static_cast<tmsize_t>(stride) * rows;
+    if (TIFFWriteEncodedStrip(
+            tif, strip,
+            const_cast<uint8_t*>(rgb + stride * static_cast<size_t>(y)),
+            nbytes) != nbytes) {
+      TIFFClose(tif);
+      return kErrDecode;
+    }
+  }
+  TIFFClose(tif);
+  return 0;
+}
+
 int ii_probe(const char* path, int* w, int* h) {
   int err;
   switch (sniff(path, &err)) {

@@ -342,6 +342,31 @@ class TestImgio:
         back = np.asarray(Image.open(_io.BytesIO(data)))
         np.testing.assert_array_equal(back, img)
 
+    def test_encode_tiff_rgb_pil_roundtrip(self, imgio, img, tmp_path):
+        """Native libtiff uncompressed write must round-trip through
+        PIL to identical pixels (the WB output contract — the
+        reference writes PIL-default .tif, backend-process.py:57)."""
+        from PIL import Image
+
+        p = tmp_path / "wb.tif"
+        imgio.encode_tiff_rgb(p, img)
+        back = np.asarray(Image.open(p).convert("RGB"))
+        np.testing.assert_array_equal(back, img)
+        # our own decoder reads it too (arena/loader path)
+        assert imgio.probe(p) == img.shape[:2]  # (height, width)
+
+    def test_encode_tiff_rgb_odd_rows(self, imgio, tmp_path):
+        """Heights not divisible by the strip size exercise the
+        partial-strip tail."""
+        from PIL import Image
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (67, 33, 3), dtype=np.uint8)
+        p = tmp_path / "odd.tif"
+        imgio.encode_tiff_rgb(p, img)
+        back = np.asarray(Image.open(p).convert("RGB"))
+        np.testing.assert_array_equal(back, img)
+
     def test_encode_png_rgb_rejects_bad_input(self, imgio, img):
         with pytest.raises(ValueError):
             imgio.encode_png_rgb(img[..., 0])  # not 3-channel
