@@ -450,7 +450,8 @@ def cmd_mosaic(args) -> int:
         else:
             mosaic = decode_file(args.image)
         sres = analyze_mosaic_streamed(
-            mosaic, kinds=kinds, band_rows=args.band_rows
+            mosaic, kinds=kinds, band_rows=args.band_rows,
+            reduce=args.reduce,
         )
         out = {
             kind: to_analyze_index_dict(sres.stats[kind], kind)
@@ -720,6 +721,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="host-streamed band reduction (exact stats at any size)",
     )
     m.add_argument("--band-rows", type=int, default=2048)
+    m.add_argument(
+        "--reduce", choices=("device", "host"), default="device",
+        help="where the streamed joint-histogram reduction runs: the "
+             "chip's MXU (production) or the native host accumulator "
+             "(exact same results; faster behind a slow host->device "
+             "wire)",
+    )
     m.set_defaults(fn=cmd_mosaic)
 
     t = sub.add_parser(

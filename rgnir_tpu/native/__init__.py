@@ -9,6 +9,10 @@ package adds TPU-framework runtime pieces that belong in C++:
 - ``imgio`` — a libtiff/libjpeg/libpng batch decoder with a C++ thread
   pool filling one contiguous (N, H, W, 3) arena (the host-ingest hot
   path; PIL remains the fallback for exotic color modes).
+- ``jointhist`` — a threaded 256x256 joint-histogram accumulator, the
+  host-side reduction of the streamed gigapixel path (used when the
+  host->device wire is far below DRAM bandwidth; bit-identical to the
+  device MXU reduction).
 
 Built on demand with g++ (no pybind11 in this environment — plain C ABI
 consumed via ctypes).
@@ -16,5 +20,6 @@ consumed via ctypes).
 
 from rgnir_tpu.native.ring import FrameRing, native_available
 from rgnir_tpu.native import imgio
+from rgnir_tpu.native import jointhist
 
-__all__ = ["FrameRing", "native_available", "imgio"]
+__all__ = ["FrameRing", "native_available", "imgio", "jointhist"]

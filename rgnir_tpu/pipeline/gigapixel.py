@@ -87,21 +87,22 @@ def _band_joint_hists(
 ) -> jax.Array:
     """Accumulate (P, 256, 256) joint histograms of a uint8 band.
 
-    ``band``: (N, 3) uint8 (flattened pixels, padded with (0,0,0) rows
-    — the caller subtracts the pad count from bin [0, 0]).
+    ``band``: (N, C) uint8 — flattened pixels, C = the referenced
+    channels only (compacted by the caller), padded with zero rows —
+    the caller subtracts the pad count from bin [0, 0].
     ``acc``: (P, 256, 256) int32, donated.
 
     Each chunk builds bf16 one-hots per referenced channel and runs one
     (256, chunk) x (chunk, 256) MXU contraction per pair; counts are
     exact (chunk < 2^24) and accumulate in int32.
     """
-    n = band.shape[0]
+    n, n_ch = band.shape
     n_pad = -n % _CHUNK
     if n_pad:
         band = jnp.concatenate(
-            [band, jnp.zeros((n_pad, 3), dtype=band.dtype)]
+            [band, jnp.zeros((n_pad, n_ch), dtype=band.dtype)]
         )
-    chunks = band.reshape(-1, _CHUNK, 3)
+    chunks = band.reshape(-1, _CHUNK, n_ch)
     iota = jnp.arange(256, dtype=jnp.int32)
     channels = sorted({c for p in pairs for c in p})
 
@@ -229,6 +230,7 @@ def analyze_mosaic_streamed(
     wb_cfg: WBConfig = WBConfig(),
     idx_cfg: IndexConfig = IndexConfig(),
     with_wb: bool = True,
+    reduce: str = "device",
 ) -> StreamedMosaicResult:
     """Exact WB + index statistics of a mosaic of ANY size on one chip.
 
@@ -241,20 +243,76 @@ def analyze_mosaic_streamed(
       band_rows: rows per band when ``bands`` is an array.
       with_wb: apply the reference's global percentile stretch before
         the index (process-images.py:893-902 flow).
+      reduce: where the joint-histogram band reduction runs.
+        ``"device"`` (default) streams referenced channels to the chip
+        and contracts on the MXU — the production path on a real TPU
+        host. ``"host"`` accumulates on the host via the native
+        ``jointhist`` extension (numpy fallback) and never touches the
+        device for the per-pixel work — the faster exact route when
+        the host->device wire is orders of magnitude below DRAM
+        bandwidth (e.g. this environment's tunnel; BENCHMARKS.md
+        config 7 arithmetic). Both feed the identical 65536-bin
+        closure, so results are bit-identical (tested).
 
     Returns:
       :class:`StreamedMosaicResult` with exact global statistics.
     """
+    if reduce not in ("device", "host"):
+        raise ValueError(f"reduce must be 'device' or 'host', got {reduce!r}")
     kinds = tuple(IndexKind.parse(k) for k in kinds)
     pairs, lookup = _pair_layout(kinds)
     if isinstance(bands, np.ndarray) or hasattr(bands, "shape"):
         bands = iter_row_bands(bands, band_rows)
 
-    acc = jnp.zeros((len(pairs), 256, 256), dtype=jnp.int32)
+    # Transfer ONLY the channels the requested indices reference: the
+    # joint-histogram reduction never reads an unreferenced channel, so
+    # e.g. NDVI-only streams (R, NIR) — 2/3 of the bytes. Host->device
+    # bandwidth is the binding resource of this path (BENCHMARKS.md
+    # config 7 arithmetic), while the strided host compaction runs at
+    # ~2 GB/s — ~40x the measured wire. ``pairs`` is remapped into the
+    # compact column space for the device kernel; the 65536-bin closure
+    # below keeps original channel ids.
+    wire_channels = sorted({c for p in pairs for c in p})
+    compact_pairs = tuple(
+        (wire_channels.index(ia), wire_channels.index(ib))
+        for ia, ib in pairs
+    )
+    n_wire = len(wire_channels)
+
     total = np.zeros((len(pairs), 256, 256), dtype=np.int64)
-    pad_total = 0
     n_pixels = 0
     n_bands = 0
+
+    def validated(bands):
+        for band in bands:
+            band = np.ascontiguousarray(band)
+            if band.ndim != 3 or band.shape[-1] != 3 or band.dtype != np.uint8:
+                raise ValueError(
+                    f"bands must be (h, w, 3) uint8, got "
+                    f"{band.shape} {band.dtype}"
+                )
+            yield band
+
+    if reduce == "host":
+        from rgnir_tpu.native import jointhist
+
+        for band in validated(bands):
+            n = band.shape[0] * band.shape[1]
+            # a fresh uint32 accumulator per band: one band is always
+            # far below any bin overflowing 2^32
+            h32 = jointhist.accumulate(band.reshape(-1, 3), pairs)
+            total += h32.astype(np.int64)
+            n_pixels += n
+            n_bands += 1
+        if n_pixels == 0:
+            raise ValueError("no bands")
+        return _finalize(
+            total, pairs, lookup, kinds, wb_cfg, idx_cfg, with_wb,
+            n_pixels, n_bands,
+        )
+
+    acc = jnp.zeros((len(pairs), 256, 256), dtype=jnp.int32)
+    pad_total = 0
 
     # Double buffer: issue band i+1's transfer before awaiting band i's
     # reduction; JAX dispatch is async so the copy and the MXU overlap.
@@ -263,17 +321,17 @@ def analyze_mosaic_streamed(
     flush_at = (1 << 31) - (1 << 26)
     since_flush = 0
     pending = None
-    for band in bands:
-        band = np.ascontiguousarray(band)
-        if band.ndim != 3 or band.shape[-1] != 3 or band.dtype != np.uint8:
-            raise ValueError(
-                f"bands must be (h, w, 3) uint8, got {band.shape} {band.dtype}"
-            )
+    for band in validated(bands):
         n = band.shape[0] * band.shape[1]
         flat = band.reshape(-1, 3)
+        if n_wire < 3:
+            compact = np.empty((flat.shape[0], n_wire), dtype=np.uint8)
+            for j, c in enumerate(wire_channels):
+                compact[:, j] = flat[:, c]
+            flat = compact
         nxt = jax.device_put(flat)
         if pending is not None:
-            acc = _band_joint_hists(pending, acc, pairs)
+            acc = _band_joint_hists(pending, acc, compact_pairs)
         if since_flush + n > flush_at:
             total += np.asarray(acc).astype(np.int64)
             acc = jnp.zeros((len(pairs), 256, 256), dtype=jnp.int32)
@@ -284,15 +342,33 @@ def analyze_mosaic_streamed(
         pad_total += -n % _CHUNK
         n_bands += 1
     if pending is not None:
-        acc = _band_joint_hists(pending, acc, pairs)
+        acc = _band_joint_hists(pending, acc, compact_pairs)
     total += np.asarray(acc).astype(np.int64)
     if n_pixels == 0:
         raise ValueError("no bands")
     # Chunk padding added (0,0,0) pixels: every pair counted them in
     # bin [0, 0].
     total[:, 0, 0] -= pad_total
+    return _finalize(
+        total, pairs, lookup, kinds, wb_cfg, idx_cfg, with_wb,
+        n_pixels, n_bands,
+    )
 
-    # --- tiny 65536-bin closure: WB LUTs, value grids, exact stats ----
+
+def _finalize(
+    total: np.ndarray,
+    pairs: Tuple[Tuple[int, int], ...],
+    lookup: Dict[IndexKind, Tuple[int, bool]],
+    kinds: Sequence[IndexKind],
+    wb_cfg: WBConfig,
+    idx_cfg: IndexConfig,
+    with_wb: bool,
+    n_pixels: int,
+    n_bands: int,
+) -> StreamedMosaicResult:
+    """The tiny 65536-bin closure shared by both reductions: WB LUTs
+    from the joint-histogram marginals, index value grids, exact
+    stats."""
     channels = sorted({c for p in pairs for c in p})
     marg: Dict[int, np.ndarray] = {}
     for pi, (ia, ib) in enumerate(pairs):

@@ -150,6 +150,23 @@ class TestCli:
         out = json.loads(capsys.readouterr().out)
         assert "Mean NDVI" in out["NDVI"]
 
+    def test_mosaic_streamed_host_reduce_identical(
+        self, tmp_path, rng, capsys, monkeypatch
+    ):
+        from rgnir_tpu.pipeline import gigapixel
+
+        monkeypatch.setattr(gigapixel, "_CHUNK", 4096)
+        img = rng.integers(0, 256, (40, 32, 3), dtype=np.uint8)
+        p = tmp_path / "m.npy"
+        np.save(p, img)
+        base = ["mosaic", str(p), "--streamed", "--indices", "NDVI",
+                "--band-rows", "16"]
+        assert main(base) == 0
+        dev = json.loads(capsys.readouterr().out)
+        assert main(base + ["--reduce", "host"]) == 0
+        host = json.loads(capsys.readouterr().out)
+        assert dev == host
+
     def test_change(self, tmp_path, rgnir_image, capsys):
         early = tmp_path / "early.png"
         late = tmp_path / "late.png"

@@ -153,3 +153,47 @@ class TestStreamedExactness:
         bands = list(iter_row_bands(img, 4))
         assert [b.shape[0] for b in bands] == [4, 4, 2]
         assert bands[0].base is img  # no copies
+
+
+class TestHostReduce:
+    """reduce='host' (native jointhist accumulator / numpy fallback)
+    must be BIT-identical to the device MXU reduction — both feed the
+    same 65536-bin closure."""
+
+    @pytest.mark.parametrize("kinds", [
+        ("NDVI",), ("NDVI", "GNDVI", "NDWI"),
+    ])
+    def test_identical_to_device_reduce(self, rng, kinds):
+        img = _mosaic(rng, 123, 157)
+        dev = analyze_mosaic_streamed(img, kinds=kinds, band_rows=40)
+        host = analyze_mosaic_streamed(
+            img, kinds=kinds, band_rows=40, reduce="host"
+        )
+        for k in kinds:
+            a, b = dev.stats[k], host.stats[k]
+            for field in ("mean", "median", "std", "min", "max",
+                          "coverage_pct", "n"):
+                assert getattr(a, field) == getattr(b, field), (k, field)
+            np.testing.assert_array_equal(a.histogram, b.histogram)
+        np.testing.assert_array_equal(
+            np.nan_to_num(dev.wb_lo), np.nan_to_num(host.wb_lo)
+        )
+        np.testing.assert_array_equal(
+            np.nan_to_num(dev.wb_hi), np.nan_to_num(host.wb_hi)
+        )
+
+    def test_host_reduce_matches_in_memory_path(self, rng):
+        img = _mosaic(rng, 67, 91)
+        res = analyze_mosaic_streamed(
+            img, kinds=("NDVI",), band_rows=16, reduce="host"
+        )
+        ref = _reference_stats(img, "NDVI")
+        got = res.stats["NDVI"]
+        assert got.min == ref.min and got.max == ref.max
+        assert got.median == ref.median
+
+    def test_rejects_unknown_reduce(self, rng):
+        with pytest.raises(ValueError, match="reduce"):
+            analyze_mosaic_streamed(
+                _mosaic(rng, 8, 8), kinds=("NDVI",), reduce="gpu"
+            )

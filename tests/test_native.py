@@ -387,3 +387,75 @@ class TestImgio:
         junk.write_bytes(b"not an image at all")
         with pytest.raises(Exception):
             decode_file_fast(junk)
+
+
+class TestJointHist:
+    """Native host joint-histogram accumulator (jointhist.cpp): the
+    exact-counts contract the streamed gigapixel host reduce relies on
+    (pipeline/gigapixel.py reduce='host')."""
+
+    @pytest.fixture()
+    def jointhist(self):
+        from rgnir_tpu.native import jointhist
+
+        if not jointhist.native_available():
+            pytest.skip("jointhist toolchain unavailable")
+        return jointhist
+
+    def _numpy_joint(self, flat, pairs):
+        out = np.zeros((len(pairs), 256, 256), np.uint32)
+        for p, (ia, ib) in enumerate(pairs):
+            key = (flat[:, ia].astype(np.uint32) << 8) | flat[:, ib]
+            out[p] = np.bincount(key, minlength=65536).reshape(256, 256)
+        return out
+
+    @pytest.mark.parametrize("pairs", [
+        ((0, 2),), ((0, 2), (1, 2)), ((2, 0), (0, 0)),
+    ])
+    def test_matches_numpy(self, jointhist, pairs):
+        rng = np.random.default_rng(11)
+        flat = rng.integers(0, 256, (10007, 3), dtype=np.uint8)
+        got = jointhist.accumulate(flat, pairs)
+        np.testing.assert_array_equal(got, self._numpy_joint(flat, pairs))
+        assert got.sum(axis=(1, 2)).tolist() == [flat.shape[0]] * len(pairs)
+
+    def test_accumulates_into_out(self, jointhist):
+        rng = np.random.default_rng(12)
+        a = rng.integers(0, 256, (513, 3), dtype=np.uint8)
+        b = rng.integers(0, 256, (777, 3), dtype=np.uint8)
+        out = jointhist.accumulate(a, ((0, 2),))
+        jointhist.accumulate(b, ((0, 2),), out=out)
+        both = self._numpy_joint(np.concatenate([a, b]), ((0, 2),))
+        np.testing.assert_array_equal(out, both)
+
+    def test_multithreaded_equals_single(self, jointhist):
+        # force the threaded path (n >= 1<<22 rows)
+        rng = np.random.default_rng(13)
+        flat = rng.integers(0, 256, ((1 << 22) + 99, 2), dtype=np.uint8)
+        one = jointhist.accumulate(flat, ((0, 1),), n_threads=1)
+        many = jointhist.accumulate(flat, ((0, 1),), n_threads=4)
+        np.testing.assert_array_equal(one, many)
+
+    def test_rejects_bad_args(self, jointhist):
+        flat = np.zeros((8, 3), np.uint8)
+        with pytest.raises(ValueError):
+            jointhist.accumulate(flat.astype(np.uint16), ((0, 1),))
+        with pytest.raises(ValueError):
+            jointhist.accumulate(flat, ((0, 3),))  # channel out of range
+        with pytest.raises(ValueError):
+            jointhist.accumulate(
+                flat, ((0, 1),),
+                out=np.zeros((1, 256, 256), np.int64),  # wrong dtype
+            )
+
+    def test_numpy_fallback_path(self, monkeypatch):
+        """With the native lib forced unavailable, accumulate() still
+        returns identical counts via bincount."""
+        from rgnir_tpu.native import jointhist as jh
+
+        rng = np.random.default_rng(14)
+        flat = rng.integers(0, 256, (4099, 3), dtype=np.uint8)
+        want = jh.accumulate(flat, ((1, 2),))
+        monkeypatch.setattr(jh._NATIVE, "load", lambda: None)
+        got = jh.accumulate(flat, ((1, 2),))
+        np.testing.assert_array_equal(got, want)
