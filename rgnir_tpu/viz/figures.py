@@ -184,18 +184,82 @@ class IndexFigureWriter:
             "pos": drawn["pos"], "alpha_u8": drawn["alpha_u8"],
         }
 
+    @staticmethod
+    def _lean_rgba(im, arr):
+        """Bit-exact, allocation-lean replica of
+        ``mi._rgb_to_rgba(im.to_rgba(arr)[..., :3])`` for the shapes
+        this writer always hits: 2-D unmasked float data under a plain
+        ``Normalize``. Replays matplotlib's own arithmetic — in-place
+        f32/f64 norm (`Normalize.__call__`), ``xa *= N`` /
+        ``xa == N -> N-1`` / under-over-bad index routing
+        (`Colormap._get_rgba_and_mask`), and the same float64 LUT take
+        — while skipping the masked-array wrappers and the extra
+        RGB->RGBA copy (alpha is 1 everywhere after `_rgb_to_rgba`, so
+        it is written directly). ~2x less host time per figure;
+        pixel-identity vs the full draw is asserted in tests/test_io.py.
+        Returns ``(rgba_f64, had_bad_pixels)``, or None when any
+        assumption fails (caller falls back to the full chain)."""
+        import matplotlib.colors as mcolors
+
+        norm = im.norm
+        cmap = im.cmap
+        if (
+            type(norm) is not mcolors.Normalize
+            or norm.vmin is None or norm.vmax is None
+            or norm.vmax <= norm.vmin
+            or not isinstance(arr, np.ndarray)
+            or np.ma.is_masked(arr)
+            or arr.ndim != 2
+            or arr.dtype.kind != "f"
+        ):
+            return None
+        if not cmap._isinit:
+            cmap._init()
+        lut = cmap._lut
+        if lut.dtype != np.float64 or lut.shape[1] != 4:
+            return None
+        xa = arr.copy()
+        xa -= norm.vmin
+        xa /= (norm.vmax - norm.vmin)
+        xa *= cmap.N
+        xa[xa == cmap.N] = cmap.N - 1
+        under = xa < 0
+        over = xa >= cmap.N
+        bad = np.isnan(xa)
+        with np.errstate(invalid="ignore"):
+            ia = xa.astype(int)
+        ia[under] = cmap._i_under
+        ia[over] = cmap._i_over
+        ia[bad] = cmap._i_bad
+        rgba = lut.take(ia, axis=0, mode="clip")
+        rgba[..., 3] = 1.0
+        return rgba, bool(bad.any())
+
     def _replay_draw(self, canvas, ax, im, replay, arr) -> bool:
         """Redraw the image artist from ``arr`` using the captured
         replay state; True on success (pixel-identical to draw_artist),
         False to make the caller fall back to the full draw."""
         import matplotlib.image as mi
 
-        A = im.to_rgba(arr)  # float RGBA via the fixed (-1, 1) norm
+        lean = self._lean_rgba(im, arr)
+        if lean is None:
+            A = im.to_rgba(arr)  # float RGBA via the fixed (-1, 1) norm
+            rgba, may_have_nan = mi._rgb_to_rgba(A[..., :3]), True
+        else:
+            rgba, may_have_nan = lean
         out = mi._resample(
-            im, mi._rgb_to_rgba(A[..., :3]),
-            replay["out_shape"], replay["t"], **replay["kw"],
+            im, rgba, replay["out_shape"], replay["t"], **replay["kw"],
         )
-        out_u8 = im.to_rgba(out, bytes=True, norm=False)
+        # exact `to_rgba(out, bytes=True, norm=False)` for (h, w, 4)
+        # float input (colorizer._pass_image_data), without re-entering
+        # the dispatch: zero any nan rows, scale, truncate to u8. The
+        # nan scan is skipped when the input had none (a finite f64
+        # hanning/nearest resample of finite values stays finite).
+        if may_have_nan:
+            nans = np.isnan(out)
+            if nans.any():
+                out[np.any(nans, axis=2), :] = 0
+        out_u8 = (out * 255).astype(np.uint8)
         out_u8[..., 3] = replay["alpha_u8"]
         renderer = canvas.get_renderer()
         gc = renderer.new_gc()

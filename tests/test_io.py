@@ -285,6 +285,40 @@ class TestVizSmoke:
             np.arange(50), "NDVI"
         ).size[0] > 0
 
+    def test_lean_rgba_bit_equals_matplotlib_chain(self):
+        """_lean_rgba must reproduce matplotlib's
+        to_rgba -> _rgb_to_rgba float64 RGBA bit-for-bit, including
+        NaN (bad), under- and over-range pixels — the exactness the
+        replay draw's pixel-identity rests on."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.image as mi
+        import matplotlib.pyplot as plt
+
+        from rgnir_tpu.viz.figures import IndexFigureWriter
+
+        fig, ax = plt.subplots()
+        try:
+            arr = np.random.default_rng(0).uniform(
+                -1.3, 1.3, (48, 64)
+            ).astype(np.float32)
+            arr[3, 3] = np.nan
+            im = ax.imshow(arr, cmap="RdYlGn", vmin=-1, vmax=1)
+            lean = IndexFigureWriter._lean_rgba(im, arr)
+            assert lean is not None
+            rgba, had_bad = lean
+            assert had_bad
+            full = mi._rgb_to_rgba(im.to_rgba(arr)[..., :3])
+            np.testing.assert_array_equal(rgba, full)
+            assert rgba.dtype == np.float64
+            # unsupported shapes fall back loudly (None), never guess
+            assert IndexFigureWriter._lean_rgba(im, arr[None]) is None
+            assert IndexFigureWriter._lean_rgba(
+                im, arr.astype(np.int32)
+            ) is None
+        finally:
+            plt.close(fig)
+
     def test_index_figure_writer_pixel_parity(self, tmp_path, rng):
         """The reused-figure batch writer must render the exact pixels
         of the one-shot save_index_figure path, across repeated arrays
