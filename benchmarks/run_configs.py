@@ -188,6 +188,12 @@ def run_streamed_config(name, side, band_rows=4096):
     RESULTS.append(rec)
     print(json.dumps(rec), flush=True)
 
+    from rgnir_tpu.native import jointhist
+
+    # warm: first call compiles/loads the native accumulator (g++ on a
+    # fresh checkout) — keep that out of the timed region, and record
+    # whether the native path (vs the numpy fallback) was measured
+    analyze_mosaic_streamed(iter(rows[:1]), kinds=("NDVI",), reduce="host")
     t0 = time.perf_counter()
     hres = analyze_mosaic_streamed(bands(), kinds=("NDVI",), reduce="host")
     dt = time.perf_counter() - t0
@@ -198,6 +204,7 @@ def run_streamed_config(name, side, band_rows=4096):
         "mpix_per_step": round(float(mpix), 2),
         "mpix_per_s": round(float(mpix / dt), 1),
         "ndvi_median": float(hres.stats["NDVI"].median),
+        "native": jointhist.native_available(),
     }
     RESULTS.append(hrec)
     print(json.dumps(hrec), flush=True)

@@ -440,6 +440,10 @@ def cmd_mosaic(args) -> int:
     from rgnir_tpu.ops.stats import to_analyze_index_dict
 
     kinds = _parse_indices(args.indices) or tuple(k.value for k in ALL_INDICES)
+    if args.reduce != "device" and not args.streamed:
+        # Silently running the in-HBM device path while the user asked
+        # for the host reduction would misreport what was measured.
+        raise SystemExit("--reduce host requires --streamed")
     if args.streamed:
         # Host-streamed band reduction: exact global stats for mosaics
         # larger than HBM (pipeline/gigapixel.py). Stats-only.

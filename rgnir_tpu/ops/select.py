@@ -170,22 +170,33 @@ def _digit16_histograms(
     actives = jnp.moveaxis(
         actives.reshape(k, nchunks, chunk), 1, 0
     )  # (nchunks, k, chunk)
-    col = jnp.arange(256, dtype=jnp.int32)[:, None]
 
     def body(acc, args):
         d, a = args  # (chunk,), (k, chunk)
-        oh_lo = ((d & 255)[None, :] == col).astype(jnp.bfloat16)  # (256, c)
-        oh_hi = ((d >> 8)[None, :] == col).astype(jnp.bfloat16)   # (256, c)
-        ohq = oh_hi[None] * a[:, None, :].astype(jnp.bfloat16)    # (k,256,c)
-        part = jnp.einsum(
-            "qic,jc->qij", ohq, oh_lo,
-            preferred_element_type=jnp.float32,
-        )
-        return acc + part.reshape(k, 65536).astype(jnp.int32), None
+        return acc + _digit16_chunk_counts(d, a), None
 
     acc0 = jnp.zeros((k, 65536), jnp.int32)
     out, _ = jax.lax.scan(body, acc0, (digit, actives))
     return out
+
+
+def _digit16_chunk_counts(d: jax.Array, a: jax.Array) -> jax.Array:
+    """(k, 65536) int32 masked counts of one chunk's 16-bit digits —
+    the exactness-critical core shared by the scan bodies of
+    :func:`_digit16_histograms` and
+    :func:`_digit16_histograms_selected`: bf16 one-hots are EXACT
+    (0/1), the MXU contraction accumulates in f32 (chunk < 2^24 keeps
+    counts exact), and the int32 cast is lossless."""
+    col = jnp.arange(256, dtype=jnp.int32)[:, None]
+    k = a.shape[0]
+    oh_lo = ((d & 255)[None, :] == col).astype(jnp.bfloat16)  # (256, c)
+    oh_hi = ((d >> 8)[None, :] == col).astype(jnp.bfloat16)   # (256, c)
+    ohq = oh_hi[None] * a[:, None, :].astype(jnp.bfloat16)    # (k,256,c)
+    part = jnp.einsum(
+        "qic,jc->qij", ohq, oh_lo,
+        preferred_element_type=jnp.float32,
+    )
+    return part.reshape(k, 65536).astype(jnp.int32)
 
 
 def _digit16_histograms_selected(
@@ -215,19 +226,11 @@ def _digit16_histograms_selected(
     base_active = base_active.reshape(-1, chunk)
     sel_digit = sel_digit.reshape(-1, chunk)
     k = sel_values.shape[0]
-    col = jnp.arange(256, dtype=jnp.int32)[:, None]
 
     def body(acc, args):
         d, ba, sd = args  # (chunk,), (chunk,), (chunk,)
         a = ba[None, :] & (sd[None, :] == sel_values[:, None])  # (k, c)
-        oh_lo = ((d & 255)[None, :] == col).astype(jnp.bfloat16)
-        oh_hi = ((d >> 8)[None, :] == col).astype(jnp.bfloat16)
-        ohq = oh_hi[None] * a[:, None, :].astype(jnp.bfloat16)
-        part = jnp.einsum(
-            "qic,jc->qij", ohq, oh_lo,
-            preferred_element_type=jnp.float32,
-        )
-        return acc + part.reshape(k, 65536).astype(jnp.int32), None
+        return acc + _digit16_chunk_counts(d, a), None
 
     acc0 = jnp.zeros((k, 65536), jnp.int32)
     out, _ = jax.lax.scan(body, acc0, (digit, base_active, sel_digit))

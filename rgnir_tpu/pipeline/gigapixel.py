@@ -59,6 +59,11 @@ from rgnir_tpu.ops.wb import apply_white_balance_planar
 # f32's 2^24 exact range.
 _CHUNK = 1 << 17
 
+# Exact-accumulation window: int32 on device within one flush, and no
+# uint32 host bin can wrap below this many pixels per band. Bands
+# larger than this are re-split into row sub-bands (validated()).
+_FLUSH_AT = (1 << 31) - (1 << 26)
+
 
 def _pair_layout(
     kinds: Sequence[IndexKind],
@@ -283,6 +288,11 @@ def analyze_mosaic_streamed(
     n_pixels = 0
     n_bands = 0
 
+    # A single band must stay below the flush window, or the per-band
+    # accumulators wrap silently (int32 on device within a flush; one
+    # uint32 bin on the host could wrap past 2^32 pixels): oversize
+    # caller bands are re-split into row sub-bands here, so "band size
+    # is caller-controlled" can never break exactness.
     def validated(bands):
         for band in bands:
             band = np.ascontiguousarray(band)
@@ -291,7 +301,18 @@ def analyze_mosaic_streamed(
                     f"bands must be (h, w, 3) uint8, got "
                     f"{band.shape} {band.dtype}"
                 )
-            yield band
+            if band.shape[0] * band.shape[1] > _FLUSH_AT:
+                if band.shape[1] > _FLUSH_AT:
+                    raise ValueError(
+                        f"band rows of {band.shape[1]} pixels exceed the "
+                        f"exact accumulation window ({_FLUSH_AT}); split "
+                        "columns before streaming"
+                    )
+                rows_per = max(1, _FLUSH_AT // band.shape[1])
+                for r0 in range(0, band.shape[0], rows_per):
+                    yield band[r0:r0 + rows_per]
+            else:
+                yield band
 
     if reduce == "host":
         from rgnir_tpu.native import jointhist
@@ -317,8 +338,8 @@ def analyze_mosaic_streamed(
     # Double buffer: issue band i+1's transfer before awaiting band i's
     # reduction; JAX dispatch is async so the copy and the MXU overlap.
     # int32 on-device accumulation is exact within a flush window of
-    # 2^31 pixels; flush to the int64 host total before overflow.
-    flush_at = (1 << 31) - (1 << 26)
+    # 2^31 pixels (flush_at, also the validated() band-split bound);
+    # flush to the int64 host total before overflow.
     since_flush = 0
     pending = None
     for band in validated(bands):
@@ -332,7 +353,7 @@ def analyze_mosaic_streamed(
         nxt = jax.device_put(flat)
         if pending is not None:
             acc = _band_joint_hists(pending, acc, compact_pairs)
-        if since_flush + n > flush_at:
+        if since_flush + n > _FLUSH_AT:
             total += np.asarray(acc).astype(np.int64)
             acc = jnp.zeros((len(pairs), 256, 256), dtype=jnp.int32)
             since_flush = 0

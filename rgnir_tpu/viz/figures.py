@@ -205,6 +205,7 @@ class IndexFigureWriter:
         cmap = im.cmap
         if (
             type(norm) is not mcolors.Normalize
+            or norm.clip  # clip=True clamps BEFORE the cmap: different path
             or norm.vmin is None or norm.vmax is None
             or norm.vmax <= norm.vmin
             or not isinstance(arr, np.ndarray)
@@ -241,7 +242,12 @@ class IndexFigureWriter:
         False to make the caller fall back to the full draw."""
         import matplotlib.image as mi
 
-        lean = self._lean_rgba(im, arr)
+        try:
+            # reads matplotlib colormap internals (_lut, _i_under, ...);
+            # degrade to the public chain if an upgrade moves them
+            lean = self._lean_rgba(im, arr)
+        except Exception:
+            lean = None
         if lean is None:
             A = im.to_rgba(arr)  # float RGBA via the fixed (-1, 1) norm
             rgba, may_have_nan = mi._rgb_to_rgba(A[..., :3]), True

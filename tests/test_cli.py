@@ -167,6 +167,13 @@ class TestCli:
         host = json.loads(capsys.readouterr().out)
         assert dev == host
 
+    def test_mosaic_reduce_requires_streamed(self, tmp_path, rng):
+        img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        p = tmp_path / "m.npy"
+        np.save(p, img)
+        with pytest.raises(SystemExit, match="--streamed"):
+            main(["mosaic", str(p), "--reduce", "host"])
+
     def test_change(self, tmp_path, rgnir_image, capsys):
         early = tmp_path / "early.png"
         late = tmp_path / "late.png"

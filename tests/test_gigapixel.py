@@ -197,3 +197,31 @@ class TestHostReduce:
             analyze_mosaic_streamed(
                 _mosaic(rng, 8, 8), kinds=("NDVI",), reduce="gpu"
             )
+
+    @pytest.mark.parametrize("reduce", ["device", "host"])
+    def test_oversized_band_is_resplit_exactly(
+        self, rng, monkeypatch, reduce
+    ):
+        """A caller band above the exact-accumulation window must be
+        re-split into row sub-bands (never silently wrap an int32 /
+        uint32 accumulator). Shrunk window so a test-sized band
+        triggers the split; stats must equal the small-band run."""
+        img = _mosaic(rng, 64, 48)
+        ref = analyze_mosaic_streamed(
+            img, kinds=("NDVI",), band_rows=8, reduce=reduce
+        )
+        monkeypatch.setattr(gigapixel, "_FLUSH_AT", 1000)  # < 64*48
+        got = analyze_mosaic_streamed(
+            iter([img]), kinds=("NDVI",), reduce=reduce
+        )
+        a, b = ref.stats["NDVI"], got.stats["NDVI"]
+        assert a.mean == b.mean and a.median == b.median
+        np.testing.assert_array_equal(a.histogram, b.histogram)
+        assert got.bands > 1  # the split actually happened
+
+    def test_band_row_wider_than_window_raises(self, rng, monkeypatch):
+        monkeypatch.setattr(gigapixel, "_FLUSH_AT", 100)
+        with pytest.raises(ValueError, match="accumulation window"):
+            analyze_mosaic_streamed(
+                _mosaic(rng, 2, 200), kinds=("NDVI",), reduce="host"
+            )

@@ -316,6 +316,12 @@ class TestVizSmoke:
             assert IndexFigureWriter._lean_rgba(
                 im, arr.astype(np.int32)
             ) is None
+            # clip=True clamps BEFORE the cmap (different under/over
+            # routing) — must fall back, not approximate
+            import matplotlib.colors as mcolors
+
+            im.set_norm(mcolors.Normalize(-1, 1, clip=True))
+            assert IndexFigureWriter._lean_rgba(im, arr) is None
         finally:
             plt.close(fig)
 
