@@ -115,11 +115,20 @@ def run_all(quick: bool = False):
         "4_stream_1080p_3idx", (1080, 1920, 3),
         ("NDVI", "GNDVI", "NDWI"), renders=False, ns=ns, reps=reps,
     )
+    # 4b. the production multiplexed mode: StreamAnalyzer(batch=8)
+    #     groups 8 frames (one high-rate stream or 8 multiplexed ones)
+    #     into a single dispatch — same math, one launch.
+    r4b = run_config(
+        "4b_stream_1080p_3idx_batch8", (8, 1080, 1920, 3),
+        ("NDVI", "GNDVI", "NDWI"), renders=False, ns=ns, reps=reps,
+    )
     fps = 1000.0 / r4["ms_per_step"]
-    streams = int(fps // 30)
+    fps_b = 8 * 1000.0 / r4b["ms_per_step"]
     derived = {"config": "4_stream_1080p_3idx_derived",
                "fps_single_stream": round(fps, 1),
-               "parallel_30fps_streams": streams}
+               "parallel_30fps_streams": int(fps // 30),
+               "fps_batch8": round(fps_b, 1),
+               "parallel_30fps_streams_batch8": int(fps_b // 30)}
     print(json.dumps(derived), flush=True)
     # 5. "gigapixel survey" scale proxy on one chip: 8192^2 (67 MPix)
     #    single fused pass; the multi-chip sharded path (psum'd exact
@@ -263,6 +272,8 @@ def main() -> None:
         "2_batch32_3idx_renders": "batch of 32 × 512², 3 indices + renders",
         "3_mosaic_4096_fused": "4096² mosaic, fused WB+NDVI (global exact percentiles)",
         "4_stream_1080p_3idx": "1080p frame, 3 indices + stats",
+        "4b_stream_1080p_3idx_batch8":
+            "8 x 1080p multiplexed batch, 3 indices + stats",
         "5_survey_8192_fused": "8192² survey mosaic, fused WB+NDVI",
         "6_mosaic_4096_shardmap_kernel":
             "4096² via shard_map Pallas shard body (1-device TPU mesh)",

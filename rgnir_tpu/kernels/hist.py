@@ -97,18 +97,41 @@ def auto_block_r(
     (rgnir_tpu.utils.autotune — populated by ``rgnir-tpu tune``)
     overrides the heuristic INCLUDING the cap: the tuner only stores
     candidates that compiled and won on this device, and it tunes the
-    fused kernel at its worst-case (3-kind) VMEM footprint."""
+    fused kernel at its worst-case (3-kind) VMEM footprint.
+
+    Either choice then yields to a DIVIDING block when one exists: if
+    the pixel count is lane-exact (n % 1024 == 0) and some multiple of
+    8 at or under the cap divides the row count, the kernels' static
+    no-padding proof holds and every positional mask is elided — which
+    measured 3.2x over the bucket-tuned-but-masked block on a 16.6-MPix
+    stats pass (8640x1920: tuned b24 winner 16 leaves a padded tail,
+    dividing 24 elides; 2026-08-18 interleaved A/B, and even the small
+    dividing 8 beat every masked choice). Alignment beats bucket
+    tuning, so the tuner's winner applies as-is only when it already
+    divides."""
+    rows = _cdiv(n_pixels, _LANES)
+
+    def prefer_dividing(candidate: int) -> int:
+        if n_pixels % _LANES != 0 or rows % candidate == 0:
+            return candidate  # no elision possible / already dividing
+        # tuned winners may exceed the cap (they compiled and won) —
+        # search divisors up to whichever is larger
+        top = min(max(cap, candidate), rows)
+        for b in range(top - top % 8, 7, -8):
+            if rows % b == 0:
+                return b
+        return candidate
+
     if kernel is not None:
         from rgnir_tpu.utils.autotune import lookup_block_r
 
         hit = lookup_block_r(kernel, n_pixels)
         if hit is not None:
-            return max(8, _ceil_to(hit, 8))
-    rows = _cdiv(n_pixels, _LANES)
+            return prefer_dividing(max(8, _ceil_to(hit, 8)))
     # Floor 32: the 512^2-class images measured ~2x faster at 32 rows
     # per step than 16 (fewer grid steps; benchmarks/exp_hist.py).
     ideal = max(32, rows // target_steps)
-    return min(cap, _ceil_to(ideal, 8))
+    return prefer_dividing(min(cap, _ceil_to(ideal, 8)))
 
 
 def flatten_to_rows(x: jax.Array, block_r: int, fill: int = 0):
