@@ -18,6 +18,8 @@ from __future__ import annotations
 import functools
 from typing import Optional
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -34,24 +36,42 @@ def _ceil_to(a: int, b: int) -> int:
     return _cdiv(a, b) * b
 
 
-def _hist_kernel(img_ref, nvalid_ref, out_ref):
+def _hist_kernel(img_ref, nvalid_ref, out_ref, *, spf: Optional[int] = None,
+                 skip_mask: bool = False):
     """Grid: (num_blocks,). img_ref: (C, block_r, 1024) uint8 flat rows.
     nvalid_ref: (1,) int32 SMEM — valid-pixel count (may be traced, e.g.
-    a shard's dynamic row count). out_ref: (C, 16, 16) f32 [hi, lo]."""
+    a shard's dynamic row count). out_ref: (C, 16, 16) f32 [hi, lo].
+
+    ``spf`` (static, batched layout): steps per frame. Frames are
+    stacked along the row dimension (one flat grid — no vmap batch grid
+    dim, which measured 2.6x slower per pixel on real Mosaic); the
+    frame-local step ``step % spf`` drives the positional mask and the
+    accumulator init, and the out BlockSpec maps step -> frame so each
+    frame's histogram lands in its own (C, 16, 16) block.
+
+    ``skip_mask`` (static): the caller proved n_valid covers everything
+    and any tail padding is ZERO bytes — pads then count into bin 0,
+    which the wrapper subtracts (exact integer correction), so the
+    positional mask is elided at ANY shape, not just block-aligned
+    ones."""
     step = pl.program_id(0)
+    fs = step if spf is None else jax.lax.rem(step, spf)
     c, br, wc = img_ref.shape
     n = br * wc
 
-    @pl.when(step == 0)
+    @pl.when(fs == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    pos = (
-        jax.lax.broadcasted_iota(jnp.int32, (br, wc), 0) * wc
-        + jax.lax.broadcasted_iota(jnp.int32, (br, wc), 1)
-        + step * n
-    )
-    valid = pos < nvalid_ref[0]
+    if skip_mask:
+        valid = None
+    else:
+        pos = (
+            jax.lax.broadcasted_iota(jnp.int32, (br, wc), 0) * wc
+            + jax.lax.broadcasted_iota(jnp.int32, (br, wc), 1)
+            + fs * n
+        )
+        valid = pos < nvalid_ref[0]
     nib_col = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
 
     for ch in range(c):
@@ -61,7 +81,8 @@ def _hist_kernel(img_ref, nvalid_ref, out_ref):
         # contribute zero to every bin. One select on (br, wc) replaces
         # an AND across the 16 one-hot rows — measured 5-7x faster for
         # this kernel (benchmarks/exp_hist.py).
-        v = jnp.where(valid, v, 256)
+        if valid is not None:
+            v = jnp.where(valid, v, 256)
         vrow = v.reshape(1, n)
         # f32 one-hots: Mosaic cannot relayout i1 masks into the
         # (16,128) bf16 tiling, and 16-wide contractions do not need
@@ -170,15 +191,21 @@ def _hist_call(
     n_valid=None,
 ) -> jax.Array:
     c, h, w = img_pl.shape
+    n = h * w
     if n_valid is None:
-        n_valid = h * w
+        n_valid = n
     if block_r is None:
-        block_r = auto_block_r(h * w, kernel="hist")
+        block_r = auto_block_r(n, kernel="hist")
     flat = flatten_to_rows(img_pl, block_r)  # (C, R, 1024)
     rows = flat.shape[-2]
+    # n_valid statically covering everything: the zero-byte tail pads
+    # count into bin 0 and are subtracted below — mask elided at ANY
+    # shape (the block-aligned case has n_pad == 0 and subtracts
+    # nothing).
+    skip_mask = isinstance(n_valid, (int, np.integer)) and int(n_valid) == n
     grid = (rows // block_r,)
     out = pl.pallas_call(
-        _hist_kernel,
+        functools.partial(_hist_kernel, skip_mask=skip_mask),
         grid=grid,
         in_specs=[
             pl.BlockSpec((c, block_r, _LANES), lambda i: (0, i, 0),
@@ -191,7 +218,50 @@ def _hist_call(
         out_shape=jax.ShapeDtypeStruct((c, 16, 16), jnp.float32),
         interpret=interpret,
     )(flat, jnp.asarray(n_valid, jnp.int32).reshape(1))
-    return out.reshape(c, 256).astype(jnp.int32)
+    out = out.reshape(c, 256).astype(jnp.int32)
+    n_pad = rows * _LANES - n
+    if skip_mask and n_pad:
+        out = out.at[:, 0].add(-n_pad)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("block_r", "interpret"))
+def _hist_call_batched(
+    img_cb: jax.Array,  # (C, B, H, W)
+    block_r,
+    interpret: bool,
+) -> jax.Array:
+    c, b, h, w = img_cb.shape
+    n = h * w
+    if block_r is None:
+        block_r = auto_block_r(n, kernel="hist")
+    flat = flatten_to_rows(img_cb, block_r)  # (C, B, R, 1024)
+    r = flat.shape[-2]
+    flat = flat.reshape(c, b * r, _LANES)  # frames stacked along rows
+    spf = r // block_r
+    grid = (b * spf,)
+    out = pl.pallas_call(
+        # frames share one static n and zero tail pads: mask elided,
+        # bin 0 corrected below (exact integer subtraction)
+        functools.partial(_hist_kernel, spf=spf, skip_mask=True),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((c, block_r, _LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, c, 16, 16), lambda i: (i // spf, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, c, 16, 16), jnp.float32),
+        interpret=interpret,
+    )(flat, jnp.asarray(n, jnp.int32).reshape(1))
+    out = out.reshape(b, c, 256).astype(jnp.int32)
+    n_pad = r * _LANES - n
+    if n_pad:
+        out = out.at[..., 0].add(-n_pad)
+    return out
 
 
 def planar_histograms_pallas(
@@ -202,11 +272,14 @@ def planar_histograms_pallas(
 ) -> jax.Array:
     """Per-channel 256-bin histograms of a planar uint8 image.
 
-    Accepts ``(C, H, W)`` or ``(B, C, H, W)`` (vmapped). ``n_valid``
-    (int or traced scalar) counts only the first N row-major pixels —
-    used by sharded callers whose last shard holds padding rows. Exact
-    int32 counts (f32 accumulation stays exact: per-(channel, bin)
-    count is bounded by the image size; chunk above 2^24 pixels).
+    Accepts ``(C, H, W)`` or ``(B, C, H, W)`` (vmapped; prefer
+    :func:`planar_histograms_pallas_batched` on TPU — the vmap batch
+    grid dim measured 2.6x slower per pixel than the flat-grid batched
+    layout). ``n_valid`` (int or traced scalar) counts only the first N
+    row-major pixels — used by sharded callers whose last shard holds
+    padding rows. Exact int32 counts (f32 accumulation stays exact:
+    per-(channel, bin) count is bounded by the image size; chunk above
+    2^24 pixels).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -215,3 +288,23 @@ def planar_histograms_pallas(
             lambda x: _hist_call(x, block_r, interpret, n_valid)
         )(img_pl)
     return _hist_call(img_pl, block_r, interpret, n_valid)
+
+
+def planar_histograms_pallas_batched(
+    img_cb: jax.Array,
+    block_r=None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Per-channel histograms of a BATCH of planar images, natively
+    batched: ``(C, B, H, W)`` uint8 -> ``(B, C, 256)`` int32.
+
+    Frames are stacked along the kernel's flat row dimension (one grid,
+    out blocks indexed ``step // steps_per_frame``) instead of a vmap
+    batch grid dim — bit-identical counts, no per-frame dispatch and no
+    batch-dim Mosaic tax. The channel-leading layout lets the caller
+    produce the batch with ONE transpose from ``(B, H, W, C)``
+    (``jnp.moveaxis(img, -1, 0)``), the same cost the unbatched path
+    pays per frame."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _hist_call_batched(img_cb, block_r, interpret)

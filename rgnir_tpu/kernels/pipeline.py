@@ -6,11 +6,15 @@ radix-select median kernel over the index maps. Assembles the same
 AnalyzeResult as the jnp path; parity-tested against it (bit-exact on
 CPU interpret and real TPU).
 
-Batching note: the hist/fused kernels batch via vmap (Mosaic handles the
-extra batch grid dim), but the select kernel batches natively through
-its own leading grid dimension — vmap over its SMEM prefix input trips
-Mosaic layout checks — so medians are computed after the vmapped core,
-on the stacked index maps.
+Batching note: every kernel batches NATIVELY. The hist/fused kernels
+stack frames along their flat row dimension (one grid, per-frame
+accumulator blocks — kernels/{hist,fused}.py ``spf``); the select
+kernel batches through its own leading grid dimension and consumes the
+fused kernel's raw ``idx_rows`` output directly
+(``masked_median_pallas_rows`` — no repack pass). vmap batching was
+measured ~1.35x (fused) / ~2.6x (hist) slower per pixel on real Mosaic
+(the batch grid dim breaks Mosaic's block streaming) and is no longer
+used anywhere in this path.
 """
 
 from __future__ import annotations
@@ -32,8 +36,11 @@ from rgnir_tpu.kernels.fused import (
     fused_analyze_pallas,
     unpack_rgb_hwc,
 )
-from rgnir_tpu.kernels.hist import planar_histograms_pallas
-from rgnir_tpu.kernels.select import masked_median_pallas
+from rgnir_tpu.kernels.hist import (
+    planar_histograms_pallas,
+    planar_histograms_pallas_batched,
+)
+from rgnir_tpu.kernels.select import masked_median_pallas_rows
 from rgnir_tpu.ops.indices import BAND_INDICES
 from rgnir_tpu.ops.stats import IndexStats
 from rgnir_tpu.ops.wb import wb_bounds_from_histogram
@@ -92,11 +99,34 @@ def _core(img_hwc: jax.Array, kinds: Tuple[IndexKind, ...],
     # fused kernel reuses the colormap one-hots for the select's round-0
     # histogram, and the select runs the 3-round quantized path (exact
     # for index maps — see masked_median_pallas ``quantized``).
+    # with_idx_rows: the index maps also come back in the select's
+    # (K, R, 1024) row layout — zero-copy hand-off to the radix select
+    # (skips its repack/repad pass on non-row-aligned shapes).
     return fused_analyze_pallas(
         pl_img, lo, hi, kinds, with_renders=with_renders,
         with_round0=True, with_hist=with_hist,
         round0_kinds=round0_kinds, packed_out=packed_out,
-        round0_digit="q24", antipodal=antipodal,
+        round0_digit="q24", antipodal=antipodal, with_idx_rows=True,
+    )
+
+
+def _core_batched(img_bhwc: jax.Array, kinds: Tuple[IndexKind, ...],
+                  wb_cfg: WBConfig, with_renders: bool, with_hist: bool,
+                  round0_kinds=None, packed_out: bool = False,
+                  antipodal=None):
+    """Natively batched core: frames ride the kernels' flat row
+    dimension (kernels/{hist,fused}.py ``spf``) instead of a vmap batch
+    grid dim — bit-identical per-frame results, none of the batch-dim
+    Mosaic tax (measured ~1.35x fused / ~2.6x hist per pixel)."""
+    b, h, w = img_bhwc.shape[0], img_bhwc.shape[1], img_bhwc.shape[2]
+    pl_img = jnp.moveaxis(img_bhwc, -1, 0)  # (3, B, H, W) — one transpose
+    hist = planar_histograms_pallas_batched(pl_img)  # (B, C, 256)
+    lo, hi = wb_bounds_from_histogram(hist, n=h * w, cfg=wb_cfg)  # (B, C)
+    return fused_analyze_pallas(
+        pl_img, lo, hi, kinds, with_renders=with_renders,
+        with_round0=True, with_hist=with_hist,
+        round0_kinds=round0_kinds, packed_out=packed_out,
+        round0_digit="q24", antipodal=antipodal, with_idx_rows=True,
     )
 
 
@@ -134,15 +164,15 @@ def analyze_image_kernel(
 
     # Antipodal-kind plan: derived kinds (e.g. NDWI given GNDVI) skip
     # their round-0 histogram in the fused kernel, their radix-select
-    # rounds (take_prefix — skipped rows never leave HBM), their
-    # successor pass, and their variance pass; the median is the exact
-    # negation and the variance is bitwise identical (see _median_plan).
+    # rounds (the select takes only the canonical prefix — skipped rows
+    # never leave HBM), their successor pass, and their variance pass;
+    # the median is the exact negation and the variance is bitwise
+    # identical (see _median_plan).
     plan = _median_plan(kinds)
     nk = len(kinds)
     if plan is not None:
         nc, slots = plan
         round0_kinds = (True,) * nc + (False,) * (nk - nc)
-        take_prefix = (nk, nc)
         # Derived kinds compute their index map as one exact negate
         # inside the fused kernel and skip their sum/sumsq/min/max
         # reductions — those stats are negations of the partner's
@@ -154,31 +184,25 @@ def analyze_image_kernel(
     else:
         nc, slots = nk, tuple((k, False) for k in range(nk))
         round0_kinds = None
-        take_prefix = None
         antipodal = None
 
     if batched:
-        out = jax.vmap(
-            lambda x: _core(x, kinds, cfg, with_renders, with_hist,
+        out = _core_batched(img, kinds, cfg, with_renders, with_hist,
                             round0_kinds, packed_out, antipodal)
-        )(img)
-        # leading batch: wb_pl (B,3,H,W), idx (B,K,H,W), stats (B,K,128)
-        # (packed_out: wb (B,H,W) i32, rgb (B,K,H,W) i32)
+        # kind-major layouts: wb_pl (3,B,H,W), idx (K,B,H,W), rgb
+        # (K,3,B,H,W), stats (B,K,128), r0 (B,K,256), idx_rows
+        # (K,B,R,1024) (packed_out: wb (B,H,W) i32, rgb (K,B,H,W) i32)
     else:
         out = _core(img, kinds, cfg, with_renders, with_hist, round0_kinds,
                     packed_out, antipodal)
-    wb_pl, idx, rgb, stats = out[:4]
-    r0 = out[4] if len(out) > 4 else None
+    wb_pl, idx, rgb, stats, r0, idx_rows = out
     # packed_out: HWC u8 via bitcast+slice (no transpose pass); else the
     # planar->HWC moveaxis (a real transpose on device).
-    wb = unpack_rgb_hwc(wb_pl) if packed_out else jnp.moveaxis(wb_pl, -3, -1)
+    if packed_out:
+        wb = unpack_rgb_hwc(wb_pl)
+    else:
+        wb = jnp.moveaxis(wb_pl, 0, -1)  # channel dim leads in both modes
 
-    # One radix-select launch covers every canonical (batch, kind)
-    # median: the select kernel batches through its leading grid
-    # dimension, so fusing B*nc selections into one call saves K*4
-    # kernel dispatches; the fused kernel's round-0 histogram saves one
-    # of the four data passes on top.
-    r0c = None if r0 is None else r0[..., :nc, :]
     # Two-pass variance rides the select's tail kernel (means=...): the
     # kernel's one-pass E[x^2]-E[x]^2 partials cancel catastrophically
     # for tightly clustered indices (std error up to ~3e-4 — visible at
@@ -189,24 +213,44 @@ def analyze_image_kernel(
     # _q24_tail_kernel). Only canonical kinds pay: a derived kind's
     # centered squares are bitwise identical to its partner's.
     means_all = stats[..., S_SUM] / n                      # (B,K) or (K,)
-    meds_c, sumsq_c = masked_median_pallas(
-        idx, n, reduce_ndim=2, round0_hist=r0c, take_prefix=take_prefix,
-        quantized=True, means=means_all[..., :nc],
-        onepass=select_onepass,
-    )  # each (B,nc) or (nc,)
+
+    # One radix-select launch covers every canonical (batch, kind)
+    # median: the select kernel batches through its leading grid
+    # dimension, so fusing B*nc selections into one call saves K*4
+    # kernel dispatches; the fused kernel's round-0 histogram saves one
+    # of the four data passes, and the kernel's raw idx_rows feed the
+    # select directly (no repack/repad pass — masked_median_pallas_rows).
+    # Rows are KIND-major, so the canonical kinds are a plain prefix.
+    take = nc if nc < nk else None
+    if batched:
+        b = img.shape[0]
+        rows = idx_rows.reshape(nk * b, idx_rows.shape[-2], 1024)
+        r0c = jnp.swapaxes(r0[:, :nc, :], 0, 1).reshape(nc * b, 256)
+        means_c = jnp.swapaxes(means_all[:, :nc], 0, 1).reshape(-1)
+        meds_f, sumsq_f = masked_median_pallas_rows(
+            rows, n, take=(nc * b if take is not None else None),
+            round0_hist=r0c, means=means_c, onepass=select_onepass,
+        )  # each (nc*B,) kind-major
+        meds_c = jnp.swapaxes(meds_f.reshape(nc, b), 0, 1)    # (B, nc)
+        sumsq_c = jnp.swapaxes(sumsq_f.reshape(nc, b), 0, 1)
+    else:
+        meds_c, sumsq_c = masked_median_pallas_rows(
+            idx_rows, n, take=take, round0_hist=r0[:nc],
+            means=means_all[:nc], onepass=select_onepass,
+        )  # each (nc,)
     vars_c = sumsq_c / n
 
     indices: Dict[str, jax.Array] = {}
     renders: Dict[str, jax.Array] = {}
     out_stats: Dict[str, IndexStats] = {}
     for k, kind in enumerate(kinds):
-        idx_k = idx[:, k] if batched else idx[k]
+        idx_k = idx[k]  # kind dim leads in both modes
         indices[kind.value] = idx_k
         if with_renders:
-            rgb_k = rgb[:, k] if batched else rgb[k]
+            rgb_k = rgb[k]
             renders[kind.value] = (
                 unpack_rgb_hwc(rgb_k) if packed_out
-                else jnp.moveaxis(rgb_k, -3, -1)
+                else jnp.moveaxis(rgb_k, 0, -1)
             )
         s = stats[:, k] if batched else stats[k]
         slot, negate = slots[k]

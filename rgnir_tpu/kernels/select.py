@@ -865,6 +865,93 @@ def masked_median_pallas(
     return ((lo + hi) * 0.5).reshape(out_batch)
 
 
+def masked_median_pallas_rows(
+    rows: jax.Array,     # (B, R, 1024) f32, per-element tail padding
+    n_valid: int,
+    take: Optional[int] = None,
+    block_r=None,
+    interpret: Optional[bool] = None,
+    round0_hist: Optional[jax.Array] = None,
+    means: Optional[jax.Array] = None,
+    onepass: Optional[bool] = None,
+):
+    """Quantized-key median over PRE-PACKED kernel rows.
+
+    The fused kernel's ``with_idx_rows`` output is already in the
+    select's ``(B, R, 1024)`` row layout (same row-major flattening,
+    same zero tail fill, block-aligned R) — this entry consumes it
+    directly, skipping :func:`masked_median_pallas`'s reshape + repad
+    pass (a full read+write of the index maps for shapes whose pixel
+    count is not row-block aligned, e.g. 1080p frames).
+
+    ``take``: compute medians only for the first ``take`` of the B
+    elements (the antipodal-kind plan with KIND-MAJOR rows — canonical
+    kinds first; skipped rows are never fetched from HBM).
+    ``round0_hist`` ``(take, 256) int32`` and ``means`` ``(take,)`` as
+    in :func:`masked_median_pallas` (quantized semantics and exactness
+    precondition identical — index-map-like values only). Returns
+    ``median (take,)`` or ``(median, centered_sumsq)`` with ``means``.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, r, lanes = rows.shape
+    assert lanes == 1024, rows.shape
+    assert n_valid <= r * 1024, (n_valid, rows.shape)
+    if block_r is None:
+        block_r = auto_block_r(n_valid, kernel="select")
+    if r % block_r != 0:
+        # rows are pre-packed: the block must divide R exactly (the
+        # BlockSpec grid covers R in block_r steps). Fall back to the
+        # largest divisor not above the preferred block.
+        block_r = next(
+            d for d in range(min(block_r, r), 0, -1) if r % d == 0
+        )
+    b_sel = b if take is None else int(take)
+    take_prefix = None if b_sel == b else (b, b_sel)
+    rank = jnp.full((b_sel,), (n_valid - 1) // 2, jnp.int32)
+    r0 = None if round0_hist is None else round0_hist.reshape(-1, 256)
+    with_ss = means is not None
+    mean_b = (
+        means.reshape(-1).astype(jnp.float32) if with_ss
+        else jnp.zeros((b_sel,), jnp.float32)
+    )
+    all_valid = _no_padding(n_valid, rows)
+    if onepass:
+        if r0 is None:
+            raise ValueError("onepass=True requires round0_hist")
+        cache_bytes = r * 1024 * 4
+        if cache_bytes > Q24_ONEPASS_MAX_CACHE_BYTES:
+            raise ValueError(
+                f"onepass=True: {cache_bytes} B exceeds the VMEM "
+                f"cache budget {Q24_ONEPASS_MAX_CACHE_BYTES}"
+            )
+        sel0, rank1 = _round0_pick(r0, rank)
+        lo, nxt, sumsq, eq_minus_rank = _q24_onepass(
+            rows, sel0, rank1, mean_b, n_valid, block_r, interpret,
+            take_prefix=take_prefix, with_sumsq=with_ss,
+            all_valid=all_valid,
+        )
+        eq_minus_rank = eq_minus_rank.astype(jnp.int32)
+    else:
+        key_q, eq_minus_rank = _select_batched(
+            rows, rank, n_valid, block_r, interpret, round0_hist=r0,
+            take_prefix=take_prefix, key_mode="q24",
+        )
+        lo, nxt, sumsq = _q24_tail(
+            rows, key_q.astype(jnp.int32), mean_b, n_valid, block_r,
+            interpret, take_prefix=take_prefix, with_sumsq=with_ss,
+            all_valid=all_valid,
+        )
+    if n_valid % 2 == 1:
+        med = lo
+    else:
+        hi = jnp.where(eq_minus_rank >= 2, lo, nxt)
+        med = (lo + hi) * 0.5
+    if with_ss:
+        return med, sumsq
+    return med
+
+
 def masked_median_pallas_sharded(
     vals: jax.Array,
     n_valid_global: int,

@@ -95,10 +95,12 @@ def main() -> int:
                            np.asarray(rja.renders["NDVI"])),
     )
 
-    # 2b. batched 3-kind run: exercises the antipodal median plan
+    # 2b. batched 3-kind run: exercises the NATIVE batched layout
+    # (frames stacked along the kernel row dim, per-frame accumulator
+    # blocks — kernels/fused.py ``spf``), the antipodal median plan
     # (NDWI derived from GNDVI — round0_kinds skip in the fused kernel
-    # + the select's take_prefix group-strided index_map) and the
-    # packed_mr render LUT contraction, all on real Mosaic.
+    # + the select's prefix take over kind-major idx_rows), and the
+    # batched reassembly (wb/render/index slicing), all on real Mosaic.
     bhwc = jnp.asarray(rng.integers(0, 256, (3, 161, 253, 3),
                                     dtype=np.uint8))
     rbk = analyze_image_kernel(bhwc, kinds=("NDVI", "GNDVI", "NDWI"))
@@ -112,6 +114,38 @@ def main() -> int:
                             np.asarray(rbj.stats[kd].std), atol=1e-6)
             for kd in ("NDVI", "GNDVI", "NDWI")
         ),
+    )
+    check(
+        "batched_native_assembly",
+        np.array_equal(np.asarray(rbk.wb), np.asarray(rbj.wb))
+        and all(
+            np.array_equal(np.asarray(rbk.renders[kd]),
+                           np.asarray(rbj.renders[kd]))
+            and np.array_equal(np.asarray(rbk.indices[kd]),
+                               np.asarray(rbj.indices[kd]))
+            and np.array_equal(np.asarray(rbk.stats[kd].histogram),
+                               np.asarray(rbj.stats[kd].histogram))
+            for kd in ("NDVI", "GNDVI", "NDWI")
+        ),
+    )
+    # 2c. batched + grid-aligned (512^2): the all_valid mask elision
+    # combined with the per-frame spf layout — the config-2/4b
+    # production shape class.
+    bhwc_a = jnp.asarray(rng.integers(0, 256, (4, 512, 512, 3),
+                                      dtype=np.uint8))
+    rba = analyze_image_kernel(bhwc_a, kinds=("NDVI", "GNDVI", "NDWI"))
+    rba1 = analyze_image_kernel(bhwc_a[2], kinds=("NDVI", "GNDVI", "NDWI"))
+    check(
+        "batched_aligned_vs_single",
+        all(
+            float(np.asarray(rba.stats[kd].median)[2])
+            == float(rba1.stats[kd].median)
+            and float(np.asarray(rba.stats[kd].mean)[2])
+            == float(rba1.stats[kd].mean)
+            for kd in ("NDVI", "GNDVI", "NDWI")
+        )
+        and np.array_equal(np.asarray(rba.renders["NDWI"][2]),
+                           np.asarray(rba1.renders["NDWI"])),
     )
     rdots = fused_analyze_pallas(
         jnp.moveaxis(hwc, -1, -3),

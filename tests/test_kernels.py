@@ -337,6 +337,52 @@ class TestFusedKernel:
                 np.asarray(a[i]), np.asarray(b[i]), err_msg=name
             )
 
+    def test_pad_zero_elision_bit_parity(self, rng):
+        """At NON-aligned shapes (tail padding exists) the wrapper now
+        proves the pads are zero bytes and elides the positional mask
+        anyway (kernels/fused.py pad_zero): sums/coverage are untouched
+        (idx_pad == 0.0 is neutral), histogram/round-0 counts are
+        corrected by the statically-known pad contribution, and min/max
+        re-reduce under the mask only in each frame's last block.
+        Outputs must be bitwise identical to the masked form (forced by
+        a traced n_valid, which defeats every static proof)."""
+        from rgnir_tpu.kernels.hist import planar_histograms_pallas
+        from rgnir_tpu.ops.wb import wb_bounds_from_histogram
+
+        img = jnp.asarray(
+            rng.integers(0, 256, (3, 41, 77), dtype=np.uint8)
+        )  # 3157 px: lane- AND block-padded
+        hist = planar_histograms_pallas(img)
+        lo, hi = wb_bounds_from_histogram(hist, n=41 * 77)
+        kinds = ("NDVI", "GNDVI", "NDWI")
+        kw = dict(with_renders=True, with_round0=True, with_hist=True,
+                  round0_digit="q24", round0_kinds=(True, True, False),
+                  antipodal=(None, None, 1), block_r=2)
+        a = fused_analyze_pallas(img, lo, hi, kinds, **kw)
+        b = fused_analyze_pallas(
+            img, lo, hi, kinds, n_valid=jnp.int32(41 * 77), **kw
+        )
+        for name, i in (("wb", 0), ("idx", 1), ("render", 2),
+                        ("stats", 3), ("r0", 4)):
+            np.testing.assert_array_equal(
+                np.asarray(a[i]), np.asarray(b[i]), err_msg=name
+            )
+        # all-positive indices: the pads' 0.0 must NOT leak into min.
+        # Identity bounds (lo=0, hi=255) keep wb == input, so red in
+        # [1, 50] and nir in [200, 255] make every valid NDVI strictly
+        # positive while the zero pads still map to idx == 0.0.
+        img2 = jnp.stack([
+            jnp.asarray(rng.integers(1, 51, (41, 77), dtype=np.uint8)),
+            jnp.asarray(rng.integers(0, 256, (41, 77), dtype=np.uint8)),
+            jnp.asarray(rng.integers(200, 256, (41, 77), dtype=np.uint8)),
+        ])
+        sa = fused_analyze_pallas(
+            img2, jnp.zeros(3), jnp.full(3, 255.0), ("NDVI",), block_r=2
+        )[3]
+        from rgnir_tpu.kernels.fused import S_MAX, S_MIN
+        assert float(sa[0, S_MIN]) > 0.0, float(sa[0, S_MIN])
+        assert float(sa[0, S_MAX]) > 0.0
+
     def test_select_onepass_pipeline_parity(self, rng):
         """analyze_image_kernel(select_onepass=True) — the opt-in
         one-pass select through the FULL pipeline — must match the
@@ -430,6 +476,55 @@ class TestFusedKernel:
         np.testing.assert_array_equal(
             np.asarray(med_skip), np.asarray(med_full)
         )
+
+    def test_native_batched_matches_per_frame(self, rng):
+        """The natively batched layout (frames stacked along the kernel
+        row dimension with per-frame accumulator blocks —
+        kernels/fused.py ``spf``) must be BIT-identical to per-frame
+        calls across every output, including on a shape whose pixel
+        count is not row-block aligned (per-frame tail padding)."""
+        from rgnir_tpu.kernels.pipeline import analyze_image_kernel
+
+        kinds = ("NDVI", "GNDVI", "NDWI")  # antipodal plan active
+        imgs = rng.integers(0, 256, (3, 70, 100, 3), dtype=np.uint8)
+        got = analyze_image_kernel(jnp.asarray(imgs), kinds=kinds)
+        for b in range(imgs.shape[0]):
+            ref = analyze_image_kernel(jnp.asarray(imgs[b]), kinds=kinds)
+            np.testing.assert_array_equal(
+                np.asarray(got.wb[b]), np.asarray(ref.wb)
+            )
+            for k in kinds:
+                np.testing.assert_array_equal(
+                    np.asarray(got.indices[k][b]),
+                    np.asarray(ref.indices[k]),
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(got.renders[k][b]),
+                    np.asarray(ref.renders[k]),
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(got.stats[k].histogram[b]),
+                    np.asarray(ref.stats[k].histogram),
+                )
+                for f in ("mean", "median", "std", "min", "max",
+                          "coverage_pct"):
+                    np.testing.assert_array_equal(
+                        np.asarray(getattr(got.stats[k], f)[b]),
+                        np.asarray(getattr(ref.stats[k], f)),
+                        err_msg=f"{k}.{f}[{b}]",
+                    )
+
+    def test_native_batched_hist_matches_vmap(self, rng):
+        from rgnir_tpu.kernels.hist import (
+            planar_histograms_pallas_batched,
+        )
+
+        imgs = rng.integers(0, 256, (4, 3, 33, 90), dtype=np.uint8)
+        ref = planar_histograms_pallas(jnp.asarray(imgs))  # vmapped
+        got = planar_histograms_pallas_batched(
+            jnp.moveaxis(jnp.asarray(imgs), 1, 0)
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
     def test_with_hist_false_none_not_zeros(self, rng):
         """with_hist=False (the reference analyze_index stat set) must
