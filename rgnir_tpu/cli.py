@@ -152,16 +152,26 @@ def cmd_warmup(args) -> int:
     t0 = time.time()
     warmed = []
     if (repo / "bench.py").exists() and not args.package_only:
+        # Warm the bench by running the EXACT invocation the driver
+        # uses (`python bench.py` from the repo root), in a subprocess.
+        # Warming it in-process (importing ``bench`` as a module) was
+        # measured to produce DIFFERENT persistent-cache keys for the
+        # same executables — the jaxpr debug metadata embeds the
+        # defining module's import identity (`bench` vs `__main__`),
+        # so a driver cold start recompiled the 8 bench-level jits
+        # (~60 s through the tunnel) even with a freshly warmed cache.
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, "bench.py"], cwd=str(repo),
+            stdout=subprocess.DEVNULL,
+        )
+        if r.returncode != 0:
+            print(f"warmup: bench.py exited {r.returncode}",
+                  file=sys.stderr)
+            return 1
+        warmed.append("bench_as_driver")
         sys.path.insert(0, str(repo))
-        sys.path.insert(0, str(repo / "benchmarks"))
-        import bench
-
-        bench.device_mpix_s()
-        warmed.append("bench_headline")
-        import run_configs
-
-        run_configs.run_all(quick=True)
-        warmed.append("config_table")
         spec = importlib.util.spec_from_file_location(
             "_graft_entry_warm", repo / "__graft_entry__.py"
         )
