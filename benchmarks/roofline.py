@@ -135,6 +135,10 @@ CONFIGS = {
     "2_batch32_3idx_renders": (3, True, False, False, False),
     "3_mosaic_4096_fused": (1, True, False, False, False),
     "4_stream_1080p_3idx": (3, False, False, False, False),
+    # 4b: identical per-pixel terms to 4 — the native batched layout
+    # (frames stacked along the kernel row dim) moves the same bytes
+    # and ops, just in one grid; only the throughput differs.
+    "4b_stream_1080p_3idx_batch8": (3, False, False, False, False),
     "5_survey_8192_fused": (1, False, False, False, False),
     "6_mosaic_4096_shardmap_kernel": (1, False, True, False, False),
 }
