@@ -132,10 +132,16 @@ def cmd_warmup(args) -> int:
     Compiling the Pallas-heavy paths through the tunneled TPU takes
     minutes per executable (round-2 bench recorded an 807 s cold
     start); this one-shot pays that cost explicitly and commits the
-    result. Warms, in order: the bench headline loop, the six-config
-    table, and the driver's ``entry()`` forward. From an installed
-    wheel (no repo checkout) it warms the package pipeline at the same
-    shapes instead.
+    result. Warms ``python bench.py`` in a subprocess — the driver's
+    exact invocation, covering the headline loop, every config in the
+    table, and the gigapixel stream (bench-level jits get
+    import-identity-dependent cache keys, so only the subprocess form
+    produces entries the driver can hit) — then the driver's
+    ``entry()`` forward in-process. From an installed wheel (no repo
+    checkout) it warms the package pipeline at the same shapes
+    instead. NOTE: other scripts with their own module-level jits
+    (e.g. ``benchmarks/run_configs.py`` run directly) still compile
+    their own executables on first run.
     """
     import importlib.util
     import sys

@@ -863,11 +863,16 @@ def _fused_call(
             else:
                 rgb = rgb.reshape(k, c, -1)[:, :, :n].reshape(k, c, h, w)
     # pad_zero corrections (static integer counts, exact): the pads'
-    # index value is exactly +/-0.0, so they incremented (a) every
-    # cumulative >=-edge lane whose edge <= 0.0 and (b) round-0 byte
-    # 128 (q24: floor((0+1)*128); f32 bit-key of +0.0: 0x80.. >> 24).
-    # Subtract the per-frame pad count from exactly those cells — the
-    # comparisons below are the same f32 comparisons the kernel made.
+    # index value is exactly +/-0.0 (-0.0 for DERIVED antipodal kinds,
+    # whose kernel body negates the partner's +0.0), so they
+    # incremented (a) every cumulative >=-edge lane whose edge <= 0.0
+    # (-0.0 >= e and +0.0 >= e agree at every edge) and (b) a round-0
+    # byte that depends on the digit and the sign: q24 quantization
+    # floor((+/-0.0+1)*128) = 128 either way, and the f32 bit-key top
+    # byte is 128 for +0.0 (0x00.. | 0x80000000) but 127 for -0.0
+    # (~0x80000000 = 0x7FFF..). Subtract the per-frame pad count from
+    # exactly those cells — the comparisons below are the same f32
+    # comparisons the kernel made.
     n_pad = rpf * _LANES - n
     if pad_zero and n_pad:
         if with_hist:
@@ -877,15 +882,22 @@ def _fused_call(
             )
             stats = stats.at[..., S_HIST:S_HIST + 51].add(-cum_corr)
         if with_round0:
-            emitted = np.array(
-                [
-                    n_pad if (round0_kinds is None or round0_kinds[i])
-                    else 0
-                    for i in range(k)
-                ],
-                np.int32,
-            )
-            r0 = r0.at[..., 128].add(-jnp.asarray(emitted))
+            emitted_by_byte = {128: [0] * k, 127: [0] * k}
+            for i in range(k):
+                if not (round0_kinds is None or round0_kinds[i]):
+                    continue
+                derived = antipodal is not None and (
+                    antipodal[i] is not None
+                )
+                byte = (
+                    127 if (round0_digit == "key" and derived) else 128
+                )
+                emitted_by_byte[byte][i] = n_pad
+            for byte, emitted in emitted_by_byte.items():
+                if any(emitted):
+                    r0 = r0.at[..., byte].add(
+                        -jnp.asarray(np.array(emitted, np.int32))
+                    )
     # Convert cumulative >=-edge counts into per-bin counts:
     # hist[i] = C[i] - C[i+1] for i < 49; hist[49] = C[49]
     # (right-closed; values above edge 50 are impossible for clipped
@@ -922,6 +934,7 @@ def fused_analyze_pallas(
     round0_digit: str = "key",
     antipodal: Optional[Tuple[Optional[int], ...]] = None,
     with_idx_rows: bool = False,
+    bounds_nonneg: Optional[bool] = None,
 ):
     """Fused WB+index+stats+render of a planar ``(3, H, W)`` uint8 image,
     or a NATIVELY BATCHED ``(3, B, H, W)`` batch of same-shape images.
@@ -1047,16 +1060,25 @@ def fused_analyze_pallas(
     # histogram/round-0 contributions (idx_pad == 0.0 exactly; see
     # _fused_kernel). PRECONDITION: ``lo >= 0`` per channel, which makes
     # the zero-byte pads white-balance to exactly 0 — true for all
-    # histogram-percentile bounds of uint8 data (every pipeline caller);
-    # checked here when the bounds are concrete, documented for traced
-    # callers.
+    # histogram-percentile bounds of uint8 data. Enforcement: concrete
+    # bounds are checked here; traced bounds are UNPROVABLE at trace
+    # time, so the elision stays off unless the caller asserts the
+    # precondition with ``bounds_nonneg=True`` (the pipeline callers
+    # do — their bounds come from wb_bounds_from_histogram of uint8
+    # data, always in [0, 255]). A traced negative lo would otherwise
+    # white-balance the zero-byte pads to (0-lo)/span*255 > 0 and
+    # silently corrupt sum/coverage/histogram/min.
     pad_zero = (
         not all_valid
         and nv_static == n
         and all(kd.coverage_threshold >= 0.0 for kd in kinds)
     )
-    if pad_zero and not isinstance(lo, jax.core.Tracer):
-        if not bool(jnp.all(lo >= 0)):
+    if pad_zero:
+        if bounds_nonneg is not None:
+            pad_zero = bool(bounds_nonneg)
+        elif isinstance(lo, jax.core.Tracer):
+            pad_zero = False  # unprovable precondition: keep the mask
+        elif not bool(jnp.all(lo >= 0)):
             pad_zero = False  # custom negative bounds: keep the mask
     return _fused_call(
         img_pl, bounds, kinds, block_r, interpret, n_valid,

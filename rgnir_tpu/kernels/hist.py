@@ -283,6 +283,16 @@ def planar_histograms_pallas(
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    # Static proof hoisted OUT of the jitted _hist_call (where an
+    # explicit int n_valid is already a Tracer and isinstance can
+    # never see it): a concrete n_valid covering every pixel is the
+    # same call as n_valid=None, which _hist_call recognizes
+    # statically and elides the positional mask for.
+    if (
+        isinstance(n_valid, (int, np.integer))
+        and int(n_valid) == img_pl.shape[-2] * img_pl.shape[-1]
+    ):
+        n_valid = None
     if img_pl.ndim == 4:
         return jax.vmap(
             lambda x: _hist_call(x, block_r, interpret, n_valid)

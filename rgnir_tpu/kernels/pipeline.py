@@ -107,6 +107,7 @@ def _core(img_hwc: jax.Array, kinds: Tuple[IndexKind, ...],
         with_round0=True, with_hist=with_hist,
         round0_kinds=round0_kinds, packed_out=packed_out,
         round0_digit="q24", antipodal=antipodal, with_idx_rows=True,
+        bounds_nonneg=True,
     )
 
 
@@ -127,6 +128,7 @@ def _core_batched(img_bhwc: jax.Array, kinds: Tuple[IndexKind, ...],
         with_round0=True, with_hist=with_hist,
         round0_kinds=round0_kinds, packed_out=packed_out,
         round0_digit="q24", antipodal=antipodal, with_idx_rows=True,
+        bounds_nonneg=True,
     )
 
 

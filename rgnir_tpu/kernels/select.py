@@ -899,12 +899,18 @@ def masked_median_pallas_rows(
     assert n_valid <= r * 1024, (n_valid, rows.shape)
     if block_r is None:
         block_r = auto_block_r(n_valid, kernel="select")
-    if r % block_r != 0:
+    if not (r % block_r == 0 and (block_r % 8 == 0 or block_r == r)):
         # rows are pre-packed: the block must divide R exactly (the
-        # BlockSpec grid covers R in block_r steps). Fall back to the
-        # largest divisor not above the preferred block.
+        # BlockSpec grid covers R in block_r steps), AND Mosaic
+        # requires the sublane block dim be a multiple of 8 or equal
+        # to R itself (verified on real TPU: (., 10, 1024) and
+        # (., 81, 1024) blocks are rejected at lowering). Fall back to
+        # the largest multiple-of-8 divisor not above the preferred
+        # block, or R itself when none exists (e.g. odd R).
         block_r = next(
-            d for d in range(min(block_r, r), 0, -1) if r % d == 0
+            (d for d in range(min(block_r, r) // 8 * 8, 0, -8)
+             if r % d == 0),
+            r,
         )
     b_sel = b if take is None else int(take)
     take_prefix = None if b_sel == b else (b, b_sel)

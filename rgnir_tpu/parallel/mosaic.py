@@ -211,7 +211,7 @@ def _analyze_mosaic_kernel(
         # 2 rounds + merged recovery; see select.py ``quantized``).
         wb_pl, idx, rgb, partials, r0 = fused_analyze_pallas(
             pl, lo, hi, kinds, n_valid=n_live, with_renders=with_renders,
-            with_round0=True, round0_digit="q24",
+            with_round0=True, round0_digit="q24", bounds_nonneg=True,
         )
         r0 = jax.lax.psum(r0, axis)  # (K, 256) global top-byte counts
         wb = jnp.moveaxis(wb_pl, -3, -1)
@@ -391,7 +391,7 @@ def _analyze_mosaic_kernel_2d(mosaic, kinds, mesh, wb_cfg, idx_cfg,
         lo, hi = wb_bounds_from_histogram(hist, n=n_valid, cfg=wb_cfg)
         wb_pl, idx, rgb, partials, r0 = fused_analyze_pallas(
             pl, lo, hi, kinds, with_renders=with_renders,
-            with_round0=True, round0_digit="q24",
+            with_round0=True, round0_digit="q24", bounds_nonneg=True,
         )
         # The fused call sees no validity here (analytic corrections
         # handle padding): pad pixels have index exactly 0.0 (wb(0)=0

@@ -383,6 +383,80 @@ class TestFusedKernel:
         assert float(sa[0, S_MIN]) > 0.0, float(sa[0, S_MIN])
         assert float(sa[0, S_MAX]) > 0.0
 
+    def test_pad_zero_round0_key_derived_kind(self, rng):
+        """Regression (round-3 review): with round0_digit="key" a
+        DERIVED antipodal kind's pads are -0.0, whose f32 bit-key top
+        byte is 127 (~0x80000000 >> 24) — not +0.0's 128 — so the
+        pad_zero round-0 correction must subtract the pad count from
+        byte 127 for derived kinds. Force round0_kinds all-True so the
+        derived kind emits round 0, at a tail-padded shape."""
+        from rgnir_tpu.kernels.hist import planar_histograms_pallas
+        from rgnir_tpu.ops.wb import wb_bounds_from_histogram
+
+        img = jnp.asarray(
+            rng.integers(0, 256, (3, 41, 77), dtype=np.uint8)
+        )
+        hist = planar_histograms_pallas(img)
+        lo, hi = wb_bounds_from_histogram(hist, n=41 * 77)
+        kinds = ("GNDVI", "NDWI")
+        kw = dict(with_renders=False, with_round0=True, with_hist=False,
+                  round0_digit="key", round0_kinds=(True, True),
+                  antipodal=(None, 0), block_r=2)
+        a = fused_analyze_pallas(img, lo, hi, kinds, **kw)
+        masked = fused_analyze_pallas(
+            img, lo, hi, kinds, n_valid=jnp.int32(41 * 77), **kw
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a[-1]), np.asarray(masked[-1]), err_msg="r0"
+        )
+
+    def test_pad_zero_traced_bounds_disabled(self, rng):
+        """Regression (round-3 review): traced WB bounds make the
+        lo >= 0 precondition unprovable, so pad_zero must stay OFF
+        unless the caller asserts bounds_nonneg=True — a traced
+        NEGATIVE lo would white-balance the zero-byte pads to > 0 and
+        silently corrupt the stats. With the guard, results under jit
+        with negative lo match the explicitly masked form."""
+        img = jnp.asarray(
+            rng.integers(0, 256, (3, 41, 77), dtype=np.uint8)
+        )
+        lo = jnp.asarray([-10.0, 0.0, 0.0])
+        hi = jnp.full(3, 255.0)
+
+        @jax.jit
+        def run(im, lo_, hi_):
+            return fused_analyze_pallas(
+                im, lo_, hi_, ("NDVI",), block_r=2, with_renders=False,
+                with_hist=True,
+            )[3]
+
+        got = run(img, lo, hi)
+        want = fused_analyze_pallas(
+            img, jnp.asarray(lo), hi, ("NDVI",), block_r=2,
+            with_renders=False, with_hist=True,
+            n_valid=jnp.int32(41 * 77),
+        )[3]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_rows_select_block_fallback_odd_rows(self, rng):
+        """Regression (round-3 review): masked_median_pallas_rows'
+        block fallback must produce a Mosaic-legal block (multiple of
+        8 dividing R, or R itself) — R=40 with a preferred block of 16
+        used to fall back to 10 and fail TPU lowering; odd R (e.g.
+        2025-like) must fall back to R itself."""
+        from rgnir_tpu.kernels.select import masked_median_pallas_rows
+
+        for r, block in ((40, 16), (9, 8)):
+            vals = rng.uniform(-1.0, 1.0, (1, r, 1024)).astype(np.float32)
+            # q24-grid values keep the quantized path exact
+            vals = np.floor((vals + 1.0) * 128.0) / 128.0 - 1.0
+            n_valid = r * 1024
+            med = masked_median_pallas_rows(
+                jnp.asarray(vals), n_valid, block_r=block
+            )
+            want = np.sort(vals.reshape(-1))[(n_valid - 1) // 2]
+            assert float(np.asarray(med)[0]) == float(want)
+
     def test_select_onepass_pipeline_parity(self, rng):
         """analyze_image_kernel(select_onepass=True) — the opt-in
         one-pass select through the FULL pipeline — must match the

@@ -428,6 +428,23 @@ class TestJointHist:
         both = self._numpy_joint(np.concatenate([a, b]), ((0, 2),))
         np.testing.assert_array_equal(out, both)
 
+    def test_run_heavy_data_matches_numpy(self, jointhist):
+        """The single-pair path coalesces runs of equal (a, b) bins
+        into one hist update (jointhist.cpp) — verify exact counts on
+        data built of long runs, including a run spanning the whole
+        tail (final-run flush) and single-element runs."""
+        rng = np.random.default_rng(14)
+        base = rng.integers(0, 256, 501, dtype=np.uint8).repeat(37)
+        flat = np.stack([base, base[::-1], base ^ 85], axis=1).copy()
+        got = jointhist.accumulate(flat, ((0, 2),))
+        np.testing.assert_array_equal(
+            got, self._numpy_joint(flat, ((0, 2),))
+        )
+        # constant input: one run covering every row
+        const = np.full((4096, 3), 7, np.uint8)
+        got = jointhist.accumulate(const, ((0, 1),))
+        assert got[0, 7, 7] == 4096 and got.sum() == 4096
+
     def test_multithreaded_equals_single(self, jointhist):
         # force the threaded path (n >= 1<<22 rows)
         rng = np.random.default_rng(13)
