@@ -27,11 +27,14 @@ device mesh with one psum; large mosaics shard over a
 __version__ = "0.1.0"
 
 from rgnir_tpu.config import (
+    CustomIndex,
     IndexKind,
     WBConfig,
     IndexConfig,
     RenderConfig,
     TileConfig,
+    register_index,
+    registered_indices,
 )
 from rgnir_tpu.ops import (
     white_balance,
@@ -46,6 +49,9 @@ from rgnir_tpu.pipeline.fused import analyze_image, AnalyzeResult
 
 __all__ = [
     "IndexKind",
+    "CustomIndex",
+    "register_index",
+    "registered_indices",
     "WBConfig",
     "IndexConfig",
     "RenderConfig",

@@ -613,6 +613,14 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="rgnir_tpu", description="TPU-native RGNir image analysis"
     )
+    p.add_argument(
+        "--define-index", action="append", default=[], metavar="SPEC",
+        help="register a custom normalized-difference index usable in "
+             "any --indices/--index argument. SPEC is "
+             "NAME:POS,NEG[:THRESHOLD[:CMAP[:FEATURE]]] with POS/NEG "
+             "channel numbers (0=Red, 1=Green, 2=NIR), e.g. "
+             "'MYNDVI:2,0:0.3:RdYlGn:Vegetation'. Repeatable.",
+    )
     sub = p.add_subparsers(dest="command", required=True)
 
     b = sub.add_parser("batch", help="process a directory of images")
@@ -787,11 +795,41 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _apply_index_definitions(specs) -> None:
+    """Register each --define-index NAME:POS,NEG[:THRESH[:CMAP[:FEAT]]]."""
+    from rgnir_tpu.config import register_index
+
+    for spec in specs:
+        parts = str(spec).split(":")
+        if len(parts) < 2:
+            raise SystemExit(
+                f"--define-index {spec!r}: expected "
+                f"NAME:POS,NEG[:THRESHOLD[:CMAP[:FEATURE]]]"
+            )
+        name, bands = parts[0], parts[1]
+        try:
+            ia, ib = (int(x) for x in bands.split(","))
+            register_index(
+                name,
+                (ia, ib),
+                coverage_threshold=(
+                    float(parts[2]) if len(parts) > 2 and parts[2] else 0.2
+                ),
+                cmap_name=(parts[3] if len(parts) > 3 and parts[3]
+                           else "RdYlGn"),
+                feature_name=(parts[4] if len(parts) > 4 and parts[4]
+                              else "Vegetation"),
+            )
+        except (ValueError, TypeError) as e:
+            raise SystemExit(f"--define-index {spec!r}: {e}") from None
+
+
 def main(argv=None) -> int:
     from rgnir_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
+    _apply_index_definitions(args.define_index)
     return args.fn(args)
 
 

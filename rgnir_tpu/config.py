@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import Optional, Tuple
+from typing import Dict, Optional, Tuple, Union
 
 
 class IndexKind(str, enum.Enum):
@@ -25,12 +25,19 @@ class IndexKind(str, enum.Enum):
     NDWI = "NDWI"    # (G - NIR) / (G + NIR + eps)   process-images.py:478-482
 
     @classmethod
-    def parse(cls, value: "IndexKind | str") -> "IndexKind":
-        if isinstance(value, IndexKind):
+    def parse(cls, value: "IndexLike | str") -> "IndexLike":
+        """Resolve an index spec: builtin enum member, registered
+        :class:`CustomIndex` name (see :func:`register_index`), or an
+        already-resolved kind object (returned as-is)."""
+        if isinstance(value, (IndexKind, CustomIndex)):
             return value
+        key = str(value).upper()
         try:
-            return cls(str(value).upper())
+            return cls(key)
         except ValueError:
+            custom = _CUSTOM_INDICES.get(key)
+            if custom is not None:
+                return custom
             raise ValueError(f"Unknown index type: {value}") from None
 
     @property
@@ -50,6 +57,108 @@ class IndexKind(str, enum.Enum):
 
 
 ALL_INDICES: Tuple[IndexKind, ...] = (IndexKind.NDVI, IndexKind.GNDVI, IndexKind.NDWI)
+
+
+@dataclasses.dataclass(frozen=True)
+class CustomIndex:
+    """A user-defined normalized-difference index — beyond the
+    reference's fixed three (process-images.py:466-485 hardcodes the
+    dispatch; this framework makes the family open).
+
+    ``index = clip((bands[0] - bands[1]) / (bands[0] + bands[1] + eps), -1, 1)``
+
+    with the same eps/clip contract as the builtins (SURVEY.md
+    section 2.6). A registered custom index flows through EVERY path a
+    builtin does — the jnp ops, the fused Pallas kernel (including the
+    antipodal-derivation optimization when its band pair is the swap of
+    another requested kind's), the sharded mosaic bodies, renders, and
+    figures — because all of them read only ``bands`` /
+    ``coverage_threshold`` / ``cmap_name`` / ``feature_name`` /
+    ``value``.
+
+    Instances are frozen and hashable: they are legal static jit
+    arguments and can be passed anywhere an ``IndexKind`` is accepted.
+    """
+
+    name: str
+    bands: Tuple[int, int]          # (positive, negative) channel index
+    coverage_threshold: float = 0.2
+    cmap_name: str = "RdYlGn"
+    feature_name: str = "Vegetation"
+
+    @property
+    def value(self) -> str:
+        # Mirrors IndexKind.value (dict keys, filenames, labels).
+        return self.name
+
+
+# Registry of CustomIndex by UPPER-CASED name. Append-only per process:
+# pipeline entry points take index NAMES as static jit arguments, so
+# redefining a name would silently hit the stale jit cache compiled for
+# the old definition — register_index therefore refuses to rebind a
+# name to a different spec (idempotent re-registration is fine).
+_CUSTOM_INDICES: Dict[str, "CustomIndex"] = {}
+
+
+def register_index(
+    name: str,
+    bands: Tuple[int, int],
+    *,
+    coverage_threshold: float = 0.2,
+    cmap_name: str = "RdYlGn",
+    feature_name: str = "Vegetation",
+) -> "CustomIndex":
+    """Register a custom normalized-difference index under ``name``.
+
+    ``bands`` is the (positive, negative) channel pair in the RGNir
+    layout (0=Red, 1=Green, 2=NIR) — e.g. ``("NDVI-like", (2, 0))``.
+    After registration the name is accepted everywhere an index type
+    string is (analyze pipelines, CLI, mosaics, renders). Returns the
+    resolved :class:`CustomIndex`.
+
+    Raises ``ValueError`` on a builtin-name collision, malformed bands,
+    or an attempt to rebind an existing name to a DIFFERENT spec (index
+    names are static jit cache keys — see ``_CUSTOM_INDICES``).
+    """
+    key = str(name).upper()
+    if key in IndexKind.__members__:
+        raise ValueError(
+            f"Index name {name!r} collides with builtin IndexKind.{key}"
+        )
+    if not key or any(c in key for c in "/\\:\0"):
+        raise ValueError(f"Bad index name {name!r}")
+    ia, ib = int(bands[0]), int(bands[1])
+    if not (0 <= ia <= 2 and 0 <= ib <= 2) or ia == ib:
+        raise ValueError(
+            f"bands must be two DISTINCT channels in 0..2, got {bands!r}"
+        )
+    idx = CustomIndex(
+        name=str(name),
+        bands=(ia, ib),
+        coverage_threshold=float(coverage_threshold),
+        cmap_name=str(cmap_name),
+        feature_name=str(feature_name),
+    )
+    existing = _CUSTOM_INDICES.get(key)
+    if existing is not None:
+        if existing == idx:
+            return existing
+        raise ValueError(
+            f"Index {name!r} is already registered with a different "
+            f"spec ({existing}); names are static jit cache keys and "
+            f"cannot be rebound — pick a new name"
+        )
+    _CUSTOM_INDICES[key] = idx
+    return idx
+
+
+def registered_indices() -> Tuple["CustomIndex", ...]:
+    """All custom indices registered in this process."""
+    return tuple(_CUSTOM_INDICES.values())
+
+
+# Anything accepted where an index kind is expected.
+IndexLike = Union[IndexKind, CustomIndex]
 
 # Numerical contract constants (SURVEY.md section 2.6)
 EPSILON: float = 1e-10          # process-images.py:464

@@ -47,7 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 from rgnir_tpu.color import get_lut
 from rgnir_tpu.config import EPSILON, IndexKind
 from rgnir_tpu.kernels.hist import _LANES, auto_block_r, flatten_to_rows
-from rgnir_tpu.ops.indices import BAND_INDICES
+from rgnir_tpu.ops.indices import band_indices
 
 # stats partial layout in the (K, 128) output
 S_SUM, S_SUMSQ, S_MIN, S_MAX, S_ABOVE = 0, 1, 2, 3, 4
@@ -221,7 +221,7 @@ def _fused_kernel(
             # left-closed edges flip).
             idx = -idx_by_kind[partner]
         else:
-            ia, ib = BAND_INDICES[kind]
+            ia, ib = band_indices(kind)
             a, b = wb[ia], wb[ib]
             idx = jnp.clip(
                 (a - b) / (a + b + jnp.float32(EPSILON)), -1.0, 1.0

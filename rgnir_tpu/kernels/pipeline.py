@@ -41,7 +41,7 @@ from rgnir_tpu.kernels.hist import (
     planar_histograms_pallas_batched,
 )
 from rgnir_tpu.kernels.select import masked_median_pallas_rows
-from rgnir_tpu.ops.indices import BAND_INDICES
+from rgnir_tpu.ops.indices import band_indices
 from rgnir_tpu.ops.stats import IndexStats
 from rgnir_tpu.ops.wb import wb_bounds_from_histogram
 from rgnir_tpu.pipeline.fused import AnalyzeResult
@@ -70,7 +70,7 @@ def _median_plan(kinds: Tuple[IndexKind, ...]):
     slots = []
     canon_positions = []
     for k, kind in enumerate(kinds):
-        ia, ib = BAND_INDICES[kind]
+        ia, ib = band_indices(kind)
         if (ib, ia) in pair_slot:
             slots.append((pair_slot[(ib, ia)], True))
         elif (ia, ib) in pair_slot:

@@ -57,8 +57,10 @@ def render_colormap(
     in bf16, and float32 accumulates single nonzero terms exactly.
 
     Args:
-      cmap: an IndexKind (uses its reference colormap) or a colormap
-        name ("RdYlGn", "RdYlBu", "bwr", "gray", "viridis").
+      cmap: an IndexKind or registered CustomIndex (uses that kind's
+        colormap), the name of a registered custom index, or a
+        matplotlib colormap name ("RdYlGn", "RdYlBu", "bwr", ... —
+        names outside the baked set are baked on first use).
       vmin/vmax: imshow limits (reference: -1/1 for indices, +/-0.5 for
         change maps).
       alpha: include the alpha channel -> (..., H, W, 4); default RGB.
@@ -66,12 +68,13 @@ def render_colormap(
     Returns:
       ``(..., H, W, 3 or 4)`` uint8.
     """
-    if isinstance(cmap, IndexKind) or (
-        isinstance(cmap, str) and cmap.upper() in IndexKind.__members__
-    ):
-        name = IndexKind.parse(cmap).cmap_name
+    if not isinstance(cmap, str):
+        name = cmap.cmap_name  # IndexKind or CustomIndex
     else:
-        name = str(cmap)
+        try:
+            name = IndexKind.parse(cmap).cmap_name
+        except ValueError:  # not an index name: a raw colormap name
+            name = str(cmap)
     lut = get_lut(name)  # (256, 4) uint8 numpy
     if not alpha:
         lut = lut[:, :3]

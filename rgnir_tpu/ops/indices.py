@@ -20,13 +20,22 @@ import jax.numpy as jnp
 
 from rgnir_tpu.config import IndexConfig, IndexKind
 
-# (positive band, negative band) channel indices per kind.
+# (positive band, negative band) channel indices per builtin kind.
 BAND_INDICES = {
     IndexKind.NDVI: (2, 0),   # NIR, R
     IndexKind.GNDVI: (2, 1),  # NIR, G
     IndexKind.NDWI: (1, 2),   # G, NIR
 }
 _BANDS = BAND_INDICES
+
+
+def band_indices(kind) -> Tuple[int, int]:
+    """(positive, negative) channel pair of a builtin ``IndexKind`` or
+    a ``config.CustomIndex`` (which carries its own ``bands``)."""
+    bands = getattr(kind, "bands", None)
+    if bands is not None:
+        return bands
+    return BAND_INDICES[kind]
 
 
 def index_from_bands(
@@ -51,7 +60,7 @@ def compute_index(
     raises ValueError on unknown types — so do we, via IndexKind.parse).
     """
     kind = IndexKind.parse(kind)
-    ia, ib = _BANDS[kind]
+    ia, ib = band_indices(kind)
     return index_from_bands(img[..., ia], img[..., ib], cfg)
 
 

@@ -43,7 +43,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from rgnir_tpu.config import IndexConfig, IndexKind, WBConfig
 from rgnir_tpu.ops.histogram import planar_histograms
-from rgnir_tpu.ops.indices import BAND_INDICES, index_from_bands
+from rgnir_tpu.ops.indices import band_indices, index_from_bands
 from rgnir_tpu.ops.wb import apply_white_balance_planar, wb_bounds_from_histogram
 from rgnir_tpu.parallel.halo import exchange_halos
 from rgnir_tpu.parallel.mesh import local_mesh
@@ -528,7 +528,7 @@ def change_detection_mosaic(
             )
 
         # -- index maps + diff -------------------------------------------
-        ia, ib = BAND_INDICES[kind]
+        ia, ib = band_indices(kind)
         early_idx = index_from_bands(
             pe[ia].astype(jnp.float32), pe[ib].astype(jnp.float32),
             cfg=idx_cfg,

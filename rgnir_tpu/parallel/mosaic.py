@@ -28,7 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from rgnir_tpu.config import ALL_INDICES, IndexConfig, IndexKind, WBConfig
 from rgnir_tpu.ops.colormap import render_colormap
 from rgnir_tpu.ops.histogram import histogram_fixed_bins, planar_histograms
-from rgnir_tpu.ops.indices import BAND_INDICES, index_from_bands
+from rgnir_tpu.ops.indices import band_indices, index_from_bands
 from rgnir_tpu.ops.stats import IndexStats
 from rgnir_tpu.ops.wb import apply_white_balance_planar, wb_bounds_from_histogram
 from rgnir_tpu.parallel.mesh import local_mesh
@@ -129,7 +129,7 @@ def analyze_mosaic(
         renders: Dict[str, jax.Array] = {}
         stats: Dict[str, IndexStats] = {}
         for kind in kinds:
-            ia, ib = BAND_INDICES[kind]
+            ia, ib = band_indices(kind)
             idx = index_from_bands(wb_pl[ia], wb_pl[ib], cfg=idx_cfg)
             indices[kind.value] = idx
             mf = mask.astype(jnp.float32)
@@ -297,7 +297,7 @@ def _analyze_mosaic_2d(mosaic, kinds, mesh, wb_cfg, idx_cfg, with_renders,
         renders: Dict[str, jax.Array] = {}
         stats: Dict[str, IndexStats] = {}
         for kind in kinds:
-            ia, ib = BAND_INDICES[kind]
+            ia, ib = band_indices(kind)
             idx = index_from_bands(wb_pl[ia], wb_pl[ib], cfg=idx_cfg)
             indices[kind.value] = idx
             mf = mask.astype(jnp.float32)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from rgnir_tpu.config import ALL_INDICES, IndexConfig, IndexKind, WBConfig
 from rgnir_tpu.ops.colormap import render_colormap
 from rgnir_tpu.ops.histogram import planar_histograms
-from rgnir_tpu.ops.indices import BAND_INDICES, index_from_bands
+from rgnir_tpu.ops.indices import band_indices, index_from_bands
 from rgnir_tpu.ops.stats import IndexStats, index_stats
 from rgnir_tpu.ops.wb import apply_white_balance_planar, wb_bounds_from_histogram
 
@@ -79,7 +79,7 @@ def analyze_image(
     stats: Dict[str, IndexStats] = {}
     renders: Dict[str, jax.Array] = {}
     for kind in kinds:
-        ia, ib = BAND_INDICES[kind]
+        ia, ib = band_indices(kind)
         idx = index_from_bands(
             base[..., ia, :, :], base[..., ib, :, :], cfg=idx_cfg
         )

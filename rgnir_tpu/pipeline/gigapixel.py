@@ -50,7 +50,7 @@ import jax.numpy as jnp
 
 from rgnir_tpu.config import IndexConfig, IndexKind, WBConfig
 from rgnir_tpu.ops.histogram import percentiles_from_histogram
-from rgnir_tpu.ops.indices import BAND_INDICES, index_from_bands
+from rgnir_tpu.ops.indices import band_indices, index_from_bands
 from rgnir_tpu.ops.stats import IndexStats
 from rgnir_tpu.ops.wb import apply_white_balance_planar
 
@@ -76,7 +76,7 @@ def _pair_layout(
     pairs = []
     lookup: Dict[IndexKind, Tuple[int, bool]] = {}
     for kind in kinds:
-        ia, ib = BAND_INDICES[kind]
+        ia, ib = band_indices(kind)
         key, swapped = ((ia, ib), False) if ia <= ib else ((ib, ia), True)
         if key not in pairs:
             pairs.append(key)
@@ -422,7 +422,7 @@ def _finalize(
     stats: Dict[str, IndexStats] = {}
     for kind in kinds:
         pi, swapped = lookup[kind]
-        ia, ib = BAND_INDICES[kind]
+        ia, ib = band_indices(kind)
         grid_a = luts[ia][:, None] * np.ones((1, 256), np.uint8)
         grid_b = luts[ib][None, :] * np.ones((256, 1), np.uint8)
         v = np.asarray(

@@ -1,0 +1,193 @@
+"""Custom-index registry tests.
+
+The reference hardcodes three indices in a dispatch chain
+(process-images.py:466-485); this framework opens the family:
+``config.register_index`` defines a new normalized-difference index
+that flows through every path a builtin does — jnp ops, the fused
+Pallas kernel, renders, stats, batch pipeline, and CLI.
+"""
+
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import rgnir_tpu.config as config
+from rgnir_tpu.config import (
+    EPSILON,
+    CustomIndex,
+    IndexKind,
+    register_index,
+    registered_indices,
+)
+
+
+@pytest.fixture(autouse=True)
+def _registry_sandbox():
+    """Snapshot/restore the process-global registry around each test."""
+    saved = dict(config._CUSTOM_INDICES)
+    try:
+        yield
+    finally:
+        config._CUSTOM_INDICES.clear()
+        config._CUSTOM_INDICES.update(saved)
+
+
+class TestRegistry:
+    def test_register_parse_roundtrip(self):
+        idx = register_index("RGRI", (0, 1), coverage_threshold=0.1,
+                             cmap_name="viridis", feature_name="Soil")
+        assert isinstance(idx, CustomIndex)
+        assert IndexKind.parse("RGRI") is idx
+        assert IndexKind.parse("rgri") is idx       # case-insensitive
+        assert IndexKind.parse(idx) is idx          # already resolved
+        assert idx.value == "RGRI"
+        assert idx.coverage_threshold == 0.1
+        assert idx.cmap_name == "viridis"
+        assert idx in registered_indices()
+
+    def test_builtin_collision_rejected(self):
+        with pytest.raises(ValueError, match="collides with builtin"):
+            register_index("ndvi", (0, 1))
+
+    def test_bad_bands_rejected(self):
+        with pytest.raises(ValueError, match="DISTINCT channels"):
+            register_index("X1", (1, 1))
+        with pytest.raises(ValueError, match="DISTINCT channels"):
+            register_index("X2", (0, 3))
+
+    def test_bad_name_rejected(self):
+        with pytest.raises(ValueError, match="Bad index name"):
+            register_index("a/b", (0, 1))
+
+    def test_rebind_refused_but_idempotent(self):
+        a = register_index("REB", (0, 2))
+        assert register_index("REB", (0, 2)) is a   # same spec: fine
+        with pytest.raises(ValueError, match="already registered"):
+            register_index("REB", (1, 2))           # different: refused
+
+    def test_unknown_name_still_raises(self):
+        with pytest.raises(ValueError, match="Unknown index type"):
+            IndexKind.parse("NOPE")
+
+    def test_static_jit_key(self):
+        """Frozen + hashable: legal as a static jit argument."""
+        a = register_index("HASHME", (0, 1))
+        assert hash(a) == hash(CustomIndex(name="HASHME", bands=(0, 1)))
+
+
+class TestCompute:
+    def test_formula_matches_manual(self, rgnir_image):
+        from rgnir_tpu.ops.indices import compute_index
+
+        register_index("RNIR", (0, 2))  # (R - NIR) / (R + NIR + eps)
+        got = np.asarray(compute_index(rgnir_image.astype(np.float32),
+                                       "RNIR"))
+        r = rgnir_image[..., 0].astype(np.float64)
+        nir = rgnir_image[..., 2].astype(np.float64)
+        want = np.clip((r - nir) / (r + nir + EPSILON), -1.0, 1.0)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_analyze_image_custom_kind(self, rgnir_image):
+        """Full fused-jnp pass: custom kind present in every output dict,
+        with its own coverage threshold driving the stats."""
+        from rgnir_tpu.pipeline.fused import analyze_image
+
+        register_index("RNIR2", (0, 2), coverage_threshold=-0.5,
+                       cmap_name="RdYlBu")
+        res = analyze_image(rgnir_image, kinds=("NDVI", "RNIR2"))
+        assert set(res.indices) == {"NDVI", "RNIR2"}
+        assert set(res.stats) == {"NDVI", "RNIR2"}
+        assert set(res.renders) == {"NDVI", "RNIR2"}
+        # (0, 2) is the exact negation of NDVI's (2, 0) up to eps.
+        np.testing.assert_allclose(
+            np.asarray(res.indices["RNIR2"]),
+            -np.asarray(res.indices["NDVI"]), atol=1e-6,
+        )
+        # coverage uses the CUSTOM threshold (-0.5), not the builtin 0.2
+        cov = float(res.stats["RNIR2"].coverage_pct)
+        want = 100.0 * float(np.mean(np.asarray(res.indices["RNIR2"]) > -0.5))
+        assert abs(cov - want) < 1e-4
+        assert res.renders["RNIR2"].shape == rgnir_image.shape
+
+    def test_pallas_kernel_parity(self, rgnir_image):
+        """The fused Pallas kernel path handles a custom kind and agrees
+        with the jnp reference path."""
+        from rgnir_tpu.kernels.pipeline import analyze_image_kernel
+        from rgnir_tpu.pipeline.fused import analyze_image_jit
+
+        register_index("GR", (1, 0), coverage_threshold=0.0)
+        kinds = ("NDVI", "GR")
+        a = analyze_image_kernel(rgnir_image, kinds=kinds)
+        b = analyze_image_jit(rgnir_image, kinds=kinds)
+        for k in kinds:
+            np.testing.assert_allclose(
+                np.asarray(a.indices[k]), np.asarray(b.indices[k]),
+                atol=2e-6,
+            )
+            assert float(a.stats[k].mean) == pytest.approx(
+                float(b.stats[k].mean), abs=1e-5
+            )
+            np.testing.assert_array_equal(
+                np.asarray(a.renders[k]), np.asarray(b.renders[k])
+            )
+
+    def test_render_bakes_unbaked_colormap(self, rgnir_image):
+        """A custom index naming a colormap outside the build-time baked
+        set renders via the on-demand LUT bake, matching matplotlib."""
+        import matplotlib
+
+        from rgnir_tpu.color import get_lut
+        from rgnir_tpu.ops.colormap import render_colormap
+
+        register_index("PLASMA_IDX", (2, 1), cmap_name="plasma")
+        from rgnir_tpu.ops.indices import compute_index
+
+        idx = compute_index(rgnir_image.astype(np.float32), "PLASMA_IDX")
+        out = np.asarray(render_colormap(idx, IndexKind.parse("PLASMA_IDX")))
+        lut = get_lut("plasma")
+        mpl_cmap = matplotlib.colormaps["plasma"]
+        mpl_cmap._init()  # same recipe as color/_bake.py
+        want_lut = (np.asarray(mpl_cmap._lut[:256]) * 255).astype(np.uint8)
+        np.testing.assert_array_equal(lut, want_lut)
+        # Spot-check: value -1 -> LUT[0], value +1 -> LUT[255].
+        flat = np.asarray(idx)
+        lo = np.unravel_index(np.argmin(flat), flat.shape)
+        byte = np.clip(
+            np.round((flat[lo] - (-1.0)) / 2.0 * 255.0), 0, 255
+        ).astype(np.uint8)
+        np.testing.assert_array_equal(out[lo], lut[byte, :3])
+
+    def test_get_lut_unknown_name_raises(self):
+        from rgnir_tpu.color import get_lut
+
+        with pytest.raises(ValueError, match="Unsupported colormap"):
+            get_lut("definitely_not_a_cmap")
+
+
+class TestCliDefineIndex:
+    def test_batch_with_custom_index(self, tmp_path, rng, capsys):
+        from rgnir_tpu.cli import main
+
+        d = tmp_path / "in"
+        d.mkdir()
+        arr = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(d / "f0.png")
+        rc = main([
+            "--define-index", "MYIDX:0,2:0.1:RdYlGn:Soil",
+            "batch", str(d), str(tmp_path / "out"),
+            "--indices", "MYIDX",
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["processed"] == 1
+        assert (tmp_path / "out" / "MYIDX" / "f0_myidx.png").exists()
+
+    def test_bad_spec_exits(self):
+        from rgnir_tpu.cli import main
+
+        with pytest.raises(SystemExit):
+            main(["--define-index", "JUSTANAME", "selftest"])
+        with pytest.raises(SystemExit):
+            main(["--define-index", "X:1,1", "selftest"])
