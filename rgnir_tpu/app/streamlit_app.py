@@ -32,11 +32,19 @@ import numpy as np
 
 import streamlit as st
 
-from rgnir_tpu.config import ALL_INDICES, StoreConfig
+from rgnir_tpu.config import ALL_INDICES, StoreConfig, registered_indices
 from rgnir_tpu.store import DuplicateImageError, FsImageStore, MongoImageStore
 from rgnir_tpu.store.base import compute_file_hash
 
 IMAGES_PER_PAGE = StoreConfig().images_per_page  # 12 (process-images.py:1232)
+
+
+def _index_names() -> list:
+    """Builtins plus any register_index()-defined custom indices (the
+    reference UI hardcodes its three, process-images.py:1296)."""
+    return [k.value for k in ALL_INDICES] + [
+        c.value for c in registered_indices()
+    ]
 
 
 @st.cache_resource
@@ -152,7 +160,7 @@ def comparison_section(store, selected: list) -> None:
         st.info("Select images in the gallery to compare.")
         return
     indices = st.multiselect(
-        "Indices", [k.value for k in ALL_INDICES],
+        "Indices", _index_names(),
         default=[k.value for k in ALL_INDICES],
     )
     if not st.button("Generate Comparison Analysis"):
@@ -243,7 +251,7 @@ def time_series_tab(store) -> None:
             store.assign_image_to_site(rec.image_id, site.site_id)
         st.rerun()
 
-    index_name = st.selectbox("Index", [k.value for k in ALL_INDICES])
+    index_name = st.selectbox("Index", _index_names())
     if st.button("Generate Time Series Analysis"):
         from rgnir_tpu.pipeline.timeseries import time_series_analysis
 

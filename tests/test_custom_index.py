@@ -166,6 +166,105 @@ class TestCompute:
             get_lut("definitely_not_a_cmap")
 
 
+class TestDistributedPaths:
+    def test_sharded_mosaic_custom_kind(self, rng):
+        """A custom kind through the sharded mosaic body matches the
+        single-device fused pass."""
+        from rgnir_tpu.parallel.mesh import local_mesh
+        from rgnir_tpu.parallel.mosaic import analyze_mosaic
+        from rgnir_tpu.pipeline.fused import analyze_image
+
+        register_index("SH_RG", (0, 1), coverage_threshold=0.05)
+        mosaic = rng.integers(0, 256, (200, 176, 3), dtype=np.uint8)
+        res = analyze_mosaic(mosaic, kinds=("SH_RG",), mesh=local_mesh("d"))
+        ref = analyze_image(mosaic, kinds=("SH_RG",), with_renders=False)
+        got, want = res.stats["SH_RG"], ref.stats["SH_RG"]
+        assert float(got.mean) == pytest.approx(float(want.mean), abs=1e-6)
+        assert float(got.median) == float(want.median)
+        assert float(got.min) == float(want.min)
+        assert float(got.max) == float(want.max)
+        assert float(got.coverage_pct) == pytest.approx(
+            float(want.coverage_pct), abs=1e-6
+        )
+
+    def test_gigapixel_streamed_custom_kind(self, rng):
+        """A custom kind through the streamed (larger-than-HBM) path is
+        value-exact vs the in-memory reference."""
+        import jax.numpy as jnp
+
+        from rgnir_tpu.ops.indices import compute_index
+        from rgnir_tpu.ops.stats import index_stats
+        from rgnir_tpu.ops.wb import white_balance
+        from rgnir_tpu.pipeline.gigapixel import analyze_mosaic_streamed
+
+        kind = register_index("GP_GR", (1, 0))
+        img = rng.integers(0, 256, (123, 157, 3), dtype=np.uint8)
+        res = analyze_mosaic_streamed(img, kinds=("GP_GR",), band_rows=40)
+        idx = compute_index(white_balance(jnp.asarray(img)), kind)
+        ref = index_stats(idx, kind)
+        got = res.stats["GP_GR"]
+        assert float(got.min) == float(ref.min)
+        assert float(got.max) == float(ref.max)
+        assert float(got.median) == float(ref.median)
+        np.testing.assert_allclose(float(got.mean), float(ref.mean),
+                                   atol=2e-6)
+
+
+class TestAppSurface:
+    def test_comparison_offers_and_runs_custom_index(
+        self, tmp_path, rng, monkeypatch
+    ):
+        """A registered custom index appears in the app's Indices
+        multiselect options and flows through comparison + ZIP."""
+        import io
+        import zipfile
+
+        from PIL import Image as PilImage
+
+        from rgnir_tpu.testing import fake_streamlit
+
+        fake_streamlit.install()
+        from rgnir_tpu.app import streamlit_app
+        from rgnir_tpu.store import FsImageStore
+        from rgnir_tpu.testing.fake_streamlit import AppHarness, UploadedFile
+
+        register_index("APPIDX", (0, 2), cmap_name="RdYlBu")
+        monkeypatch.setenv("RGNIR_STORE_ROOT", str(tmp_path / "store"))
+        monkeypatch.delenv("MONGODB_URI", raising=False)
+        h = AppHarness(streamlit_app.main)
+        store = FsImageStore(tmp_path / "store")
+
+        ups = []
+        for i in range(2):
+            arr = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            buf = io.BytesIO()
+            PilImage.fromarray(arr).save(buf, format="PNG")
+            ups.append(UploadedFile(f"u{i}.png", buf.getvalue()))
+        h.set("Upload RGNir images", ups)
+        h.run()
+        recs, _ = store.list_images()
+        for rec in recs:
+            h.set(f"sel_{rec.image_id}", True)
+        h.set("Upload RGNir images", [])
+        seen = {}
+
+        def pick(options):
+            seen["options"] = list(options)
+            return ["NDVI", "APPIDX"]
+
+        h.set("Indices", pick)
+        h.click("Generate Comparison Analysis")
+        h.run()
+        assert "APPIDX" in seen["options"]
+        subheaders = [str(v) for v in h.values("subheader")]
+        assert "APPIDX" in subheaders
+        downloads = h.by_type("download_button")
+        zips = [d for d in downloads
+                if d["file_name"] == "processed_images.zip"]
+        names = zipfile.ZipFile(io.BytesIO(zips[0]["value"])).namelist()
+        assert "APPIDX_visualization.png" in names
+
+
 class TestCliDefineIndex:
     def test_batch_with_custom_index(self, tmp_path, rng, capsys):
         from rgnir_tpu.cli import main
