@@ -84,11 +84,14 @@ def _pair_layout(
     return tuple(pairs), lookup
 
 
-@functools.partial(jax.jit, static_argnames=("pairs",), donate_argnums=(1,))
+@functools.partial(
+    jax.jit, static_argnames=("pairs", "chunk"), donate_argnums=(1,)
+)
 def _band_joint_hists(
     band: jax.Array,
     acc: jax.Array,
     pairs: Tuple[Tuple[int, int], ...],
+    chunk: int,
 ) -> jax.Array:
     """Accumulate (P, 256, 256) joint histograms of a uint8 band.
 
@@ -96,18 +99,23 @@ def _band_joint_hists(
     channels only (compacted by the caller), padded with zero rows —
     the caller subtracts the pad count from bin [0, 0].
     ``acc``: (P, 256, 256) int32, donated.
+    ``chunk``: pixels per one-hot chunk — a STATIC argument, not the
+    module global, so the caller's ``-n % chunk`` pad accounting always
+    matches the executable it actually runs (a trace-time read of
+    ``_CHUNK`` let a cached trace from one chunk size serve a call
+    under another, silently corrupting bin [0, 0]).
 
     Each chunk builds bf16 one-hots per referenced channel and runs one
     (256, chunk) x (chunk, 256) MXU contraction per pair; counts are
     exact (chunk < 2^24) and accumulate in int32.
     """
     n, n_ch = band.shape
-    n_pad = -n % _CHUNK
+    n_pad = -n % chunk
     if n_pad:
         band = jnp.concatenate(
             [band, jnp.zeros((n_pad, n_ch), dtype=band.dtype)]
         )
-    chunks = band.reshape(-1, _CHUNK, n_ch)
+    chunks = band.reshape(-1, chunk, n_ch)
     iota = jnp.arange(256, dtype=jnp.int32)
     channels = sorted({c for p in pairs for c in p})
 
@@ -334,6 +342,7 @@ def analyze_mosaic_streamed(
 
     acc = jnp.zeros((len(pairs), 256, 256), dtype=jnp.int32)
     pad_total = 0
+    chunk = _CHUNK  # snapshot: pad accounting and kernel must agree
 
     # Double buffer: issue band i+1's transfer before awaiting band i's
     # reduction; JAX dispatch is async so the copy and the MXU overlap.
@@ -352,7 +361,7 @@ def analyze_mosaic_streamed(
             flat = compact
         nxt = jax.device_put(flat)
         if pending is not None:
-            acc = _band_joint_hists(pending, acc, compact_pairs)
+            acc = _band_joint_hists(pending, acc, compact_pairs, chunk)
         if since_flush + n > _FLUSH_AT:
             total += np.asarray(acc).astype(np.int64)
             acc = jnp.zeros((len(pairs), 256, 256), dtype=jnp.int32)
@@ -360,10 +369,10 @@ def analyze_mosaic_streamed(
         pending = nxt
         since_flush += n
         n_pixels += n
-        pad_total += -n % _CHUNK
+        pad_total += -n % chunk
         n_bands += 1
     if pending is not None:
-        acc = _band_joint_hists(pending, acc, compact_pairs)
+        acc = _band_joint_hists(pending, acc, compact_pairs, chunk)
     total += np.asarray(acc).astype(np.int64)
     if n_pixels == 0:
         raise ValueError("no bands")

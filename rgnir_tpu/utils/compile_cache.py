@@ -31,12 +31,39 @@ def default_cache_dir() -> Path:
     return Path.home() / ".cache" / "rgnir_tpu" / "jax"
 
 
+def _cpu_only_platform() -> bool:
+    """True when JAX is pinned to the CPU backend (tests, dryruns).
+
+    XLA:CPU serializes AOT executables specialized to the *compiling*
+    host's ISA features (AVX-512/AMX sets differ across this fleet), so
+    CPU entries must never ride the repo-committed cache to another
+    machine — loading one there risks SIGILL or wrong-ISA codegen. TPU
+    executables are device-targeted and portable across hosts, so only
+    they belong in the committed artifact.
+    """
+    plats = None
+    try:
+        import jax
+
+        plats = jax.config.jax_platforms
+    except Exception:
+        pass
+    if not plats:
+        plats = os.environ.get("JAX_PLATFORMS", "")
+    if not plats:
+        return False  # ambient default in this environment is the TPU tunnel
+    names = [p.strip().lower() for p in str(plats).split(",") if p.strip()]
+    return bool(names) and all(n == "cpu" for n in names)
+
+
 def enable_persistent_cache(cache_dir: Optional[os.PathLike] = None) -> Optional[Path]:
     """Point JAX's persistent compilation cache at the repo artifact.
 
     Idempotent; returns the cache dir (or None when disabled via
     ``RGNIR_COMPILE_CACHE_DIR=""``). Safe to call before or after
-    backend init — the config is read at compile time.
+    backend init — the config is read at compile time. CPU-only
+    processes are redirected to a machine-local cache (see
+    :func:`_cpu_only_platform`).
     """
     import jax
 
@@ -46,6 +73,8 @@ def enable_persistent_cache(cache_dir: Optional[os.PathLike] = None) -> Optional
             if not env:
                 return None
             cache_dir = Path(env)
+        elif _cpu_only_platform():
+            cache_dir = Path("/tmp/rgnir_cpu_cache")
         else:
             cache_dir = default_cache_dir()
     cache_dir = Path(cache_dir)

@@ -1,0 +1,106 @@
+"""Persistent-compile-cache hygiene.
+
+The repo-committed ``.jax_cache`` is the round-3 answer to the 807 s
+cold compile recorded in BENCH_r02.json — a fresh clone must hit warm
+TPU entries on its first ``bench.py`` run. That only works if the
+committed artifact stays *TPU-only*: XLA:CPU serializes AOT executables
+specialized to the compiling host's ISA (AVX-512/AMX differ across
+machines), so a committed CPU entry can SIGILL — or, worse, silently
+change numerics — on the next machine. These tests pin both halves of
+the fix: CPU-only processes are redirected away from the repo cache,
+and no tracked cache entry embeds x86 object code.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import zlib
+from pathlib import Path
+
+import jax
+import pytest
+
+from rgnir_tpu.utils import compile_cache as cc
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _restore_cache_dir():
+    # The test session's conftest points the process-global cache at
+    # /tmp/jax_test_cache; put it back after we exercise the setter.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+
+
+def test_cpu_only_platform_detected_under_test_env():
+    # conftest pins JAX_PLATFORMS=cpu for the whole suite.
+    assert cc._cpu_only_platform() is True
+
+
+def test_cpu_process_redirects_away_from_repo_cache():
+    try:
+        d = cc.enable_persistent_cache()
+        assert d is not None
+        assert d != cc.default_cache_dir()
+        assert ".jax_cache" not in str(d)
+    finally:
+        _restore_cache_dir()
+
+
+def test_explicit_dir_wins_over_cpu_redirect(tmp_path):
+    try:
+        d = cc.enable_persistent_cache(tmp_path / "cache")
+        assert d == tmp_path / "cache"
+        assert d.is_dir()
+    finally:
+        _restore_cache_dir()
+
+
+def test_env_override_wins_over_cpu_redirect(tmp_path, monkeypatch):
+    monkeypatch.setenv("RGNIR_COMPILE_CACHE_DIR", str(tmp_path / "envcache"))
+    try:
+        d = cc.enable_persistent_cache()
+        assert d == tmp_path / "envcache"
+        monkeypatch.setenv("RGNIR_COMPILE_CACHE_DIR", "")
+        assert cc.enable_persistent_cache() is None
+    finally:
+        _restore_cache_dir()
+
+
+def _decompress(raw: bytes) -> bytes:
+    if raw[:4] == b"\x28\xb5\x2f\xfd":
+        zstd = pytest.importorskip("zstandard")
+        return zstd.ZstdDecompressor().decompress(raw, max_output_size=1 << 30)
+    try:
+        return zlib.decompress(raw)
+    except zlib.error:
+        return raw
+
+
+def test_committed_cache_entries_are_not_cpu_executables():
+    """No tracked .jax_cache entry may embed x86 ELF object code."""
+    try:
+        out = subprocess.run(
+            ["git", "ls-files", ".jax_cache"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=30,
+            check=True,
+        ).stdout
+    except (OSError, subprocess.SubprocessError):
+        pytest.skip("not a git checkout")
+    tracked = [REPO / line for line in out.splitlines() if line.strip()]
+    if not tracked:
+        pytest.skip("no committed cache entries")
+    offenders = []
+    for path in tracked:
+        if not path.is_file():
+            continue  # deleted in the working tree (purge in flight)
+        data = _decompress(path.read_bytes())
+        if b"\x7fELF" in data and (b"x86_64" in data or b"x86-64" in data):
+            offenders.append(path.name)
+    assert not offenders, (
+        "CPU AOT executables committed to the repo cache (host-ISA "
+        f"specific; purge them): {offenders}"
+    )

@@ -73,6 +73,33 @@ class TestStreamedExactness:
             float(got.coverage_pct), float(ref.coverage_pct), atol=1e-4
         )
 
+    def test_chunk_resize_between_runs_stays_exact(self, rng, monkeypatch):
+        """The joint-hist jit must key on the chunk size.
+
+        A trace-time read of the module-global ``_CHUNK`` let an
+        executable cached under one chunk size serve a same-shape call
+        under another, while the caller's ``-n % _CHUNK`` pad
+        accounting used the new value — silently corrupting bin [0, 0]
+        (surfaced as a test-order coupling: the custom-index suite's
+        streamed run poisoned this file's NDVI exactness test, since
+        both compact to the same (N, 2) wire shape and pair key).
+        """
+        img = _mosaic(rng, 123, 157)
+        ref = _reference_stats(img, "NDVI")
+        for chunk in (1 << 17, 4096):  # same shapes, different chunk
+            monkeypatch.setattr(gigapixel, "_CHUNK", chunk)
+            res = analyze_mosaic_streamed(img, kinds=("NDVI",), band_rows=40)
+            got = res.stats["NDVI"]
+            assert float(got.min) == float(ref.min), chunk
+            assert float(got.max) == float(ref.max), chunk
+            assert float(got.median) == float(ref.median), chunk
+            np.testing.assert_array_equal(
+                np.asarray(got.histogram, dtype=np.int64),
+                np.asarray(ref.histogram, dtype=np.int64),
+                err_msg=str(chunk),
+            )
+            assert int(got.n) == int(ref.n), chunk
+
     def test_three_kinds_one_pass_shares_transposed_hist(self, rng):
         img = _mosaic(rng, 96, 120)
         res = analyze_mosaic_streamed(
