@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import re
 from typing import Dict, Optional, Tuple, Union
 
 
@@ -99,6 +100,10 @@ class CustomIndex:
 # name to a different spec (idempotent re-registration is fine).
 _CUSTOM_INDICES: Dict[str, "CustomIndex"] = {}
 
+# Custom index names double as output path components and jit cache
+# keys; keep them to a conservative filesystem-safe alphabet.
+_INDEX_NAME_RE = re.compile(r"[A-Za-z0-9_-]+")
+
 
 def register_index(
     name: str,
@@ -125,8 +130,14 @@ def register_index(
         raise ValueError(
             f"Index name {name!r} collides with builtin IndexKind.{key}"
         )
-    if not key or any(c in key for c in "/\\:\0"):
-        raise ValueError(f"Bad index name {name!r}")
+    # The name becomes an output SUBDIRECTORY in the batch pipeline
+    # ({out}/{NAME}/...), so it must be a safe path component: no
+    # separators, no '.'/'..', no whitespace-only or control chars.
+    if not _INDEX_NAME_RE.fullmatch(key):
+        raise ValueError(
+            f"Bad index name {name!r}: must match [A-Za-z0-9_-]+ "
+            f"(it is used as an output path component)"
+        )
     ia, ib = int(bands[0]), int(bands[1])
     if not (0 <= ia <= 2 and 0 <= ib <= 2) or ia == ib:
         raise ValueError(

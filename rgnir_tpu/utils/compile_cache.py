@@ -51,9 +51,82 @@ def _cpu_only_platform() -> bool:
     if not plats:
         plats = os.environ.get("JAX_PLATFORMS", "")
     if not plats:
-        return False  # ambient default in this environment is the TPU tunnel
+        # No explicit platform config: do NOT assume the ambient
+        # default is the TPU tunnel — on a CPU-only host that
+        # assumption would commit host-ISA-specific CPU executables to
+        # the repo cache (SIGILL hazard on other machines). Ask the
+        # backend itself; default_backend() initializes it, which is
+        # acceptable here because every caller compiles immediately
+        # after this anyway.
+        try:
+            import jax
+
+            return jax.default_backend() == "cpu"
+        except Exception:
+            return True  # cannot prove TPU -> keep the repo cache safe
     names = [p.strip().lower() for p in str(plats).split(",") if p.strip()]
     return bool(names) and all(n == "cpu" for n in names)
+
+
+_KERNEL_KEYS_PATCHED = False
+
+
+def stabilize_kernel_cache_keys() -> bool:
+    """Make Pallas/Mosaic executables' persistent-cache keys invariant
+    to source line shifts and module import identity.
+
+    JAX's cache key strips top-level StableHLO debug info by default
+    (``compilation_cache_include_metadata_in_key=False``), so plain jit
+    keys are already stable across edits. But a Pallas TPU kernel rides
+    inside a ``stablehlo.custom_call`` whose ``backend_config`` is the
+    Mosaic module serialized WITH debug info
+    (tpu_custom_call.py ``_lower_mosaic_module_to_asm`` /
+    ``get_asm(enable_debug_info=True)``) — opaque bytes the top-level
+    ``strip-debuginfo`` pass cannot reach. Every commit that shifts a
+    line on a kernel's trace path therefore used to change the key and
+    silently stale the committed cache (the round-3 failure: warmed
+    ``jit_forward`` entries predating three trace-adjacent commits).
+
+    Fix: run ``strip-debuginfo`` on the Mosaic module itself before
+    serialization. Measured: identical kernels defined at different
+    file offsets/modules hash to the SAME computation key after this
+    patch, different keys before it. Locations in Mosaic compile errors
+    are lost — acceptable for a production cache; set
+    ``RGNIR_STABLE_KERNEL_KEYS=0`` to debug a kernel with locations.
+
+    Idempotent; returns True when the patch is active.
+    """
+    global _KERNEL_KEYS_PATCHED
+    if _KERNEL_KEYS_PATCHED:
+        return True
+    if os.environ.get("RGNIR_STABLE_KERNEL_KEYS", "1") == "0":
+        return False
+    try:
+        from typing import cast
+
+        import jax._src.tpu_custom_call as tcc
+        from jax._src.lib.mlir import ir
+        from jax._src.lib.mlir import passmanager as pm
+    except Exception:  # pragma: no cover - jax internals moved
+        return False
+
+    orig = tcc._lower_mosaic_module_to_asm
+
+    def _stripped(module, **kw):
+        try:
+            with module.context:
+                m = module.operation.clone()
+                pm.PassManager.parse(
+                    "builtin.module(strip-debuginfo)"
+                ).run(m)
+            module = cast(ir.Module, m)
+        except Exception:  # never break lowering over key hygiene
+            pass
+        return orig(module, **kw)
+
+    tcc._lower_mosaic_module_to_asm = _stripped
+    _KERNEL_KEYS_PATCHED = True
+    return True
 
 
 def enable_persistent_cache(cache_dir: Optional[os.PathLike] = None) -> Optional[Path]:
@@ -67,6 +140,7 @@ def enable_persistent_cache(cache_dir: Optional[os.PathLike] = None) -> Optional
     """
     import jax
 
+    stabilize_kernel_cache_keys()
     if cache_dir is None:
         env = os.environ.get("RGNIR_COMPILE_CACHE_DIR")
         if env is not None:

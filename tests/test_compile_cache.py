@@ -67,6 +67,75 @@ def test_env_override_wins_over_cpu_redirect(tmp_path, monkeypatch):
         _restore_cache_dir()
 
 
+def test_stabilize_kernel_cache_keys_patches_mosaic_serialization():
+    """Pallas cache keys must not depend on kernel source line numbers.
+
+    JAX strips top-level StableHLO debuginfo from the persistent-cache
+    key, but the Mosaic kernel payload inside the custom_call's
+    backend_config is serialized WITH debug info — so any line-shifting
+    commit used to stale every Pallas entry in the committed cache
+    (the round-3 failure). stabilize_kernel_cache_keys() prepends a
+    strip-debuginfo pass; measured on the TPU backend: identical
+    kernels at different file offsets hash identically after the patch,
+    differently before. Here (CPU suite) we pin the patch mechanics.
+    """
+    import jax._src.tpu_custom_call as tcc
+
+    orig_name = tcc._lower_mosaic_module_to_asm.__name__
+    assert cc.stabilize_kernel_cache_keys() is True
+    assert tcc._lower_mosaic_module_to_asm.__name__ == "_stripped"
+    # Idempotent: a second call must not double-wrap.
+    wrapped = tcc._lower_mosaic_module_to_asm
+    assert cc.stabilize_kernel_cache_keys() is True
+    assert tcc._lower_mosaic_module_to_asm is wrapped
+    assert orig_name in ("_lower_mosaic_module_to_asm", "_stripped")
+
+
+def test_stabilize_kernel_keys_respects_opt_out(monkeypatch):
+    monkeypatch.setenv("RGNIR_STABLE_KERNEL_KEYS", "0")
+    monkeypatch.setattr(cc, "_KERNEL_KEYS_PATCHED", False)
+    assert cc.stabilize_kernel_cache_keys() is False
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="needs the TPU backend"
+)
+def test_kernel_cache_key_invariant_to_line_shifts(tmp_path):
+    """End-to-end on real TPU lowering: the computation hash of a
+    Pallas call is identical across source line offsets and module
+    identities once the patch is active."""
+    import hashlib
+    import importlib.util
+    import sys
+
+    from jax._src import cache_key as ck
+
+    cc.stabilize_kernel_cache_keys()
+    src = (
+        "import jax, jax.numpy as jnp\n"
+        "from jax.experimental import pallas as pl\n"
+        "def kern(x_ref, o_ref):\n"
+        "    o_ref[...] = x_ref[...] * 2.0 + 1.0\n"
+        "def f(x):\n"
+        "    return pl.pallas_call(kern, out_shape="
+        "jax.ShapeDtypeStruct(x.shape, x.dtype))(x)\n"
+    )
+    hashes = []
+    for name, pad in (("_ckexp_a", 0), ("_ckexp_b", 31)):
+        p = tmp_path / f"{name}.py"
+        p.write_text("\n" * pad + src)
+        spec = importlib.util.spec_from_file_location(name, p)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = spec.loader.exec_module(mod) or mod
+        lowered = jax.jit(mod.f).lower(
+            jax.ShapeDtypeStruct((256, 256), jax.numpy.float32)
+        )
+        h = hashlib.sha256()
+        ck._hash_computation(h, lowered.compiler_ir(), ck.IgnoreCallbacks.NO)
+        hashes.append(h.hexdigest())
+    assert hashes[0] == hashes[1]
+
+
 def _decompress(raw: bytes) -> bytes:
     if raw[:4] == b"\x28\xb5\x2f\xfd":
         zstd = pytest.importorskip("zstandard")

@@ -58,8 +58,17 @@ class TestRegistry:
             register_index("X2", (0, 3))
 
     def test_bad_name_rejected(self):
-        with pytest.raises(ValueError, match="Bad index name"):
-            register_index("a/b", (0, 1))
+        # Names become output subdirectories ({out}/{NAME}/...), so
+        # anything outside [A-Za-z0-9_-]+ must be refused — '..' would
+        # write results one level ABOVE the chosen output directory.
+        for bad in ("a/b", "a\\b", "a:b", "..", ".", "", "  ",
+                    "a b", "a\tb", "\x00", "a\x07b"):
+            with pytest.raises(ValueError, match="Bad index name"):
+                register_index(bad, (0, 1))
+
+    def test_good_names_accepted(self):
+        for ok in ("SAVI-2", "re_edge", "X9"):
+            register_index(ok, (2, 0))
 
     def test_rebind_refused_but_idempotent(self):
         a = register_index("REB", (0, 2))
@@ -164,6 +173,51 @@ class TestCompute:
 
         with pytest.raises(ValueError, match="Unsupported colormap"):
             get_lut("definitely_not_a_cmap")
+
+    def test_runtime_bake_isolated_and_thread_safe(self):
+        """On-demand bakes go to a separate locked cache (never mutate
+        the generated LUTS dict) and are race-free under concurrent
+        first requests (Streamlit reruns are multi-threaded)."""
+        import threading
+
+        from rgnir_tpu import color
+
+        baked_before = dict(color.LUTS)
+        color._RUNTIME_LUTS.pop("cividis", None)
+        results = []
+
+        def grab():
+            results.append(color.get_lut("cividis"))
+
+        threads = [threading.Thread(target=grab) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(results) == 8
+        first = results[0]
+        for r in results[1:]:
+            assert r is first  # single bake won the race, all share it
+        assert color.LUTS == baked_before  # generated dict untouched
+        assert "cividis" in color._RUNTIME_LUTS
+
+    def test_runtime_bake_matches_public_api(self):
+        """The bake recipe is verified against to_rgba(bytes=True) —
+        matplotlib private-API drift fails loudly (ADVICE r3)."""
+        import matplotlib
+        from matplotlib import cm, colors
+
+        from rgnir_tpu.color import get_lut
+
+        lut = get_lut("magma")
+        sm = cm.ScalarMappable(
+            norm=colors.Normalize(0.0, 1.0),
+            cmap=matplotlib.colormaps["magma"],
+        )
+        ref = sm.to_rgba(
+            (np.arange(256, dtype=np.float64) + 0.5) / 256, bytes=True
+        )
+        np.testing.assert_array_equal(lut, np.asarray(ref, np.uint8))
 
 
 class TestDistributedPaths:
