@@ -132,18 +132,31 @@ def cmd_warmup(args) -> int:
     Compiling the Pallas-heavy paths through the tunneled TPU takes
     minutes per executable (round-2 bench recorded an 807 s cold
     start); this one-shot pays that cost explicitly and commits the
-    result. Warms ``python bench.py`` in a subprocess — the driver's
-    exact invocation, covering the headline loop, every config in the
-    table, and the gigapixel stream (bench-level jits get
-    import-identity-dependent cache keys, so only the subprocess form
-    produces entries the driver can hit) — then the driver's
-    ``entry()`` forward in-process. From an installed wheel (no repo
-    checkout) it warms the package pipeline at the same shapes
-    instead. NOTE: other scripts with their own module-level jits
-    (e.g. ``benchmarks/run_configs.py`` run directly) still compile
-    their own executables on first run.
+    result. Both driver entry points are warmed by running them
+    EXACTLY the way the driver does, in subprocesses:
+
+    - ``python bench.py`` from the repo root (headline loop, the whole
+      config table, the gigapixel stream), with the bench's internal
+      deadline lifted so a cold warm is never self-truncated;
+    - ``import __graft_entry__`` by its true module name and jit of
+      ``entry()``. Round 3 warmed this under the module name
+      ``_graft_entry_warm`` and the driver still recompiled — warm
+      under the identity the driver imports. (Since the
+      stabilize_kernel_cache_keys() debuginfo strip, Pallas keys no
+      longer embed module identity at all, but driver-exact remains
+      the invariant worth pinning.)
+
+    ``--check`` mode is the staleness gate: it runs the same
+    driver-exact invocations and FAILS (rc 1) if any NEW cache entry
+    appears — i.e. it proves the committed cache is warm at HEAD. Run
+    ``rgnir-tpu warmup`` then ``rgnir-tpu warmup --check`` before
+    committing the cache.
+
+    From an installed wheel (no repo checkout) it warms the package
+    pipeline at the bench shapes instead.
     """
-    import importlib.util
+    import os
+    import subprocess
     import sys
     import time
 
@@ -156,36 +169,39 @@ def cmd_warmup(args) -> int:
     cache = enable_persistent_cache()
     repo = default_cache_dir().parent
     t0 = time.time()
-    warmed = []
-    if (repo / "bench.py").exists() and not args.package_only:
-        # Warm the bench by running the EXACT invocation the driver
-        # uses (`python bench.py` from the repo root), in a subprocess.
-        # Warming it in-process (importing ``bench`` as a module) was
-        # measured to produce DIFFERENT persistent-cache keys for the
-        # same executables — the jaxpr debug metadata embeds the
-        # defining module's import identity (`bench` vs `__main__`),
-        # so a driver cold start recompiled the 8 bench-level jits
-        # (~60 s through the tunnel) even with a freshly warmed cache.
-        import subprocess
 
+    def entries() -> set:
+        return {p.name for p in cache.glob("*")} if cache else set()
+
+    before = entries()
+    warmed = []
+    env = dict(os.environ)
+    # Never let the bench's own deadline watchdog truncate a cold warm
+    # (the watchdog exists for the DRIVER's timed run, not for this).
+    env["RGNIR_BENCH_BUDGET_S"] = "100000"
+    if (repo / "bench.py").exists() and not args.package_only:
         r = subprocess.run(
             [sys.executable, "bench.py"], cwd=str(repo),
-            stdout=subprocess.DEVNULL,
+            stdout=subprocess.DEVNULL, env=env,
         )
         if r.returncode != 0:
             print(f"warmup: bench.py exited {r.returncode}",
                   file=sys.stderr)
             return 1
         warmed.append("bench_as_driver")
-        sys.path.insert(0, str(repo))
-        spec = importlib.util.spec_from_file_location(
-            "_graft_entry_warm", repo / "__graft_entry__.py"
+        code = (
+            "import sys; sys.path.insert(0, %r); "
+            "import __graft_entry__ as g; fn, a = g.entry(); "
+            "import jax; jax.block_until_ready(jax.jit(fn)(*a))"
+            % str(repo)
         )
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
-        fn, fargs = mod.entry()
-        jax.block_until_ready(jax.jit(fn)(*fargs))
-        warmed.append("graft_entry")
+        r = subprocess.run([sys.executable, "-c", code], cwd=str(repo),
+                           env=env)
+        if r.returncode != 0:
+            print(f"warmup: __graft_entry__ exited {r.returncode}",
+                  file=sys.stderr)
+            return 1
+        warmed.append("graft_entry_as_driver")
     else:
         import jax.numpy as jnp
         import numpy as np
@@ -202,17 +218,28 @@ def cmd_warmup(args) -> int:
             res = analyze_image_auto(img, kinds=kinds, with_renders=renders)
             jax.block_until_ready(res.wb)
             warmed.append(f"pipeline{shape}")
-    n_entries = len(list(cache.glob("*"))) if cache else 0
+    after = entries()
+    new = sorted(after - before)
     size_mb = (
         sum(f.stat().st_size for f in cache.glob("*")) / 1e6 if cache else 0
     )
     print(json.dumps({
         "warmed": warmed,
         "cache_dir": str(cache),
-        "entries": n_entries,
+        "entries": len(after),
+        "new_entries": len(new),
         "cache_mb": round(size_mb, 1),
         "seconds": round(time.time() - t0, 1),
+        "check": bool(getattr(args, "check", False)),
     }))
+    if getattr(args, "check", False) and new:
+        print(
+            "warmup --check FAILED: the driver-exact invocations "
+            f"compiled {len(new)} new executable(s) — the committed "
+            "cache is STALE at HEAD. New keys:\n  " + "\n  ".join(new),
+            file=sys.stderr,
+        )
+        return 1
     return 0
 
 
@@ -676,6 +703,11 @@ def build_parser() -> argparse.ArgumentParser:
     wu.add_argument(
         "--package-only", action="store_true",
         help="warm the package pipeline shapes even in a repo checkout",
+    )
+    wu.add_argument(
+        "--check", action="store_true",
+        help="staleness gate: fail if the driver-exact invocations "
+             "compile ANY new cache entry (cache must be warm at HEAD)",
     )
     wu.set_defaults(fn=cmd_warmup)
 
