@@ -84,30 +84,20 @@ def _pair_layout(
     return tuple(pairs), lookup
 
 
-@functools.partial(
-    jax.jit, static_argnames=("pairs", "chunk"), donate_argnums=(1,)
-)
-def _band_joint_hists(
+def _joint_hists_body(
     band: jax.Array,
     acc: jax.Array,
     pairs: Tuple[Tuple[int, int], ...],
     chunk: int,
 ) -> jax.Array:
-    """Accumulate (P, 256, 256) joint histograms of a uint8 band.
+    """Trace-level core of the band reduction (shared by the
+    single-device jit and the shard_map shard body below).
 
-    ``band``: (N, C) uint8 — flattened pixels, C = the referenced
-    channels only (compacted by the caller), padded with zero rows —
-    the caller subtracts the pad count from bin [0, 0].
-    ``acc``: (P, 256, 256) int32, donated.
-    ``chunk``: pixels per one-hot chunk — a STATIC argument, not the
-    module global, so the caller's ``-n % chunk`` pad accounting always
-    matches the executable it actually runs (a trace-time read of
-    ``_CHUNK`` let a cached trace from one chunk size serve a call
-    under another, silently corrupting bin [0, 0]).
-
-    Each chunk builds bf16 one-hots per referenced channel and runs one
-    (256, chunk) x (chunk, 256) MXU contraction per pair; counts are
-    exact (chunk < 2^24) and accumulate in int32.
+    Pads ``band`` to a ``chunk`` multiple with zero rows (the caller
+    accounts for them in bin [0, 0]); each chunk builds bf16 one-hots
+    per referenced channel and runs one (256, chunk) x (chunk, 256)
+    MXU contraction per pair; counts are exact (chunk < 2^24) and
+    accumulate in int32.
     """
     n, n_ch = band.shape
     n_pad = -n % chunk
@@ -138,6 +128,67 @@ def _band_joint_hists(
 
     acc, _ = jax.lax.scan(body, acc, chunks)
     return acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pairs", "chunk"), donate_argnums=(1,)
+)
+def _band_joint_hists(
+    band: jax.Array,
+    acc: jax.Array,
+    pairs: Tuple[Tuple[int, int], ...],
+    chunk: int,
+) -> jax.Array:
+    """Accumulate (P, 256, 256) joint histograms of a uint8 band.
+
+    ``band``: (N, C) uint8 — flattened pixels, C = the referenced
+    channels only (compacted by the caller), padded with zero rows —
+    the caller subtracts the pad count from bin [0, 0].
+    ``acc``: (P, 256, 256) int32, donated.
+    ``chunk``: pixels per one-hot chunk — a STATIC argument, not the
+    module global, so the caller's ``-n % chunk`` pad accounting always
+    matches the executable it actually runs (a trace-time read of
+    ``_CHUNK`` let a cached trace from one chunk size serve a call
+    under another, silently corrupting bin [0, 0]).
+    """
+    return _joint_hists_body(band, acc, pairs, chunk)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pairs", "chunk", "mesh", "axis")
+)
+def _band_joint_hists_sharded(
+    band: jax.Array,
+    acc: jax.Array,
+    pairs: Tuple[Tuple[int, int], ...],
+    chunk: int,
+    mesh: jax.sharding.Mesh,
+    axis: str,
+) -> jax.Array:
+    """Multi-chip band reduction: the flat pixel axis is sharded over
+    the mesh, every device contracts its own range with the same MXU
+    one-hot kernel, and ONE ``psum`` of the tiny (P, 256, 256) partial
+    gathers the band — the per-pixel traffic all stays device-local
+    (the joint histogram is the only thing that crosses ICI).
+
+    ``band`` rows must be divisible by the mesh size (the caller pads
+    and accounts for the pad in bin [0, 0]); ``acc`` is replicated.
+    """
+
+    def shard_body(b: jax.Array, a: jax.Array) -> jax.Array:
+        # pvary: the scan carry must share the shard data's
+        # varying-manual-axes type, or shard_map rejects the scan.
+        zero = jax.lax.pvary(jnp.zeros_like(a), (axis,))
+        h = _joint_hists_body(b, zero, pairs, chunk)
+        return a + jax.lax.psum(h, axis)
+
+    from jax.sharding import PartitionSpec as P
+
+    fn = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(axis, None), P()), out_specs=P(),
+    )
+    return fn(band, acc)
 
 
 def _np_fixed_bins(
@@ -244,6 +295,7 @@ def analyze_mosaic_streamed(
     idx_cfg: IndexConfig = IndexConfig(),
     with_wb: bool = True,
     reduce: str = "device",
+    mesh: Optional[jax.sharding.Mesh] = None,
 ) -> StreamedMosaicResult:
     """Exact WB + index statistics of a mosaic of ANY size on one chip.
 
@@ -266,12 +318,28 @@ def analyze_mosaic_streamed(
         bandwidth (e.g. this environment's tunnel; BENCHMARKS.md
         config 7 arithmetic). Both feed the identical 65536-bin
         closure, so results are bit-identical (tested).
+      mesh: optional 1-D :class:`jax.sharding.Mesh` — shard each band's
+        pixel axis across the mesh devices (``reduce="device"`` only):
+        every chip contracts its own range and one psum of the
+        (P, 256, 256) partial gathers the band. This is the true
+        multi-chip gigapixel path (BASELINE config 5): per-pixel work
+        and transfer scale 1/n_devices, only 256 KB/pair crosses ICI
+        per band. Results are bit-identical to the unsharded path
+        (integer histograms commute).
 
     Returns:
       :class:`StreamedMosaicResult` with exact global statistics.
     """
     if reduce not in ("device", "host"):
         raise ValueError(f"reduce must be 'device' or 'host', got {reduce!r}")
+    if mesh is not None:
+        if reduce != "device":
+            raise ValueError("mesh sharding applies to reduce='device'")
+        if len(mesh.axis_names) != 1:
+            raise ValueError(
+                f"analyze_mosaic_streamed shards over a 1-D mesh; got "
+                f"axes {mesh.axis_names} — reshape to one axis"
+            )
     kinds = tuple(IndexKind.parse(k) for k in kinds)
     pairs, lookup = _pair_layout(kinds)
     if isinstance(bands, np.ndarray) or hasattr(bands, "shape"):
@@ -343,6 +411,14 @@ def analyze_mosaic_streamed(
     acc = jnp.zeros((len(pairs), 256, 256), dtype=jnp.int32)
     pad_total = 0
     chunk = _CHUNK  # snapshot: pad accounting and kernel must agree
+    n_dev = 1
+    axis = sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axis = mesh.axis_names[0]
+        n_dev = mesh.devices.size
+        sharding = NamedSharding(mesh, PartitionSpec(axis, None))
 
     # Double buffer: issue band i+1's transfer before awaiting band i's
     # reduction; JAX dispatch is async so the copy and the MXU overlap.
@@ -359,9 +435,27 @@ def analyze_mosaic_streamed(
             for j, c in enumerate(wire_channels):
                 compact[:, j] = flat[:, c]
             flat = compact
-        nxt = jax.device_put(flat)
-        if pending is not None:
-            acc = _band_joint_hists(pending, acc, compact_pairs, chunk)
+        if mesh is not None:
+            # Equal shards: pad the row count to the device count, then
+            # each shard pads itself to the chunk multiple — all pads
+            # land in bin [0, 0] and are subtracted below.
+            shard_pad = -flat.shape[0] % n_dev
+            if shard_pad:
+                flat = np.concatenate(
+                    [flat, np.zeros((shard_pad, flat.shape[1]), np.uint8)]
+                )
+            local_n = flat.shape[0] // n_dev
+            pad_total += shard_pad + n_dev * (-local_n % chunk)
+            nxt = jax.device_put(flat, sharding)
+            if pending is not None:
+                acc = _band_joint_hists_sharded(
+                    pending, acc, compact_pairs, chunk, mesh, axis
+                )
+        else:
+            pad_total += -n % chunk
+            nxt = jax.device_put(flat)
+            if pending is not None:
+                acc = _band_joint_hists(pending, acc, compact_pairs, chunk)
         if since_flush + n > _FLUSH_AT:
             total += np.asarray(acc).astype(np.int64)
             acc = jnp.zeros((len(pairs), 256, 256), dtype=jnp.int32)
@@ -369,10 +463,14 @@ def analyze_mosaic_streamed(
         pending = nxt
         since_flush += n
         n_pixels += n
-        pad_total += -n % chunk
         n_bands += 1
     if pending is not None:
-        acc = _band_joint_hists(pending, acc, compact_pairs, chunk)
+        if mesh is not None:
+            acc = _band_joint_hists_sharded(
+                pending, acc, compact_pairs, chunk, mesh, axis
+            )
+        else:
+            acc = _band_joint_hists(pending, acc, compact_pairs, chunk)
     total += np.asarray(acc).astype(np.int64)
     if n_pixels == 0:
         raise ValueError("no bands")

@@ -50,6 +50,51 @@ def _reference_stats(img, kind, with_wb=True):
     return index_stats(idx, kind)
 
 
+class TestShardedStream:
+    """mesh= shards each band's pixel axis across devices; the psum'd
+    integer joint histograms must be BIT-identical to the unsharded
+    reduction (integer adds commute), at awkward row counts that
+    exercise both the shard pad and each shard's chunk pad."""
+
+    def test_sharded_matches_unsharded(self, rng):
+        from rgnir_tpu.parallel.mesh import make_mesh
+
+        img = _mosaic(rng, 131, 97)  # 131*97 odd vs 8 shards and chunk
+        mesh = make_mesh((8,), ("d",))
+        plain = analyze_mosaic_streamed(
+            img, kinds=("NDVI", "NDWI"), band_rows=37
+        )
+        shard = analyze_mosaic_streamed(
+            img, kinds=("NDVI", "NDWI"), band_rows=37, mesh=mesh
+        )
+        assert shard.n_pixels == plain.n_pixels == 131 * 97
+        for k in ("NDVI", "NDWI"):
+            for f in ("mean", "median", "std", "min", "max",
+                      "coverage_pct"):
+                assert float(getattr(shard.stats[k], f)) == float(
+                    getattr(plain.stats[k], f)
+                ), (k, f)
+            np.testing.assert_array_equal(
+                shard.stats[k].histogram, plain.stats[k].histogram
+            )
+        np.testing.assert_array_equal(
+            np.asarray(shard.wb_lo), np.asarray(plain.wb_lo)
+        )
+
+    def test_mesh_rejects_host_reduce_and_2d(self, rng):
+        from rgnir_tpu.parallel.mesh import make_mesh
+
+        img = _mosaic(rng, 16, 16)
+        with pytest.raises(ValueError, match="reduce='device'"):
+            analyze_mosaic_streamed(
+                img, mesh=make_mesh((8,), ("d",)), reduce="host"
+            )
+        with pytest.raises(ValueError, match="1-D mesh"):
+            analyze_mosaic_streamed(
+                img, mesh=make_mesh((4, 2), ("a", "b"))
+            )
+
+
 class TestStreamedExactness:
     @pytest.mark.parametrize("kind", ["NDVI", "GNDVI", "NDWI"])
     def test_matches_in_memory_path(self, rng, kind):
