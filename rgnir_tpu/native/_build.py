@@ -26,11 +26,17 @@ class NativeLib:
         so: Path,
         link_flags: List[str],
         register: Callable[[ctypes.CDLL], None],
+        try_native_arch: bool = False,
     ) -> None:
         self._src = src
         self._so = so
         self._link_flags = list(link_flags)
         self._register = register
+        # The .so is built ON the host that runs it (never shipped), so
+        # -march=native is safe and unlocks AVX-512 paths guarded by
+        # #ifdef in the source; retried without the flag if the local
+        # toolchain rejects it (non-x86, old g++).
+        self._try_native_arch = try_native_arch
         self._lock = threading.Lock()
         self._lib: Optional[ctypes.CDLL] = None
         self._error: Optional[str] = None
@@ -50,12 +56,23 @@ class NativeLib:
                     # build failure).
                     tmp = self._so.with_suffix(f".tmp{os.getpid()}.so")
                     try:
-                        subprocess.run(
-                            ["g++", "-O3", "-std=c++17", "-shared",
-                             "-fPIC", str(self._src), "-o", str(tmp),
-                             *self._link_flags],
-                            check=True, capture_output=True, text=True,
+                        attempts = (
+                            (["-march=native"], [])
+                            if self._try_native_arch else ([],)
                         )
+                        for i, extra in enumerate(attempts):
+                            try:
+                                subprocess.run(
+                                    ["g++", "-O3", *extra, "-std=c++17",
+                                     "-shared", "-fPIC", str(self._src),
+                                     "-o", str(tmp), *self._link_flags],
+                                    check=True, capture_output=True,
+                                    text=True,
+                                )
+                                break
+                            except subprocess.CalledProcessError:
+                                if i == len(attempts) - 1:
+                                    raise
                         os.replace(tmp, self._so)
                     finally:
                         tmp.unlink(missing_ok=True)

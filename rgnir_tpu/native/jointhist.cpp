@@ -25,9 +25,118 @@
 #include <thread>
 #include <vector>
 
+#if defined(__AVX512VBMI__) && defined(__AVX512BW__)
+#define JH_HAVE_AVX512 1
+#include <immintrin.h>
+#endif
+
 namespace {
 
 constexpr int kBins = 256 * 256;
+
+#ifdef JH_HAVE_AVX512
+// AVX-512 VBMI bin-gather + run-length-coalesced increment sweep for
+// the single-pair stride-3 case. One vpermb per channel turns a
+// 64-byte load (16 pixels + over-read) into contiguous u16 bins,
+// removing the strided address math from the critical path. Same-host
+// interleaved A/B vs the scalar loop below (benchmarks/exp_jointhist,
+// 24 MPix x 9 rounds, median): 64-px runs 1010 vs 565 MPix/s (+79%),
+// 2-bin ripple 624 vs 562 (+11%), uniform noise 711 vs 835 (-15%) —
+// the scalar loop keeps noise-like content (see prefer_simd).
+void simd_coalesced_range(const uint8_t* px, int64_t begin, int64_t end,
+                          int a, int b, uint32_t* hist) {
+  constexpr int64_t B = 8192;
+  alignas(64) uint16_t bins[B];
+  alignas(64) uint8_t idxa[64], idxb[64];
+  for (int i = 0; i < 16; ++i) {
+    idxa[i] = static_cast<uint8_t>(3 * i + a);
+    idxb[i] = static_cast<uint8_t>(3 * i + b);
+  }
+  for (int i = 16; i < 64; ++i) idxa[i] = idxb[i] = 0;
+  const __m512i va = _mm512_load_si512(idxa);
+  const __m512i vb = _mm512_load_si512(idxb);
+  if (begin >= end) return;
+  // 16 px per iteration reads 48 + 16 bytes of over-read: stop 6 px
+  // short of `end` so the read never passes the caller's range (a
+  // threaded sibling owns the bytes beyond it, but the BUFFER may
+  // also end exactly at `end`).
+  const int64_t simd_end =
+      (end - begin > 22)
+          ? begin + ((end - 6 - begin) & ~int64_t(15))
+          : begin;
+  const uint8_t* p0 = px + begin * 3;
+  uint32_t prev = (static_cast<uint32_t>(p0[a]) << 8) | p0[b];
+  uint32_t count = 0;
+  for (int64_t base = begin; base < simd_end; base += B) {
+    const int64_t m = (simd_end - base) < B ? (simd_end - base) : B;
+    const uint8_t* p = px + base * 3;
+    for (int64_t k = 0; k + 16 <= m; k += 16) {
+      const __m512i z = _mm512_loadu_si512(p + k * 3);
+      const __m128i av =
+          _mm512_castsi512_si128(_mm512_permutexvar_epi8(va, z));
+      const __m128i bv =
+          _mm512_castsi512_si128(_mm512_permutexvar_epi8(vb, z));
+      // bin = (A << 8) | B -> u16 with low byte B, high byte A.
+      _mm_store_si128(reinterpret_cast<__m128i*>(bins + k),
+                      _mm_unpacklo_epi8(bv, av));
+      _mm_store_si128(reinterpret_cast<__m128i*>(bins + k + 8),
+                      _mm_unpackhi_epi8(bv, av));
+    }
+    for (int64_t k = 0; k < m; ++k) {
+      const uint32_t bin = bins[k];
+      if (bin == prev) {
+        ++count;
+      } else {
+        hist[prev] += count;
+        prev = bin;
+        count = 1;
+      }
+    }
+  }
+  for (int64_t i = simd_end; i < end; ++i) {
+    const uint8_t* row = px + i * 3;
+    const uint32_t bin = (static_cast<uint32_t>(row[a]) << 8) | row[b];
+    if (bin == prev) {
+      ++count;
+    } else {
+      hist[prev] += count;
+      prev = bin;
+      count = 1;
+    }
+  }
+  hist[prev] += count;
+}
+
+// Content probe: the SIMD sweep wins on coalescible content (adjacent
+// runs) and on small working sets of bins (palette-like content whose
+// same-bin store chains throttle the scalar loop's wider body); the
+// scalar loop wins only on high-entropy noise-like content. Sample
+// ~2048 adjacent pairs evenly across the range; runs OR a small
+// distinct-bin count pick SIMD.
+bool prefer_simd(const uint8_t* px, int64_t begin, int64_t end, int a,
+                 int b) {
+  const int64_t n = end - begin;
+  if (n < (1 << 16)) return false;  // too small for the probe to pay
+  const int64_t samples = 2048;
+  const int64_t step = n / samples;
+  int64_t equal = 0;
+  static thread_local uint8_t seen[kBins / 8];
+  std::memset(seen, 0, sizeof(seen));
+  int distinct = 0;
+  for (int64_t s = 0; s < samples; ++s) {
+    const uint8_t* row = px + (begin + s * step) * 3;
+    const uint32_t bin0 = (static_cast<uint32_t>(row[a]) << 8) | row[b];
+    const uint32_t bin1 =
+        (static_cast<uint32_t>(row[3 + a]) << 8) | row[3 + b];
+    equal += (bin0 == bin1);
+    if (!(seen[bin0 >> 3] & (1u << (bin0 & 7)))) {
+      seen[bin0 >> 3] |= 1u << (bin0 & 7);
+      ++distinct;
+    }
+  }
+  return equal * 8 >= samples || distinct < (samples >> 2);
+}
+#endif  // JH_HAVE_AVX512
 
 void accumulate_range(const uint8_t* px, int64_t begin, int64_t end,
                       int stride, const int* ca, const int* cb,
@@ -49,6 +158,12 @@ void accumulate_range(const uint8_t* px, int64_t begin, int64_t end,
     // same u32 counters, just batched.
     const int a = ca[0], b = cb[0];
     if (begin >= end) return;
+#ifdef JH_HAVE_AVX512
+    if (stride == 3 && prefer_simd(px, begin, end, a, b)) {
+      simd_coalesced_range(px, begin, end, a, b, hist);
+      return;
+    }
+#endif
     const uint8_t* row = px + begin * stride;
     uint32_t prev = (static_cast<uint32_t>(row[a]) << 8) | row[b];
     uint32_t count = 1;

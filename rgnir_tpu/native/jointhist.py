@@ -33,7 +33,7 @@ def _register(lib: ctypes.CDLL) -> None:
 
 _NATIVE = NativeLib(
     _DIR / "jointhist.cpp", _DIR / "_jointhist.so", ["-lpthread"],
-    _register,
+    _register, try_native_arch=True,
 )
 
 

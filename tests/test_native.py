@@ -445,6 +445,31 @@ class TestJointHist:
         got = jointhist.accumulate(const, ((0, 1),))
         assert got[0, 7, 7] == 4096 and got.sum() == 4096
 
+    def test_simd_adaptive_path_matches_numpy(self, jointhist):
+        """Bands >= 2^16 pixels probe their content and may take the
+        AVX-512 gather + coalesced sweep (jointhist.cpp
+        simd_coalesced_range; scalar loop on hosts without VBMI).
+        Exercise every probe outcome at awkward (non-multiple-of-16)
+        sizes: run-heavy (SIMD), palette-like 2-bin ripple (SIMD via
+        the distinct-bin rule), uniform noise (scalar), and both pair
+        orders — counts must be exact in all of them."""
+        rng = np.random.default_rng(15)
+        n = (1 << 17) + 13  # above the probe floor, ragged SIMD tail
+        runs = np.repeat(
+            rng.integers(0, 256, (n // 64 + 1, 3), dtype=np.uint8), 64,
+            axis=0,
+        )[:n].copy()
+        ripple = np.empty((n, 3), np.uint8)
+        ripple[0::2] = 37
+        ripple[1::2] = 201
+        noise = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        for flat in (runs, ripple, noise):
+            for pairs in (((0, 2),), ((2, 1),)):
+                got = jointhist.accumulate(flat, pairs)
+                np.testing.assert_array_equal(
+                    got, self._numpy_joint(flat, pairs)
+                )
+
     def test_multithreaded_equals_single(self, jointhist):
         # force the threaded path (n >= 1<<22 rows)
         rng = np.random.default_rng(13)
