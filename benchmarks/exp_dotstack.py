@@ -59,13 +59,23 @@ def _i256(idx, n):
     return q.reshape(1, n)
 
 
-def _render_kernel(idx_ref, lut_ref, out_ref, *, stacked: bool):
+def _onehot16b(v, nib_col):
+    # direct i1->bf16 select fails Mosaic relayout ((8,128) mask tiling
+    # vs (16,128) bf16 tiling); go through f32 and downcast
+    return _onehot16(v, nib_col).astype(jnp.bfloat16)
+
+
+def _render_kernel(idx_ref, lut_ref, out_ref, *, stacked: bool,
+                   bf16: bool = False):
     br, wc = idx_ref.shape[1], idx_ref.shape[2]
     n = br * wc
     nib = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+    oh = _onehot16b if bf16 else _onehot16
     i256 = [_i256(idx_ref[k], n) for k in range(K)]
-    oh_hi = [_onehot16(i256[k] >> 4, nib) for k in range(K)]
-    oh_lo = [_onehot16(i256[k] & 15, nib) for k in range(K)]
+    oh_hi = [oh(i256[k] >> 4, nib) for k in range(K)]
+    oh_lo = [
+        _onehot16(i256[k] & 15, nib) for k in range(K)
+    ]  # lo feeds a VPU multiply-reduce vs f32 cand — keep f32
     if stacked:
         oh = jnp.concatenate(oh_hi, axis=0)  # (48, n)
         planes = jax.lax.dot_general(
@@ -82,8 +92,12 @@ def _render_kernel(idx_ref, lut_ref, out_ref, *, stacked: bool):
     else:
         cands = []
         for k in range(K):
+            blk = lut_ref[k * 48:k * 48 + 48, k * 16:k * 16 + 16]
+            if bf16:
+                # byte*2^k entries are <= 8 mantissa bits: bf16-exact
+                blk = blk.astype(jnp.bfloat16)
             candT = jax.lax.dot_general(
-                lut_ref[k * 48:k * 48 + 48, k * 16:k * 16 + 16], oh_hi[k],
+                blk, oh_hi[k],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (48, n)
@@ -93,7 +107,8 @@ def _render_kernel(idx_ref, lut_ref, out_ref, *, stacked: bool):
         out_ref[k] = val.reshape(br, wc).astype(jnp.int32)
 
 
-def _r0_kernel(idx_ref, out_ref, *, stacked: bool, nc: int = 2):
+def _r0_kernel(idx_ref, out_ref, *, stacked: bool, nc: int = 2,
+               bf16: bool = False):
     @pl.when(pl.program_id(0) == 0)
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
@@ -101,9 +116,10 @@ def _r0_kernel(idx_ref, out_ref, *, stacked: bool, nc: int = 2):
     br, wc = idx_ref.shape[1], idx_ref.shape[2]
     n = br * wc
     nib = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+    oh = _onehot16b if bf16 else _onehot16
     i256 = [_i256(idx_ref[k], n) for k in range(nc)]
-    oh_hi = [_onehot16(i256[k] >> 4, nib) for k in range(nc)]
-    oh_lo = [_onehot16(i256[k] & 15, nib) for k in range(nc)]
+    oh_hi = [oh(i256[k] >> 4, nib) for k in range(nc)]
+    oh_lo = [oh(i256[k] & 15, nib) for k in range(nc)]
     if stacked:
         hi = jnp.concatenate(oh_hi, axis=0)  # (32, n)
         lo = jnp.concatenate(oh_lo, axis=0)
@@ -149,8 +165,8 @@ def main() -> None:
         ).astype(np.float32) * np.repeat([65536.0, 256.0, 1.0], 16)[:, None]
     lut = jax.device_put(jnp.asarray(lut))
 
-    def render(stacked):
-        kern = functools.partial(_render_kernel, stacked=stacked)
+    def render(stacked, bf16=False):
+        kern = functools.partial(_render_kernel, stacked=stacked, bf16=bf16)
         return pl.pallas_call(
             kern,
             grid=grid,
@@ -165,8 +181,8 @@ def main() -> None:
             out_shape=jax.ShapeDtypeStruct((K, rows, LANES), jnp.int32),
         )
 
-    def r0(stacked):
-        kern = functools.partial(_r0_kernel, stacked=stacked)
+    def r0(stacked, bf16=False):
+        kern = functools.partial(_r0_kernel, stacked=stacked, bf16=bf16)
         return pl.pallas_call(
             kern,
             grid=grid,
@@ -183,8 +199,8 @@ def main() -> None:
     # of the fori_loop as loop-invariant): xor the output's low bit into
     # the input's mantissa LSB — value drift ~1e-7, bin distribution and
     # kernel cost unchanged, constant 2 VPU ops/element across variants.
-    def body_render(stacked):
-        call = render(stacked)
+    def body_render(stacked, bf16=False):
+        call = render(stacked, bf16)
         def go(i, carry):
             x, acc = carry
             out = call(x, lut)
@@ -193,8 +209,8 @@ def main() -> None:
             return nxt, acc + jnp.sum(out[:, :1, :1].astype(jnp.float32))
         return go
 
-    def body_r0(stacked):
-        call = r0(stacked)
+    def body_r0(stacked, bf16=False):
+        call = r0(stacked, bf16)
         def go(i, carry):
             x, acc = carry
             out = call(x)
@@ -206,21 +222,30 @@ def main() -> None:
             return nxt, acc + jnp.sum(out.astype(jnp.float32))
         return go
 
-    # correctness gates: stacked == separate, bitwise
+    # correctness gates: stacked == separate == bf16, bitwise
     np.testing.assert_array_equal(
         np.asarray(render(True)(idx, lut)),
         np.asarray(render(False)(idx, lut)),
     )
     np.testing.assert_array_equal(
+        np.asarray(render(False, True)(idx, lut)),
+        np.asarray(render(False)(idx, lut)),
+    )
+    np.testing.assert_array_equal(
         np.asarray(r0(True)(idx)), np.asarray(r0(False)(idx))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r0(False, True)(idx)), np.asarray(r0(False)(idx))
     )
 
     res = chain_time_ab(
         {
             "render_sep": body_render(False),
             "render_stk": body_render(True),
+            "render_bf16": body_render(False, True),
             "r0_sep": body_r0(False),
             "r0_stk": body_r0(True),
+            "r0_bf16": body_r0(False, True),
         },
         (idx, jnp.zeros(())), ns=(10, 60), reps=6,
     )

@@ -673,8 +673,26 @@ def _fused_call(
     if n_valid is None:
         n_valid = n
     if block_r is None:
-        # ge matrix (64,n) + one-hots cap the fused working set
-        block_r = auto_block_r(n, cap=32, kernel="fused")
+        # The 50-bin histogram's (64, n_blk) ge matrix dominates the
+        # working set when present, so hist-on and hist-off footprints
+        # have DIFFERENT VMEM ceilings — they are tuned as separate
+        # autotune variants. Hist-off (the batch/stream/mosaic paths)
+        # measured monotonically faster up to block_r=64 at the 3-kind
+        # +renders footprint (benchmarks/exp_blockr_fused.py,
+        # 2026-08-19: br8 2.91 / br16 2.78 / br32 2.722 / br64
+        # 2.687 ms; br128 exceeds the 16 MB scoped-VMEM limit), so its
+        # heuristic cap is 64; hist-on keeps the conservative 32.
+        if with_hist:
+            block_r = auto_block_r(n, cap=32, kernel="fused_hist")
+        else:
+            # the per-kind working set scales with K: beyond the swept
+            # 3-kind footprint keep the conservative cap AND skip the
+            # tuned winner (both were measured at K<=3; a register_
+            # index() call can legally ask for many kinds at once)
+            if k <= 3:
+                block_r = auto_block_r(n, cap=64, kernel="fused")
+            else:
+                block_r = auto_block_r(n, cap=32)
     flat = flatten_to_rows(img_pl, block_r)  # (C, [B,] R, 1024)
     rpf = flat.shape[-2]  # rows per frame
     if batched:

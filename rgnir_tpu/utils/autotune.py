@@ -182,14 +182,33 @@ def tune_kernels(
                 return c ^ h[0, 0].astype(jnp.uint8)
             return body
 
-        def fused_body(br):
+        def fused_hist_body(br):
+            # hist ON: the single-report flow; (64, n_blk) ge matrix
+            # dominates VMEM, so its ceiling differs from hist-off —
+            # tuned and seeded as a separate variant ("fused_hist").
             def body(i, c):
                 h = planar_histograms_pallas(c)
                 lo, hi = wb_bounds_from_histogram(h, n=n)
                 wb, idx, rgb, st = fused_analyze_pallas(
-                    c, lo, hi, kinds, block_r=br
+                    c, lo, hi, kinds, block_r=br, with_hist=True
                 )
                 return wb
+            return body
+
+        def fused_body(br):
+            # hist OFF: the batch/stream/mosaic production invocation
+            # (renders + q24 round-0 + antipodal NDWI), mirroring the
+            # bench config-2 step
+            def body(i, c):
+                h = planar_histograms_pallas(c)
+                lo, hi = wb_bounds_from_histogram(h, n=n)
+                out = fused_analyze_pallas(
+                    c, lo, hi, kinds, block_r=br, with_hist=False,
+                    with_renders=True, with_round0=True,
+                    round0_digit="q24", round0_kinds=(True, True, False),
+                    antipodal=(None, None, 1), with_idx_rows=True,
+                )
+                return out[0]
             return body
 
         # Mirror the PRODUCTION select: quantized q24 with the fused
@@ -222,6 +241,7 @@ def tune_kernels(
         for kernel, mk, carry in (
             ("hist", hist_body, img),
             ("fused", fused_body, img),
+            ("fused_hist", fused_hist_body, img),
             ("select", select_body, idxmap),
         ):
             bodies = {}
