@@ -1062,7 +1062,16 @@ def fused_analyze_pallas(
     # rows-per-block condition is decidable before the jit boundary.
     n = int(img_pl.shape[-2]) * int(img_pl.shape[-1])
     if block_r is None:
-        block_r = auto_block_r(n, cap=32, kernel="fused")
+        # Variant-keyed block choice — see the matching comment in
+        # _fused_call (hist-on/off have different VMEM ceilings; the
+        # hist-off sweep adopted 64, K>3 keeps the conservative
+        # heuristic).
+        if with_hist:
+            block_r = auto_block_r(n, cap=32, kernel="fused_hist")
+        elif len(kinds) <= 3:
+            block_r = auto_block_r(n, cap=64, kernel="fused")
+        else:
+            block_r = auto_block_r(n, cap=32)
     nv_static = (
         n if n_valid is None
         else (int(n_valid) if isinstance(n_valid, (int, np.integer))

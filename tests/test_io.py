@@ -547,6 +547,60 @@ class TestAutotuneCache:
         # no kernel tag -> heuristic untouched
         assert auto_block_r(n) == base
 
+    def test_fused_variant_split_consults_distinct_keys(self, rng):
+        """The fused kernel's block choice is keyed by the histogram
+        flag (hist-on and hist-off have different VMEM ceilings —
+        BENCHMARKS.md round-4 re-tune): a tuned ``fused`` winner must
+        steer only with_hist=False calls, ``fused_hist`` only
+        with_hist=True, and K>3 custom-kind calls must ignore the
+        K<=3-tuned ``fused`` winner entirely (working set scales with
+        K). Pinned via the kernels' actual grid: grid steps =
+        rows / block_r."""
+        import jax.numpy as jnp
+
+        from rgnir_tpu.config import IndexKind, register_index
+        from rgnir_tpu.kernels.fused import fused_analyze_pallas
+        from rgnir_tpu.utils import autotune
+
+        h = w = 128  # 16384 px -> 16 rows
+        n = h * w
+        autotune.store_block_r("fused", n, 16)
+        autotune.store_block_r("fused_hist", n, 8)
+        img = jnp.asarray(rng.integers(0, 256, (3, h, w), dtype=np.uint8))
+        lo = jnp.zeros(3, jnp.float32)
+        hi = jnp.full(3, 255.0, jnp.float32)
+
+        def grid_steps(**kw):
+            import unittest.mock as mock
+
+            from rgnir_tpu.kernels import fused as fused_mod
+
+            real = fused_mod.auto_block_r
+            calls = []
+
+            def spy(*a, **k):
+                r = real(*a, **k)
+                calls.append((k.get("kernel"), r))
+                return r
+
+            with mock.patch.object(fused_mod, "auto_block_r", spy):
+                fused_analyze_pallas(img, lo, hi, **kw)
+            return calls
+
+        three = (IndexKind.NDVI, IndexKind.GNDVI, IndexKind.NDWI)
+        assert grid_steps(kinds=three, with_hist=False) == [("fused", 16)]
+        assert grid_steps(kinds=three, with_hist=True) == [
+            ("fused_hist", 8)
+        ]
+        # K>3: no tuned lookup (kernel tag omitted -> heuristic only;
+        # the stored fused winner was measured at K<=3)
+        register_index("BLKT1", (2, 0))
+        register_index("BLKT2", (2, 1))
+        five = three + (
+            IndexKind.parse("BLKT1"), IndexKind.parse("BLKT2")
+        )
+        assert grid_steps(kinds=five, with_hist=False) == [(None, 16)]
+
     def test_kernel_accepts_cached_block(self, rng):
         """The hist kernel runs with a cache-provided block size and
         keeps exact counts."""
