@@ -154,5 +154,14 @@ def enable_persistent_cache(cache_dir: Optional[os.PathLike] = None) -> Optional
     cache_dir = Path(cache_dir)
     cache_dir.mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Persist EVERY compile, not just slow ones. JAX's default 1 s
+    # threshold makes the committed cache contention-dependent: a jit
+    # that compiles in 0.9 s during `warmup` is silently NOT persisted,
+    # then the driver's identical run in a slower window compiles it in
+    # 1.1 s and writes a new entry — `warmup --check` passes or fails
+    # with the weather. Observed live (2026-08-20): the warmup bench
+    # run skipped persisting jit__band_joint_hists; the driver-shaped
+    # rerun minutes later persisted it. Small-jit clutter is bounded
+    # (tens of KB) and determinism of the staleness gate wins.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     return cache_dir
