@@ -54,11 +54,21 @@ def _log(msg: str) -> None:
 # exactly one JSON line from here. `emit` is idempotent-guarded so the
 # deadline and the normal path cannot both print.
 
+# Best NumPy-baseline throughput ever observed for this exact loop on
+# THIS host (round 1, quiet window). The live denominator below swings
+# 2.4-9.0 MPix/s with contention on the shared 1-core host, which makes
+# the live vs_baseline ratio swing inversely; dividing by the PINNED
+# best-observed value instead gives a contention-proof LOWER bound on
+# the speedup (the baseline can only be slower than its best).
+_BASELINE_BEST_OBSERVED = 9.0
+
 _STATE = {
     "metric": "fused WB+NDVI+stats+colormap throughput (1024^2 batch)",
     "value": None,
     "unit": "MPix/s/chip",
     "vs_baseline": None,
+    "vs_baseline_conservative": None,
+    "baseline_best_observed_mpix_s": _BASELINE_BEST_OBSERVED,
 }
 _STATE_LOCK = threading.Lock()
 _EMITTED = False
@@ -97,6 +107,16 @@ def _start_watchdog(deadline: float) -> None:
 
 
 # ----------------------------------------------------------------------
+
+
+def _update_ratios(value: float) -> None:
+    """Set both speedup ratios for a new headline value: the live one
+    (vs this window's measured denominator) and the conservative one
+    (vs the pinned best-observed denominator — a lower bound)."""
+    base = _STATE.get("baseline_mpix_s")
+    if base:
+        _update(vs_baseline=round(value / base, 2))
+    _update(vs_baseline_conservative=round(value / _BASELINE_BEST_OBSERVED, 2))
 
 
 def numpy_reference_mpix_s(img: np.ndarray, repeats: int = 5):
@@ -218,9 +238,7 @@ def device_mpix_s(deadline: float, batch: int = 8, size: int = 1024) -> float:
     if dt > 0:
         quick = mpix / dt
         _update(value=round(quick, 1), timing="quick_slope_5_55")
-        base = _STATE.get("baseline_mpix_s")
-        if base:
-            _update(vs_baseline=round(quick / base, 2))
+        _update_ratios(quick)
         _log(f"device quick headline: {quick:.1f} MPix/s "
              f"(single 5<->55 slope — refining)")
 
@@ -248,9 +266,7 @@ def device_mpix_s(deadline: float, batch: int = 8, size: int = 1024) -> float:
             refined = mpix / dt
             _update(value=round(refined, 1),
                     timing=f"min_slope_10_110_x{rounds}")
-            base = _STATE.get("baseline_mpix_s")
-            if base:
-                _update(vs_baseline=round(refined / base, 2))
+            _update_ratios(refined)
             _log(f"device refined: {refined:.1f} MPix/s "
                  f"({dt*1e3:.2f} ms / {mpix:.0f} MPix batch, "
                  f"alternating minima x{rounds})")
@@ -308,9 +324,11 @@ def main() -> None:
 
     dev = device_mpix_s(deadline=deadline - 10.0)
     if dev:
-        _update(vs_baseline=round(dev / base, 2))
+        _update_ratios(dev)
         _log(f"device {dev:.1f} MPix/s | numpy baseline {base:.1f} MPix/s "
-             f"| vs_baseline {dev / base:.1f}x")
+             f"| vs_baseline {dev / base:.1f}x "
+             f"(conservative {dev / _BASELINE_BEST_OBSERVED:.1f}x vs "
+             f"best-observed baseline)")
 
     configs, skipped = full_config_table(deadline=deadline - 8.0)
     for rec in configs:
