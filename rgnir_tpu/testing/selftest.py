@@ -36,7 +36,18 @@ def check(name: str, ok: bool, detail: str = "") -> None:
 def main() -> int:
     from rgnir_tpu.utils import enable_compilation_cache
 
-    enable_compilation_cache()
+    # Machine-local cache, NOT the repo-committed artifact: selftest
+    # compiles every kernel at deliberately awkward one-off shapes that
+    # no production path ever loads (one run persisted 206 entries into
+    # .jax_cache before this). A re-run on the same machine still hits
+    # this dir. RGNIR_COMPILE_CACHE_DIR still overrides (empty value =
+    # cache disabled, same contract as enable_persistent_cache).
+    import os
+    env = os.environ.get("RGNIR_COMPILE_CACHE_DIR")
+    if env is None:
+        enable_compilation_cache("/tmp/rgnir_selftest_cache")
+    elif env:
+        enable_compilation_cache(env)
     FAILURES.clear()
     rng = np.random.default_rng(7)
     print(json.dumps({"devices": [str(d) for d in jax.devices()]}),
