@@ -532,7 +532,19 @@ def cmd_tune(args) -> int:
     """Measure kernel block-size sweet spots on the attached device and
     cache the winners (utils/autotune.py); subsequent runs pick them up
     automatically."""
+    import os
+
     from rgnir_tpu.utils.autotune import cache_path, tune_kernels
+
+    # The sweep compiles MANY block-size variants that production never
+    # loads — keep them out of the repo-committed .jax_cache (same
+    # hygiene as selftest; every compile persists now). Re-pointing the
+    # cache dir here is effective because it is read at compile time
+    # and no kernel has compiled yet.
+    if os.environ.get("RGNIR_COMPILE_CACHE_DIR") is None:
+        from rgnir_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache("/tmp/rgnir_tune_cache")
 
     sizes = (
         tuple(int(s) for s in args.sizes.split(","))

@@ -351,3 +351,44 @@ class TestStreaming:
                 )
             results = list(an.run_from_ring(ring, max_frames=3))
         assert [r.frame_id for r in results] == [0, 1, 2]
+
+
+class TestSweepCacheHygiene:
+    """selftest and tune compile one-off shapes (awkward selftest
+    inputs, block-size sweep variants) that no production path ever
+    loads; with every compile persisted they must NOT land in the
+    repo-committed .jax_cache (a single selftest run once wrote 206
+    junk entries there)."""
+
+    def test_cmd_tune_redirects_compile_cache(self, monkeypatch):
+        import jax
+
+        seen = {}
+
+        def fake_tune(sizes):
+            seen["sizes"] = sizes
+            seen["cache_dir"] = jax.config.jax_compilation_cache_dir
+            return {}
+
+        monkeypatch.delenv("RGNIR_COMPILE_CACHE_DIR", raising=False)
+        monkeypatch.setattr(
+            "rgnir_tpu.utils.autotune.tune_kernels", fake_tune
+        )
+        rc = main(["tune", "--sizes", "512"])
+        assert rc == 0
+        assert seen["sizes"] == (512,)
+        assert seen["cache_dir"] == "/tmp/rgnir_tune_cache"
+
+    def test_cmd_tune_honors_env_override(self, monkeypatch, tmp_path):
+        import jax
+
+        seen = {}
+        monkeypatch.setenv("RGNIR_COMPILE_CACHE_DIR", str(tmp_path / "c"))
+        monkeypatch.setattr(
+            "rgnir_tpu.utils.autotune.tune_kernels",
+            lambda sizes: seen.update(
+                cache_dir=jax.config.jax_compilation_cache_dir
+            ) or {},
+        )
+        assert main(["tune", "--sizes", "512"]) == 0
+        assert seen["cache_dir"] == str(tmp_path / "c")
