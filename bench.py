@@ -57,10 +57,21 @@ def _log(msg: str) -> None:
 # Best NumPy-baseline throughput ever observed for this exact loop on
 # THIS host (round 1, quiet window). The live denominator below swings
 # 2.4-9.0 MPix/s with contention on the shared 1-core host, which makes
-# the live vs_baseline ratio swing inversely; dividing by the PINNED
-# best-observed value instead gives a contention-proof LOWER bound on
-# the speedup (the baseline can only be slower than its best).
+# the live vs_baseline ratio swing inversely; dividing by the larger of
+# the PINNED best-observed value and this window's live measurement
+# instead gives a contention-proof LOWER bound on the speedup (the
+# denominator can only be >= whichever of the two is real right now).
 _BASELINE_BEST_OBSERVED = 9.0
+
+# Last-known-good measurement from a committed reference run (written by
+# `python bench.py --record-reference` during the warmup gate). Used
+# ONLY if the watchdog fires before the first live device call returns:
+# the emitted value is then this number, clearly labeled
+# live_measurement=false — an artifact from a stalled-tunnel window
+# should say "the chip measured X when reachable", not null.
+_REFERENCE_RESULT_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_reference_result.json"
+)
 
 _STATE = {
     "metric": "fused WB+NDVI+stats+colormap throughput (1024^2 batch)",
@@ -69,6 +80,10 @@ _STATE = {
     "vs_baseline": None,
     "vs_baseline_conservative": None,
     "baseline_best_observed_mpix_s": _BASELINE_BEST_OBSERVED,
+    "live_measurement": False,
+    # Updated right before every potentially-blocking device call; if
+    # the watchdog fires mid-call the JSON pinpoints the stall.
+    "stall_phase": "startup",
 }
 _STATE_LOCK = threading.Lock()
 _EMITTED = False
@@ -87,6 +102,26 @@ def _emit_and_flush() -> bool:
         if _EMITTED:
             return False
         _EMITTED = True
+        if _STATE["value"] is None:
+            # No live device number landed before the deadline (tunnel
+            # queued us out for the whole budget). Fall back to the
+            # committed reference run, clearly labeled non-live.
+            try:
+                with open(_REFERENCE_RESULT_PATH) as f:
+                    ref = json.load(f)
+                _STATE["value"] = ref.get("value")
+                _STATE["timing"] = "committed_reference_run"
+                _STATE["reference_run"] = ref
+                v = _STATE["value"]
+                if v:
+                    base = max(_STATE.get("baseline_mpix_s") or 0.0,
+                               _BASELINE_BEST_OBSERVED)
+                    _STATE["vs_baseline_conservative"] = round(v / base, 2)
+                    if _STATE.get("baseline_mpix_s"):
+                        _STATE["vs_baseline"] = round(
+                            v / _STATE["baseline_mpix_s"], 2)
+            except (OSError, ValueError):
+                pass
         line = json.dumps(_STATE)
     print(line, flush=True)
     return True
@@ -112,11 +147,18 @@ def _start_watchdog(deadline: float) -> None:
 def _update_ratios(value: float) -> None:
     """Set both speedup ratios for a new headline value: the live one
     (vs this window's measured denominator) and the conservative one
-    (vs the pinned best-observed denominator — a lower bound)."""
+    (vs the larger of the pinned best-observed denominator and this
+    window's live one — so it stays a true lower bound even if a quiet
+    window measures the baseline above the pin)."""
     base = _STATE.get("baseline_mpix_s")
     if base:
         _update(vs_baseline=round(value / base, 2))
-    _update(vs_baseline_conservative=round(value / _BASELINE_BEST_OBSERVED, 2))
+        if base > _BASELINE_BEST_OBSERVED:
+            _log(f"NOTE: live baseline {base:.2f} MPix/s beats the pinned "
+                 f"best-observed {_BASELINE_BEST_OBSERVED} — update "
+                 f"_BASELINE_BEST_OBSERVED in bench.py")
+    denom = max(base or 0.0, _BASELINE_BEST_OBSERVED)
+    _update(vs_baseline_conservative=round(value / denom, 2))
 
 
 def numpy_reference_mpix_s(img: np.ndarray, repeats: int = 5):
@@ -166,6 +208,34 @@ def numpy_reference_mpix_s(img: np.ndarray, repeats: int = 5):
     return mpix / float(np.median(times)), [round(t, 4) for t in times]
 
 
+def tunnel_probe() -> float:
+    """Acquire the tunnel with the cheapest possible device call and
+    time it.
+
+    Measurement model (established with benchmarks/phase1_diag.py,
+    round 5): the axon tunnel serializes tenants — a process's FIRST
+    device RPC waits for the shared chip (observed 0.5 s free to 517 s
+    behind another tenant's compile), after which every warm-cache
+    compile (0.1 s) and execute (0.03 s) is sub-second. So the right
+    structure is: pay the queue wait ONCE on a trivial op, record it as
+    tunnel_probe_s, and keep every later phase cheap. The probe op's
+    cache entries are part of the committed warmup set, so a warm run
+    compiles nothing here.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    _update(stall_phase="tunnel_probe")
+    t0 = time.perf_counter()
+    a = jax.device_put(np.zeros((8, 128), np.float32))
+    b = jax.device_put(np.ones((8, 128), np.float32))
+    r = jnp.add(a, b)  # first compile+execute RPC = lease acquisition
+    np.asarray(r)
+    dt = time.perf_counter() - t0
+    _update(tunnel_probe_s=round(dt, 2))
+    return dt
+
+
 def device_mpix_s(deadline: float, batch: int = 8, size: int = 1024) -> float:
     """Steady-state device throughput of the fused pass.
 
@@ -189,6 +259,7 @@ def device_mpix_s(deadline: float, batch: int = 8, size: int = 1024) -> float:
 
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 256, (batch, size, size, 3), dtype=np.uint8)
+    _update(stall_phase="device_put_input")
     x = jax.device_put(jnp.asarray(imgs))
 
     @jax.jit
@@ -215,19 +286,58 @@ def device_mpix_s(deadline: float, batch: int = 8, size: int = 1024) -> float:
 
     mpix = batch * size * size / 1e6
 
+    compiled = [run]  # replaced by the AOT executable after phase 1
+
     def timed(n: int) -> float:
+        _update(stall_phase=f"run_n{n}")
         t0 = time.perf_counter()
-        out = run(x, n)
+        out = compiled[0](x, n)
         np.asarray(out[1])  # host fetch forces completion
         return time.perf_counter() - t0
 
-    # Phase 1: compile + first executions (the round-3 stall point —
-    # heartbeat BOTH sides, and use a small window so a number exists
-    # as early as possible: 125 s warm-deserialize was measured at
-    # HEAD, >800 s cold, ~1064 s under heavy contention).
-    _log("device phase 1: compile + first run (ns=5) ...")
+    # Phase 1, DECOMPOSED (round-4 verdict item 1a). On a warm cache
+    # with a free tunnel each step is sub-second (measured round 5:
+    # lower 0.7 s, compile 0.14 s, first run 0.03 s); anything slow
+    # here is attributable from the emitted fields:
+    #   - phase1_compile_s > ~5 s  => persistent-cache MISS (stale
+    #     committed cache — the remote compile queue takes minutes);
+    #   - phase1_first_run_s large => chip/tunnel execute queue.
+    _update(stall_phase="phase1_lower")
+    _log("device phase 1: lower ...")
+    t0 = time.perf_counter()
+    lowered = run.lower(x, 5)
+    t_lower = time.perf_counter() - t0
+    _update(phase1_lower_s=round(t_lower, 2))
+
+    _update(stall_phase="phase1_compile")
+    _log(f"device phase 1: lowered in {t_lower:.2f}s; compile "
+         f"(warm = cache deserialize + program load) ...")
+    t0 = time.perf_counter()
+    compiled[0] = lowered.compile()  # warm = deserialize + program load
+    t_compile = time.perf_counter() - t0
+    _update(phase1_compile_s=round(t_compile, 2))
+    if t_compile > 5.0:
+        _log(f"WARNING: compile took {t_compile:.1f}s — persistent-cache "
+             f"MISS likely (stale .jax_cache; run `rgnir-tpu warmup`)")
+    else:
+        _log(f"device phase 1: compile {t_compile:.2f}s (cache hit)")
+
+    # First execution, n=1: publishes a non-null headline from the very
+    # first big-executable return (verdict item 1b). mpix/t1 includes
+    # dispatch+fetch latency, so it is an honest LOWER bound; later
+    # slope phases refine it.
+    t1 = timed(1)
+    _update(phase1_first_run_s=round(t1, 2))
+    if t1 > 0:
+        lb = mpix / t1
+        _update(value=round(lb, 1), timing="lower_bound_first_call",
+                live_measurement=True)
+        _update_ratios(lb)
+        _log(f"device first call: {t1:.2f}s -> provisional headline "
+             f"{lb:.1f} MPix/s (lower bound incl. dispatch)")
+
     t5 = timed(5)
-    _log(f"device phase 1 done: compile+run(5) took {t5:.1f}s")
+    _log(f"device phase 1 done: first_run(1) {t1:.2f}s, run(5) {t5:.2f}s")
     t55 = timed(55)
     # First slope: one (5, 55) pair. Both calls share the fixed
     # dispatch/fetch latency, so the difference is 50 iterations of
@@ -322,15 +432,43 @@ def main() -> None:
     cache = enable_persistent_cache()
     _log(f"devices: {jax.devices()} | compile cache: {cache}")
 
+    def cache_entries() -> int:
+        try:
+            return len(os.listdir(cache)) if cache else 0
+        except OSError:
+            return 0
+
+    entries_before = cache_entries()
+
+    # Acquire the shared tunnel with a trivial (cached) op and time the
+    # wait — the single dominant warm-start term in bad windows
+    # (round-5 diagnosis: 0.5 s free, 517 s queued behind a tenant).
+    _log("tunnel probe (lease acquisition) ...")
+    probe_s = tunnel_probe()
+    _log(f"tunnel probe: {probe_s:.2f}s"
+         + (" (tunnel was queued — shared-chip contention)"
+            if probe_s > 10 else ""))
+
     dev = device_mpix_s(deadline=deadline - 10.0)
     if dev:
         _update_ratios(dev)
         _log(f"device {dev:.1f} MPix/s | numpy baseline {base:.1f} MPix/s "
-             f"| vs_baseline {dev / base:.1f}x "
-             f"(conservative {dev / _BASELINE_BEST_OBSERVED:.1f}x vs "
-             f"best-observed baseline)")
+             f"| vs_baseline {dev / base:.1f}x (conservative "
+             f"{_STATE['vs_baseline_conservative']}x vs best-observed "
+             f"baseline)")
+    new_entries = cache_entries() - entries_before
+    _update(new_cache_entries=new_entries)
+    if new_entries > 0:
+        _log(f"WARNING: device phase persisted {new_entries} new cache "
+             f"entries — committed .jax_cache is stale at HEAD")
 
-    configs, skipped = full_config_table(deadline=deadline - 8.0)
+    # Reserve time for the e2e latency phase after the config table
+    # (both are round-4 verdict deliverables; the table self-budgets).
+    remaining = deadline - time.monotonic()
+    e2e_reserve = min(100.0, max(0.0, remaining * 0.35))
+    configs, skipped = full_config_table(
+        deadline=deadline - 8.0 - e2e_reserve
+    )
     for rec in configs:
         _log(f"config: {rec}")
     if skipped:
@@ -338,11 +476,38 @@ def main() -> None:
     p50 = None
     for rec in configs:
         # Config 1 is the single-image report path: its steady-state
-        # ms_per_step IS the p50 per-image latency BASELINE.md names.
+        # ms_per_step IS the device-step p50 (excludes decode/figures);
+        # the e2e phase below measures the full request latency.
         if rec.get("config") == "1_single_512_ndvi_stats":
             p50 = rec.get("ms_per_step")
     _update(configs=configs, skipped_configs=skipped,
             p50_ms_per_image_512=p50)
+
+    # End-to-end single-image request latency (PNG -> decode -> device
+    # -> stats + report files), ours vs the reference on the same files.
+    _update(stall_phase="e2e_latency")
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+        import e2e_latency
+
+        e2e = e2e_latency.measure(deadline=deadline - 6.0, log=_log)
+        _update(**e2e)
+    except Exception as e:  # never let the extra phase kill the record
+        _log(f"e2e latency phase failed: {type(e).__name__}: {e}")
+        _update(e2e_error=f"{type(e).__name__}: {e}")
+
+    if "--record-reference" in sys.argv and _STATE.get("value"):
+        with _STATE_LOCK:
+            ref = {k: _STATE.get(k) for k in (
+                "value", "unit", "timing", "tunnel_probe_s",
+                "phase1_compile_s", "p50_ms_e2e_512")}
+        ref["recorded_unix"] = int(time.time())
+        with open(_REFERENCE_RESULT_PATH, "w") as f:
+            json.dump(ref, f, indent=1)
+        _log(f"recorded reference result -> {_REFERENCE_RESULT_PATH}")
+
+    _update(stall_phase="done")
     _emit_and_flush()
 
 

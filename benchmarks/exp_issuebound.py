@@ -1,0 +1,136 @@
+"""Empirical Mosaic dependent-op issue-rate ceiling (round-4 verdict
+item 5: "bound or break config 2").
+
+The roofline table (BENCHMARKS.md) says config 2 runs at ~1.0 T VPU
+ops/s — 14% of the 7.2 T elementwise peak, 28% of half-peak — and
+attributes the gap to the dependent-op issue rate inside the Mosaic
+pipeline. This script MEASURES that ceiling directly: a stripped Pallas
+kernel whose body is nothing but a chain of K serially-dependent f32
+vector ops on a (block_r, 1024) tile (a 4-op rotation of multiply-add /
+max / add / min with varying constants so nothing folds), one HBM read
+of config 2's pixel volume in, one scalar checksum per block out. No
+stats, no renders, no select — just issue slots.
+
+The per-op cost comes from the SLOPE between two K values (subtracts
+the read/convert/checksum overhead the same way the bench's chained
+loops subtract dispatch):
+
+    ceiling_tops = pixels * (k2 - k1) / (t(k2) - t(k1))
+
+and the implied bound for config 2 (497 modeled VPU ops/px) is
+``ceiling_tops / 497`` GPix/s. If that lands near the measured 2.0-2.1
+GPix/s, config 2 is issue-bound as claimed and closed with evidence;
+if it is far above, the gap is structural (pass boundaries, one-hot
+builds) and worth hunting.
+
+Usage: python benchmarks/exp_issuebound.py
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_ROOT))
+
+_LANES = 1024
+
+
+def _chain_kernel(img_ref, out_ref, *, k: int):
+    """K serially-dependent elementwise f32 ops on the block.
+
+    The 4-op rotation (fma, max-vs-source, add, min-vs-const) uses a
+    different constant every step so no algebraic folding can shorten
+    the chain; `max(a, v * s)` keeps the source tile live, mirroring
+    the fused kernel's shape (index maps keep wb channels live).
+    """
+    # Mosaic lacks direct u8<->f32 casts; hop through int32.
+    v = img_ref[...].astype(jnp.int32).astype(jnp.float32)
+    a = v * np.float32(1.0 / 255.0)
+    steps = max(k // 4, 1)
+    for i in range(steps):
+        c = np.float32(1.0 + (i % 7) * 1e-3)
+        d = np.float32(0.125 + (i % 11) * 1e-3)
+        a = a * c + d
+        a = jnp.maximum(a, v * np.float32(1e-3 * (i % 5 + 1)))
+        a = a + np.float32(0.25 + (i % 3) * 1e-2)
+        a = jnp.minimum(a, np.float32(255.0 + i))
+    # Accumulated checksum (min vector-register-shaped block — scalar
+    # broadcast over (8, 128); any element carries the value).
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] = out_ref[...] + jnp.sum(a)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_r"))
+def chain_pass(flat: jax.Array, k: int, block_r: int = 256) -> jax.Array:
+    """flat: (R, 1024) uint8. Returns (R // block_r, 1) block checksums."""
+    rows = flat.shape[0]
+    grid = (rows // block_r,)
+    return pl.pallas_call(
+        functools.partial(_chain_kernel, k=k),
+        grid=grid,
+        in_specs=[pl.BlockSpec((block_r, _LANES), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+    )(flat)
+
+
+def measure(ks=(64, 256), reps: int = 6) -> dict:
+    from rgnir_tpu.utils.compile_cache import enable_persistent_cache
+    from rgnir_tpu.utils.microbench import chain_time_ab
+
+    enable_persistent_cache()
+    rng = np.random.default_rng(0)
+    # config 2's pixel volume: 32 x 512^2 = 8192 x 1024 flat.
+    flat = jax.device_put(
+        jnp.asarray(rng.integers(0, 256, (8192, _LANES), dtype=np.uint8))
+    )
+    pixels = flat.size
+
+    def body(k):
+        def go(i, carry):
+            img, acc = carry
+            s = chain_pass(img, k)
+            acc = acc + jnp.sum(s)
+            # Data dependency for the chained-loop timing: perturb one
+            # byte lane of the input from the checksum (cheap constant
+            # cost, identical across K values, removed by the K-slope).
+            img = img ^ jnp.uint8(jnp.int32(acc) & 1)
+            return img, acc
+        return go
+
+    res = chain_time_ab(
+        {f"k{k}": body(k) for k in ks},
+        (flat, jnp.zeros((), jnp.float32)),
+        ns=(10, 60), reps=reps,
+    )
+    k1, k2 = ks
+    dt_ms = res[f"k{k2}"] - res[f"k{k1}"]
+    out = {f"ms_per_step_k{k}": round(res[f"k{k}"], 4) for k in ks}
+    if dt_ms > 0:
+        ceiling_tops = pixels * (k2 - k1) / (dt_ms * 1e-3) / 1e12
+        out["ceiling_dependent_tops"] = round(ceiling_tops, 3)
+        out["pct_of_vpu_peak_7p2t"] = round(ceiling_tops / 7.2 * 100, 1)
+        # Config 2's modeled op count (roofline table): 497 VPU ops/px.
+        out["implied_config2_bound_gpix_s"] = round(
+            ceiling_tops * 1e12 / 497 / 1e9, 2
+        )
+    return out
+
+
+if __name__ == "__main__":
+    print(json.dumps(measure()))

@@ -124,6 +124,21 @@ def cmd_selftest(args) -> int:
     return selftest_main()
 
 
+def _restore_preprune(cache, backup) -> None:
+    """Undo a ``warmup --prune`` rebuild after a failed warm: put the
+    pre-prune cache back so a broken run can't leave an empty cache."""
+    if backup is None or not backup.exists():
+        return
+    import shutil
+    import sys
+
+    if cache.exists():
+        shutil.rmtree(cache)
+    backup.rename(cache)
+    print(f"prune: warm failed — restored pre-prune cache {cache}",
+          file=sys.stderr)
+
+
 def cmd_warmup(args) -> int:
     """Pre-compile the hot executables into the persistent compile
     cache (the repo's committed ``.jax_cache``), so a cold machine's
@@ -173,6 +188,22 @@ def cmd_warmup(args) -> int:
     def entries() -> set:
         return {p.name for p in cache.glob("*")} if cache else set()
 
+    backup = None
+    if getattr(args, "prune", False) and cache:
+        # Rebuild from empty: after the driver-exact invocations below,
+        # the cache holds exactly the entry set they need — entries
+        # orphaned by kernel/autotune/config changes are gone. The old
+        # cache is kept next to it until the rebuild succeeds.
+        backup = cache.with_name(cache.name + ".preprune")
+        if backup.exists():
+            import shutil as _shutil
+
+            _shutil.rmtree(backup)
+        cache.rename(backup)
+        cache.mkdir()
+        print(f"prune: rebuilding {cache} from empty "
+              f"(old cache at {backup})", file=sys.stderr)
+
     before = entries()
     warmed = []
     env = dict(os.environ)
@@ -180,13 +211,20 @@ def cmd_warmup(args) -> int:
     # (the watchdog exists for the DRIVER's timed run, not for this).
     env["RGNIR_BENCH_BUDGET_S"] = "100000"
     if (repo / "bench.py").exists() and not args.package_only:
+        # A plain warmup also refreshes the bench's committed
+        # last-known-good result (bench_reference_result.json — the
+        # watchdog's non-null fallback); --check stays side-effect-free.
+        bench_cmd = [sys.executable, "bench.py"]
+        if not getattr(args, "check", False):
+            bench_cmd.append("--record-reference")
         r = subprocess.run(
-            [sys.executable, "bench.py"], cwd=str(repo),
+            bench_cmd, cwd=str(repo),
             stdout=subprocess.DEVNULL, env=env,
         )
         if r.returncode != 0:
             print(f"warmup: bench.py exited {r.returncode}",
                   file=sys.stderr)
+            _restore_preprune(cache, backup)
             return 1
         warmed.append("bench_as_driver")
         code = (
@@ -200,6 +238,7 @@ def cmd_warmup(args) -> int:
         if r.returncode != 0:
             print(f"warmup: __graft_entry__ exited {r.returncode}",
                   file=sys.stderr)
+            _restore_preprune(cache, backup)
             return 1
         warmed.append("graft_entry_as_driver")
     else:
@@ -218,6 +257,10 @@ def cmd_warmup(args) -> int:
             res = analyze_image_auto(img, kinds=kinds, with_renders=renders)
             jax.block_until_ready(res.wb)
             warmed.append(f"pipeline{shape}")
+    if backup is not None and backup.exists():
+        import shutil as _shutil
+
+        _shutil.rmtree(backup)
     after = entries()
     new = sorted(after - before)
     size_mb = (
@@ -543,8 +586,9 @@ def cmd_tune(args) -> int:
     # and no kernel has compiled yet.
     if os.environ.get("RGNIR_COMPILE_CACHE_DIR") is None:
         from rgnir_tpu.utils import enable_compilation_cache
+        from rgnir_tpu.utils.compile_cache import machine_local_cache_dir
 
-        enable_compilation_cache("/tmp/rgnir_tune_cache")
+        enable_compilation_cache(machine_local_cache_dir("tune"))
 
     sizes = (
         tuple(int(s) for s in args.sizes.split(","))
@@ -721,6 +765,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="staleness gate: fail if the driver-exact invocations "
              "compile ANY new cache entry (cache must be warm at HEAD)",
     )
+    wu.add_argument(
+        "--prune", action="store_true",
+        help="rebuild the cache from empty so it holds EXACTLY the "
+             "driver-shaped entry set (drops entries orphaned by "
+             "kernel/config changes; threshold-0 persistence would "
+             "otherwise grow the committed artifact forever)",
+    )
     wu.set_defaults(fn=cmd_warmup)
 
     bm = sub.add_parser(
@@ -869,10 +920,24 @@ def _apply_index_definitions(specs) -> None:
 
 
 def main(argv=None) -> int:
-    from rgnir_tpu.utils import enable_compilation_cache
+    import os
 
-    enable_compilation_cache()
+    from rgnir_tpu.utils import enable_compilation_cache
+    from rgnir_tpu.utils.compile_cache import machine_local_cache_dir
+
     args = build_parser().parse_args(argv)
+    # Cache routing: only the driver-shaped invocations (warmup, bench)
+    # may write the repo-committed .jax_cache — with every compile
+    # persisted (threshold 0), an ad-hoc `rgnir-tpu analyze` at an
+    # arbitrary shape would otherwise drop one-off entries into the git
+    # working tree. Everything else compiles into a per-user
+    # machine-local cache. RGNIR_COMPILE_CACHE_DIR still overrides all
+    # of this (empty value = cache disabled).
+    if (os.environ.get("RGNIR_COMPILE_CACHE_DIR") is not None
+            or args.fn in (cmd_warmup, cmd_bench)):
+        enable_compilation_cache()
+    else:
+        enable_compilation_cache(machine_local_cache_dir("cli"))
     _apply_index_definitions(args.define_index)
     return args.fn(args)
 

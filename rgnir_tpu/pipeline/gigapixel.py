@@ -176,9 +176,9 @@ def _band_joint_hists_sharded(
     """
 
     def shard_body(b: jax.Array, a: jax.Array) -> jax.Array:
-        # pvary: the scan carry must share the shard data's
+        # pcast to=varying: the scan carry must share the shard data's
         # varying-manual-axes type, or shard_map rejects the scan.
-        zero = jax.lax.pvary(jnp.zeros_like(a), (axis,))
+        zero = jax.lax.pcast(jnp.zeros_like(a), (axis,), to="varying")
         h = _joint_hists_body(b, zero, pairs, chunk)
         return a + jax.lax.psum(h, axis)
 

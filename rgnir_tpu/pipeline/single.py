@@ -16,11 +16,13 @@ float32 fused pass with WB off; stats agree to ~1e-5.
 from __future__ import annotations
 
 import os
+import threading
 from pathlib import Path
-from typing import Tuple, Union
+from typing import Optional, Tuple, Union
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from rgnir_tpu.config import IndexKind
@@ -40,6 +42,49 @@ def ndvi_figure(ndvi: np.ndarray) -> "object":
     return _fig_to_pil(fig, pad_inches=0.1)
 
 
+class _VizFigureCache:
+    """Reused 'NDVI Values' figure for the per-request report flow.
+
+    Figure construction (axes, colorbar, layout) costs ~25% of the
+    render; a serving process issuing many reports reuses one Agg
+    figure per array shape and only ``set_data`` + draws per request
+    (the blit-reuse idea of viz.figures.IndexFigureWriter, scoped to
+    this one layout). Saving goes straight to disk via ``savefig`` —
+    the reference writes with plain ``plt.savefig`` (process-ndvi.py:44,
+    default bbox), so the old tight-bbox + encode-decode-reencode path
+    both differed from the reference and double-paid the PNG encode.
+    ``compress_level=1`` keeps pixels identical and shaves the zlib
+    pass (same knob the batch pipeline exposes as fig_png_compress).
+    """
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._shape: Optional[tuple] = None
+        self._fig = None
+        self._im = None
+
+    def save(self, ndvi: np.ndarray, path) -> None:
+        from matplotlib.backends.backend_agg import FigureCanvasAgg
+
+        with self._lock:
+            if self._shape != ndvi.shape:
+                fig = _new_figure((12, 8))
+                FigureCanvasAgg(fig)
+                ax = fig.add_subplot(111)
+                im = ax.imshow(ndvi, cmap="RdYlGn", vmin=-1, vmax=1)
+                fig.colorbar(im, label="NDVI")
+                ax.set_title("NDVI Values")
+                self._shape, self._fig, self._im = ndvi.shape, fig, im
+            else:
+                self._im.set_data(ndvi)
+            self._fig.savefig(
+                path, format="png", pil_kwargs={"compress_level": 1}
+            )
+
+
+_VIZ_CACHE = _VizFigureCache()
+
+
 def generate_ndvi_report(
     image_path: Union[str, Path],
     output_dir: Union[str, Path],
@@ -56,13 +101,16 @@ def generate_ndvi_report(
     res = analyze_image_jit(
         jnp.asarray(img), kinds=("NDVI",), with_wb=False, with_renders=False
     )
-    ndvi = np.asarray(res.indices["NDVI"])
-    st = res.stats["NDVI"]
+    # ONE batched transfer for everything the report needs: fetching
+    # the map and each stat scalar separately costs a tunnel round
+    # trip apiece (~28 ms each, ~150 ms/request measured round 5).
+    ndvi, st = jax.device_get((res.indices["NDVI"], res.stats["NDVI"]))
     stats = to_ndvi_report_dict(st)
 
-    ndvi_figure(ndvi).save(out / "ndvi_visualization.png")
-    render_histogram_figure(np.asarray(st.histogram), IndexKind.NDVI).save(
-        out / "ndvi_histogram.png"
+    _VIZ_CACHE.save(ndvi, out / "ndvi_visualization.png")
+    render_histogram_figure(
+        np.asarray(st.histogram), IndexKind.NDVI,
+        out_path=out / "ndvi_histogram.png",
     )
     with open(out / "ndvi_statistics.txt", "w") as f:
         f.write("NDVI Statistics:\n")

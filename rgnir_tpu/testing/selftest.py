@@ -43,9 +43,12 @@ def main() -> int:
     # this dir. RGNIR_COMPILE_CACHE_DIR still overrides (empty value =
     # cache disabled, same contract as enable_persistent_cache).
     import os
+
+    from rgnir_tpu.utils.compile_cache import machine_local_cache_dir
+
     env = os.environ.get("RGNIR_COMPILE_CACHE_DIR")
     if env is None:
-        enable_compilation_cache("/tmp/rgnir_selftest_cache")
+        enable_compilation_cache(machine_local_cache_dir("selftest"))
     elif env:
         enable_compilation_cache(env)
     FAILURES.clear()

@@ -68,6 +68,23 @@ def _cpu_only_platform() -> bool:
     return bool(names) and all(n == "cpu" for n in names)
 
 
+def machine_local_cache_dir(kind: str) -> Path:
+    """A per-user machine-local cache dir for compiles that must NOT
+    land in the repo-committed artifact (CPU executables, tune sweeps,
+    selftest one-offs). Per-user (XDG-style under ``~/.cache``) rather
+    than a fixed ``/tmp`` path: a world-writable shared path could be
+    pre-created by another user and seeded with poisoned serialized
+    executables that this user's process would then load."""
+    d = Path(os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache"))
+    d = d / "rgnir_tpu" / kind
+    d.mkdir(parents=True, exist_ok=True)
+    try:
+        os.chmod(d, 0o700)
+    except OSError:
+        pass
+    return d
+
+
 _KERNEL_KEYS_PATCHED = False
 
 
@@ -148,7 +165,9 @@ def enable_persistent_cache(cache_dir: Optional[os.PathLike] = None) -> Optional
                 return None
             cache_dir = Path(env)
         elif _cpu_only_platform():
-            cache_dir = Path("/tmp/rgnir_cpu_cache")
+            # Per-user location (not a fixed /tmp path another user
+            # could pre-create and seed with poisoned executables).
+            cache_dir = machine_local_cache_dir("cpu")
         else:
             cache_dir = default_cache_dir()
     cache_dir = Path(cache_dir)

@@ -450,10 +450,16 @@ def render_histogram_figure(
     hist_counts: np.ndarray,
     kind: Union[IndexKind, str] = IndexKind.NDVI,
     bins_range: Tuple[float, float] = (-1.0, 1.0),
-) -> Image.Image:
+    out_path=None,
+) -> Optional[Image.Image]:
     """Index-value distribution (process-ndvi.py:96-102): 50 bins over
     (-1, 1), 10x6 in. Takes the device-computed histogram counts and
-    draws the same bars ``plt.hist`` would."""
+    draws the same bars ``plt.hist`` would.
+
+    With ``out_path`` the figure is written straight to disk with plain
+    ``savefig`` (default bbox — what the reference's ``plt.savefig``
+    does, process-ndvi.py:102) and None is returned; the default path
+    returns a tight-bbox PIL image and costs an extra encode/decode."""
     kind = IndexKind.parse(kind)
     counts = np.asarray(hist_counts)
     edges = np.linspace(bins_range[0], bins_range[1], counts.size + 1)
@@ -463,6 +469,13 @@ def render_histogram_figure(
     ax.set_title(f"Distribution of {kind.value} Values")
     ax.set_xlabel(kind.value)
     ax.set_ylabel("Pixel Count")
+    if out_path is not None:
+        from matplotlib.backends.backend_agg import FigureCanvasAgg
+
+        FigureCanvasAgg(fig)
+        fig.savefig(out_path, format="png",
+                    pil_kwargs={"compress_level": 1})
+        return None
     return _fig_to_pil(fig, pad_inches=0.1)
 
 

