@@ -502,6 +502,14 @@ def main() -> None:
             ref = {k: _STATE.get(k) for k in (
                 "value", "unit", "timing", "tunnel_probe_s",
                 "phase1_compile_s", "p50_ms_e2e_512")}
+        try:  # keep a prior run's field when this window nulled it
+            with open(_REFERENCE_RESULT_PATH) as f:
+                old = json.load(f)
+            for k, v in ref.items():
+                if v is None and old.get(k) is not None:
+                    ref[k] = old[k]
+        except (OSError, ValueError):
+            pass
         ref["recorded_unix"] = int(time.time())
         with open(_REFERENCE_RESULT_PATH, "w") as f:
             json.dump(ref, f, indent=1)

@@ -105,8 +105,12 @@ def measure(
         log(f"e2e warmup request: {warm_s:.2f}s")
 
         # Ours: sequential warm requests, each fully end-to-end.
+        # The warmup request is a bad cost estimate (it pays the
+        # figure-cache build and any tunnel hiccup — 5+ s observed
+        # where steady requests take 0.35 s), so cap the initial
+        # estimate; the loop tightens it from real requests below.
         times = []
-        per_req_est = max(warm_s * 0.8, 0.05)
+        per_req_est = min(max(warm_s * 0.8, 0.05), 1.5)
         for i in range(n_requests):
             if deadline is not None and (
                 time.monotonic() + per_req_est

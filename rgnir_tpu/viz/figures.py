@@ -459,9 +459,17 @@ def render_histogram_figure(
     With ``out_path`` the figure is written straight to disk with plain
     ``savefig`` (default bbox — what the reference's ``plt.savefig``
     does, process-ndvi.py:102) and None is returned; the default path
-    returns a tight-bbox PIL image and costs an extra encode/decode."""
+    returns a tight-bbox PIL image and costs an extra encode/decode.
+    The out_path route reuses one cached Agg figure per
+    (bins, kind, range) layout, updating only the bar heights — the
+    autoscale is recomputed from the fresh data limits, so the pixels
+    are identical to a from-scratch render (pinned in
+    tests/test_io.py)."""
     kind = IndexKind.parse(kind)
     counts = np.asarray(hist_counts)
+    if out_path is not None:
+        _HIST_FIG_CACHE.save(counts, kind, bins_range, out_path)
+        return None
     edges = np.linspace(bins_range[0], bins_range[1], counts.size + 1)
     fig = _new_figure((10, 6))
     ax = fig.add_subplot(111)
@@ -469,14 +477,69 @@ def render_histogram_figure(
     ax.set_title(f"Distribution of {kind.value} Values")
     ax.set_xlabel(kind.value)
     ax.set_ylabel("Pixel Count")
-    if out_path is not None:
-        from matplotlib.backends.backend_agg import FigureCanvasAgg
-
-        FigureCanvasAgg(fig)
-        fig.savefig(out_path, format="png",
-                    pil_kwargs={"compress_level": 1})
-        return None
     return _fig_to_pil(fig, pad_inches=0.1)
+
+
+class _HistFigureWriter:
+    """Reused histogram figure for the report flow (same idea as the
+    viz-figure cache in pipeline/single.py: figure construction costs
+    a large share of the ~100 ms render, and a serving process issues
+    many reports). Bar heights are updated in place; the data limits
+    and autoscale are recomputed exactly the way a fresh ``ax.bar``
+    would set them, so reused renders are byte-identical to fresh
+    ones."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._lock = threading.Lock()
+        self._key = None
+        self._fig = None
+        self._ax = None
+        self._bars = None
+
+    def save(self, counts: np.ndarray, kind, bins_range, path) -> None:
+        from matplotlib.backends.backend_agg import FigureCanvasAgg
+        from matplotlib.transforms import Bbox
+
+        key = (counts.size, kind, tuple(bins_range))
+        with self._lock:
+            if self._key != key:
+                edges = np.linspace(
+                    bins_range[0], bins_range[1], counts.size + 1
+                )
+                fig = _new_figure((10, 6))
+                FigureCanvasAgg(fig)
+                ax = fig.add_subplot(111)
+                bars = ax.bar(
+                    edges[:-1], counts, width=np.diff(edges), align="edge"
+                )
+                ax.set_title(f"Distribution of {kind.value} Values")
+                ax.set_xlabel(kind.value)
+                ax.set_ylabel("Pixel Count")
+                self._key, self._fig, self._ax, self._bars = (
+                    key, fig, ax, bars
+                )
+            else:
+                for b, c in zip(self._bars, counts):
+                    b.set_height(c)
+                # Rebuild the data limits a fresh ax.bar would have
+                # produced (the union of the rectangles' extents; bar
+                # bases sit at 0) and re-run the autoscale so the axis
+                # range — and therefore every pixel — matches a
+                # from-scratch figure.
+                lo, hi = bins_range
+                ymax = float(counts.max()) if counts.size else 1.0
+                self._ax.dataLim.set(
+                    Bbox.from_extents(lo, min(0.0, ymax), hi, ymax)
+                )
+                self._ax.autoscale_view()
+            self._fig.savefig(
+                path, format="png", pil_kwargs={"compress_level": 1}
+            )
+
+
+_HIST_FIG_CACHE = _HistFigureWriter()
 
 
 def side_by_side_canvas(

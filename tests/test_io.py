@@ -285,6 +285,36 @@ class TestVizSmoke:
             np.arange(50), "NDVI"
         ).size[0] > 0
 
+    def test_histogram_out_path_reuse_is_byte_identical(self, tmp_path):
+        """The out_path route reuses one Agg figure with bar-height
+        updates; its PNGs must be byte-identical to a from-scratch
+        writer's for the same counts (the autoscale is recomputed from
+        fresh data limits — this is the pin for that)."""
+        import rgnir_tpu.viz.figures as figmod
+        from rgnir_tpu.viz.figures import (
+            _HistFigureWriter, render_histogram_figure,
+        )
+
+        rng = np.random.default_rng(3)
+        h1 = rng.integers(0, 100000, 50)
+        h2 = rng.integers(0, 5000, 50)   # very different y scale
+        # reused writer: h1 then h2 then h1 again through one cache
+        for i, h in enumerate((h1, h2, h1)):
+            render_histogram_figure(h, "NDVI",
+                                    out_path=tmp_path / f"r{i}.png")
+        # fresh writer per render
+        for i, h in enumerate((h1, h2)):
+            _HistFigureWriter().save(
+                h, figmod.IndexKind.NDVI, (-1.0, 1.0),
+                tmp_path / f"f{i}.png",
+            )
+        assert (tmp_path / "r0.png").read_bytes() == (
+            tmp_path / "f0.png").read_bytes()
+        assert (tmp_path / "r1.png").read_bytes() == (
+            tmp_path / "f1.png").read_bytes()
+        assert (tmp_path / "r2.png").read_bytes() == (
+            tmp_path / "f0.png").read_bytes()
+
     def test_lean_rgba_bit_equals_matplotlib_chain(self):
         """_lean_rgba must reproduce matplotlib's
         to_rgba -> _rgb_to_rgba float64 RGBA bit-for-bit, including
