@@ -126,6 +126,21 @@ class TestNdviReport:
         for k, v in want.items():
             assert stats[k] == pytest.approx(v, abs=1e-4), k
 
+    def test_report_odd_shapes_through_figure_cache(self, tmp_path, rng):
+        """Consecutive reports at DIFFERENT odd shapes must work — the
+        reused viz figure is keyed by array shape and rebuilds when it
+        changes (a serving process sees mixed camera resolutions)."""
+        from rgnir_tpu.pipeline.single import generate_ndvi_report
+
+        for i, shape in enumerate([(97, 131), (64, 64), (97, 131)]):
+            img = rng.integers(0, 256, shape + (3,), dtype=np.uint8)
+            src = tmp_path / f"img{i}.png"
+            _write_png(src, img)
+            ndvi, stats = generate_ndvi_report(src, tmp_path / f"rep{i}")
+            assert ndvi.shape == shape
+            assert -1.0 <= stats["median_ndvi"] <= 1.0
+            assert (tmp_path / f"rep{i}" / "ndvi_visualization.png").exists()
+
 
 class TestExportZip:
     def test_zip_contents(self, rgnir_image):
