@@ -57,27 +57,37 @@ class _VizFigureCache:
     pass (same knob the batch pipeline exposes as fig_png_compress).
     """
 
+    # Per-shape LRU: a serving process fed by mixed camera resolutions
+    # must not rebuild on every alternation. Each cached layout holds a
+    # live Agg canvas (~4 MB at 12x8@100dpi), so the cap stays small.
+    _MAX_LAYOUTS = 4
+
     def __init__(self) -> None:
+        from collections import OrderedDict
+
         self._lock = threading.Lock()
-        self._shape: Optional[tuple] = None
-        self._fig = None
-        self._im = None
+        self._layouts: "OrderedDict[tuple, tuple]" = OrderedDict()
 
     def save(self, ndvi: np.ndarray, path) -> None:
         from matplotlib.backends.backend_agg import FigureCanvasAgg
 
         with self._lock:
-            if self._shape != ndvi.shape:
+            entry = self._layouts.get(ndvi.shape)
+            if entry is None:
                 fig = _new_figure((12, 8))
                 FigureCanvasAgg(fig)
                 ax = fig.add_subplot(111)
                 im = ax.imshow(ndvi, cmap="RdYlGn", vmin=-1, vmax=1)
                 fig.colorbar(im, label="NDVI")
                 ax.set_title("NDVI Values")
-                self._shape, self._fig, self._im = ndvi.shape, fig, im
+                entry = (fig, im)
+                self._layouts[ndvi.shape] = entry
+                if len(self._layouts) > self._MAX_LAYOUTS:
+                    self._layouts.popitem(last=False)
             else:
-                self._im.set_data(ndvi)
-            self._fig.savefig(
+                self._layouts.move_to_end(ndvi.shape)
+                entry[1].set_data(ndvi)
+            entry[0].savefig(
                 path, format="png", pil_kwargs={"compress_level": 1}
             )
 
