@@ -421,3 +421,30 @@ class TestSweepCacheHygiene:
         )
         assert main(["tune", "--sizes", "512"]) == 0
         assert seen["cache_dir"] == str(tmp_path / "c")
+
+
+class TestWarmupPrune:
+    def test_restore_preprune_puts_old_cache_back(self, tmp_path):
+        """A failed warm after --prune emptied the cache must restore
+        the pre-prune artifact (never leave an empty committed cache)."""
+        from rgnir_tpu.cli import _restore_preprune
+
+        cache = tmp_path / ".jax_cache"
+        backup = tmp_path / ".jax_cache.preprune"
+        backup.mkdir()
+        (backup / "old-entry").write_bytes(b"x" * 10)
+        cache.mkdir()
+        (cache / "partial-entry").write_bytes(b"y")
+        _restore_preprune(cache, backup)
+        assert not backup.exists()
+        assert (cache / "old-entry").read_bytes() == b"x" * 10
+        assert not (cache / "partial-entry").exists()
+
+    def test_restore_preprune_noop_without_backup(self, tmp_path):
+        from rgnir_tpu.cli import _restore_preprune
+
+        cache = tmp_path / ".jax_cache"
+        cache.mkdir()
+        (cache / "entry").write_bytes(b"z")
+        _restore_preprune(cache, None)
+        assert (cache / "entry").exists()
