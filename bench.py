@@ -106,36 +106,50 @@ def _emit_and_flush() -> bool:
             # No live device number landed before the deadline (tunnel
             # queued us out for the whole budget). Fall back to the
             # committed reference run, clearly labeled non-live.
+            # Broad except: this runs on the WATCHDOG thread — any
+            # uncaught error here (e.g. a corrupt non-dict reference
+            # file) would kill the thread with _EMITTED already True
+            # and no JSON ever printed, recreating the exact null-
+            # record failure this path exists to eliminate.
             try:
                 with open(_REFERENCE_RESULT_PATH) as f:
                     ref = json.load(f)
-                _STATE["value"] = ref.get("value")
-                _STATE["timing"] = "committed_reference_run"
-                _STATE["reference_run"] = ref
-                v = _STATE["value"]
+                v = ref.get("value")
                 if v:
+                    _STATE["value"] = v
+                    _STATE["timing"] = "committed_reference_run"
+                    _STATE["reference_run"] = ref
                     base = max(_STATE.get("baseline_mpix_s") or 0.0,
                                _BASELINE_BEST_OBSERVED)
                     _STATE["vs_baseline_conservative"] = round(v / base, 2)
                     if _STATE.get("baseline_mpix_s"):
                         _STATE["vs_baseline"] = round(
                             v / _STATE["baseline_mpix_s"], 2)
-            except (OSError, ValueError):
+            except Exception:
                 pass
-        line = json.dumps(_STATE)
+        try:
+            line = json.dumps(_STATE)
+        except Exception:  # unserializable field must not eat the emit
+            line = json.dumps({"value": _STATE.get("value"),
+                               "unit": _STATE.get("unit")})
     print(line, flush=True)
     return True
 
 
 def _start_watchdog(deadline: float) -> None:
     def fire():
-        delay = deadline - time.monotonic()
-        if delay > 0:
-            time.sleep(delay)
-        if _emit_and_flush():
-            _log("WATCHDOG: budget exhausted — emitted best-so-far "
-                 "result and exiting 0")
-        os._exit(0)
+        try:
+            delay = deadline - time.monotonic()
+            if delay > 0:
+                time.sleep(delay)
+            if _emit_and_flush():
+                _log("WATCHDOG: budget exhausted — emitted best-so-far "
+                     "result and exiting 0")
+        finally:
+            # The exit must happen no matter what the emit path did —
+            # a dead watchdog thread + a tunnel-blocked main thread is
+            # the unrecoverable null-record state.
+            os._exit(0)
 
     t = threading.Thread(target=fire, daemon=True, name="bench-watchdog")
     t.start()

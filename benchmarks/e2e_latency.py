@@ -136,8 +136,16 @@ def measure(
             out["e2e_skipped"] = "too few requests fit the budget"
             return out
 
-        # Reference denominator: same files, its own report flow.
+        # Reference denominator: same files, its own report flow. The
+        # reference runs ~2x our per-request time; skip the phase
+        # outright if the remaining window can't hold the warm-up plus
+        # a minimum sample (its warm call has no internal deadline).
         try:
+            if deadline is not None and (
+                time.monotonic() + 6 * per_req_est * 2 > deadline
+            ):
+                out["e2e_reference_skipped"] = "budget"
+                return out
             spec = importlib.util.spec_from_file_location(
                 "reference_ndvi", REFERENCE
             )

@@ -126,10 +126,19 @@ def chain_pass(flat: jax.Array, k: int, block_r: int = 256,
 
 def measure(ks=(64, 256), reps: int = 6, block_r: int = 256,
             mix: str = "f32") -> dict:
-    from rgnir_tpu.utils.compile_cache import enable_persistent_cache
+    import os
+
+    from rgnir_tpu.utils.compile_cache import (
+        enable_persistent_cache, machine_local_cache_dir,
+    )
     from rgnir_tpu.utils.microbench import chain_time_ab
 
-    enable_persistent_cache()
+    # One-off sweep kernels must not pollute the repo-committed cache
+    # (threshold-0 persistence): default to the per-user experiment dir.
+    if os.environ.get("RGNIR_COMPILE_CACHE_DIR") is None:
+        enable_persistent_cache(machine_local_cache_dir("exp"))
+    else:
+        enable_persistent_cache()
     rng = np.random.default_rng(0)
     # config 2's pixel volume: 32 x 512^2 = 8192 x 1024 flat.
     flat = jax.device_put(

@@ -2,9 +2,16 @@ import json, sys
 sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
 import numpy as np, jax, jax.numpy as jnp
 from rgnir_tpu.pipeline.dispatch import analyze_image_auto
-from rgnir_tpu.utils.compile_cache import enable_persistent_cache
+import os
+from rgnir_tpu.utils.compile_cache import (
+    enable_persistent_cache, machine_local_cache_dir,
+)
 from rgnir_tpu.utils.microbench import chain_time_ab
-enable_persistent_cache()
+# one-off A/B compiles stay out of the repo-committed cache
+if os.environ.get("RGNIR_COMPILE_CACHE_DIR") is None:
+    enable_persistent_cache(machine_local_cache_dir("exp"))
+else:
+    enable_persistent_cache()
 rng = np.random.default_rng(0)
 img = jax.device_put(jnp.asarray(rng.integers(0, 256, (32,512,512,3), dtype=np.uint8)))
 kinds = ("NDVI","GNDVI","NDWI")

@@ -39,10 +39,19 @@ sys.path.insert(0, str(_ROOT))
 def main() -> None:
     from rgnir_tpu.ops.colormap import render_colormap
     from rgnir_tpu.pipeline.dispatch import analyze_image_auto
-    from rgnir_tpu.utils.compile_cache import enable_persistent_cache
+    import os
+
+    from rgnir_tpu.utils.compile_cache import (
+        enable_persistent_cache, machine_local_cache_dir,
+    )
     from rgnir_tpu.utils.microbench import chain_time_ab
 
-    enable_persistent_cache()
+    # One-off sweep kernels must not pollute the repo-committed cache
+    # (threshold-0 persistence): default to the per-user experiment dir.
+    if os.environ.get("RGNIR_COMPILE_CACHE_DIR") is None:
+        enable_persistent_cache(machine_local_cache_dir("exp"))
+    else:
+        enable_persistent_cache()
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     size = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     kinds = ("NDVI", "GNDVI", "NDWI")

@@ -34,15 +34,24 @@ def main():
     import jax.numpy as jnp
     out["import_jax_s"] = round(time.monotonic() - t, 2)
 
-    from rgnir_tpu.utils.compile_cache import enable_persistent_cache
+    import os
+
+    from rgnir_tpu.utils.compile_cache import (
+        enable_persistent_cache, machine_local_cache_dir,
+    )
     t = time.monotonic()
-    enable_persistent_cache()
+    # Diagnostic probes compile one-off ops; keep them out of the
+    # repo-committed cache (threshold-0 persistence).
+    if os.environ.get("RGNIR_COMPILE_CACHE_DIR") is None:
+        enable_persistent_cache(machine_local_cache_dir("exp"))
+    else:
+        enable_persistent_cache()
     dev = jax.devices()
     out["backend_init_s"] = round(time.monotonic() - t, 2)
     log(f"devices {dev} init {out['backend_init_s']}s")
 
-    # 1. tunnel probe: trivial op, fresh compile (won't hit cache on
-    # purpose? it will persist too... use a shape unlikely cached).
+    # 1. tunnel probe: trivial op. Fresh-compiled on this machine's
+    # first run (measuring the remote-compile queue), cache-hit after.
     t = time.monotonic()
     probe = jax.jit(lambda a, b: a + b)
     r = probe(jnp.ones((3,), jnp.float32), jnp.ones((3,), jnp.float32))

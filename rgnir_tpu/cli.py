@@ -188,6 +188,16 @@ def cmd_warmup(args) -> int:
     def entries() -> set:
         return {p.name for p in cache.glob("*")} if cache else set()
 
+    if getattr(args, "prune", False) and getattr(args, "check", False):
+        # --check must stay side-effect-free (it is the staleness
+        # GATE); --prune rebuilds from empty, so combining them would
+        # both destroy the artifact under test and trivially fail the
+        # gate (every entry counts as new against an emptied cache).
+        print("warmup: --prune and --check are mutually exclusive — "
+              "prune first, then gate with a separate --check run",
+              file=sys.stderr)
+        return 2
+
     backup = None
     if getattr(args, "prune", False) and cache:
         # Rebuild from empty: after the driver-exact invocations below,
@@ -919,6 +929,35 @@ def _apply_index_definitions(specs) -> None:
             raise SystemExit(f"--define-index {spec!r}: {e}") from None
 
 
+def _seed_cache_from_committed(local) -> None:
+    """Hardlink (or copy) the repo-committed .jax_cache entries into a
+    machine-local cache dir so read-warmth survives the write-hygiene
+    routing. Missing repo checkout or cross-device links degrade
+    gracefully; existing entries are never overwritten."""
+    import os
+    import shutil
+
+    from rgnir_tpu.utils.compile_cache import default_cache_dir
+
+    committed = default_cache_dir()
+    if not committed.is_dir() or committed == local:
+        return
+    try:
+        for entry in committed.iterdir():
+            dst = local / entry.name
+            if dst.exists() or not entry.is_file():
+                continue
+            try:
+                os.link(entry, dst)
+            except OSError:
+                try:
+                    shutil.copy2(entry, dst)
+                except OSError:
+                    return  # read-only/odd fs: warm reads are best-effort
+    except OSError:
+        pass
+
+
 def main(argv=None) -> int:
     import os
 
@@ -937,7 +976,14 @@ def main(argv=None) -> int:
             or args.fn in (cmd_warmup, cmd_bench)):
         enable_compilation_cache()
     else:
-        enable_compilation_cache(machine_local_cache_dir("cli"))
+        # Keep the warm READS: seed the per-user dir from the
+        # repo-committed entries (hardlink where possible, ~12 MB
+        # copied otherwise) so an ad-hoc `rgnir-tpu analyze` at a
+        # warmed production shape still starts in seconds — only its
+        # WRITES stay out of the git working tree.
+        local = machine_local_cache_dir("cli")
+        _seed_cache_from_committed(local)
+        enable_compilation_cache(local)
     _apply_index_definitions(args.define_index)
     return args.fn(args)
 

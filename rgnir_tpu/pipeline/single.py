@@ -18,7 +18,7 @@ from __future__ import annotations
 import os
 import threading
 from pathlib import Path
-from typing import Optional, Tuple, Union
+from typing import Tuple, Union
 
 import numpy as np
 
@@ -33,7 +33,11 @@ from rgnir_tpu.viz.figures import _fig_to_pil, _new_figure, render_histogram_fig
 
 
 def ndvi_figure(ndvi: np.ndarray) -> "object":
-    """The 12x8 'NDVI Values' figure of process-ndvi.py:33-46."""
+    """The 12x8 'NDVI Values' figure of process-ndvi.py:33-46, as a
+    PIL image (tight bbox). Public helper for callers composing their
+    own outputs; the report flow itself writes through the reused
+    figure cache below with plain-savefig semantics (what the
+    reference's plt.savefig produces)."""
     fig = _new_figure((12, 8))
     ax = fig.add_subplot(111)
     im = ax.imshow(np.asarray(ndvi), cmap="RdYlGn", vmin=-1, vmax=1)

@@ -54,6 +54,33 @@ def test_fallback_emits_committed_reference(bench, tmp_path, capsys):
     assert out["vs_baseline"] == round(4321.0 / 7.5, 2)
 
 
+def test_fallback_with_corrupt_reference_file_still_emits(
+    bench, tmp_path, capsys
+):
+    """A non-dict (corrupt/hand-edited) reference file must not kill
+    the emit — on the watchdog thread an uncaught error here would end
+    the process with NO JSON line (the round-3 failure mode)."""
+    for i, payload in enumerate(('["not", "a", "dict"]', '"str"',
+                                 '{"value": null}', "{bad json")):
+        p = tmp_path / f"ref{i}.json"
+        p.write_text(payload)
+        b = bench if i == 0 else None
+        # fresh module per payload (module-global _EMITTED)
+        if b is None:
+            import importlib.util
+
+            spec = importlib.util.spec_from_file_location(
+                f"bench_corrupt_{i}", REPO / "bench.py"
+            )
+            b = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(b)
+        b._REFERENCE_RESULT_PATH = str(p)
+        assert b._emit_and_flush() is True
+        out = json.loads(capsys.readouterr().out.strip())
+        assert out["value"] is None
+        assert out.get("timing") != "committed_reference_run"
+
+
 def test_fallback_without_reference_file_still_emits(bench, tmp_path,
                                                      capsys):
     bench._REFERENCE_RESULT_PATH = str(tmp_path / "missing.json")
